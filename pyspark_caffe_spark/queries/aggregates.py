@@ -1,0 +1,202 @@
+"""Aggregation operators — SURVEY.md §2.4.
+
+All groupBys here are hash aggregations with map-side partial
+aggregation (Spark does partial+final automatically), so shuffle
+volume is |groups|, not |rows| — the property that keeps these viable
+at 100 TB. Double-valued aggregates are rounded IN-QUERY on both the
+Spark and oracle side: summation order differs across engines, so raw
+last-bit equality is not achievable and rounding to 4 decimals makes
+the comparison exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_caffe_spark.registry import query
+from pyspark_caffe_spark.tables import load_table
+
+
+@query(
+    "agg_hash_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)                                  AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                             AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)          AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6)                                  AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                             AS avg_price,
+           ROUND(AVG(l_discount), 6)                                  AS avg_disc,
+           COUNT(*)                                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → filter → 2-key hash agg.
+
+    The flagship query. Partial aggregation reduces 600k (→ billions)
+    rows to 6 groups before the shuffle; the date filter is pushed to
+    the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_orderkey % 10 AS bucket,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part
+    FROM lineitem
+    GROUP BY l_orderkey % 10
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct aggregation (expands to two shuffles via
+    Catalyst's expand-based rewrite)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy((F.col("l_orderkey") % 10).alias("bucket")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: approximate result, engine-specific sketch
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type (rsd=1%).
+
+    THE scale path for distinct counts: the sketch is mergeable, so the
+    shuffle carries one ~kB sketch per group instead of every value —
+    exact countDistinct at 100 TB shuffles the whole key set.
+    Accuracy vs exact is asserted in tests (±5%).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — subtotals + grand total in one pass (Expand operator
+    replicates each row per grouping set before the hash agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP))
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day) — all four grouping sets."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.cube("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MIN(l_extendedprice), 4)            AS min_price,
+           ROUND(MAX(l_extendedprice), 4)            AS max_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4)    AS sd_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. EXACT interpolated percentiles
+    (Spark 4 ``percentile`` == DuckDB ``quantile_cont``). At 100 TB
+    prefer ``percentile_approx`` (mergeable sketch) — exact percentile
+    materializes per-group sorted values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT o_custkey, LIST(o_orderkey ORDER BY o_orderkey) AS order_keys
+    FROM orders
+    WHERE o_totalprice > 450000
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + sort_array — deterministic array aggregation.
+    (Unsorted collect_list order is partition-dependent; always sort.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 12
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — applied after the hash agg,
+    cannot push below it."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )

@@ -1,0 +1,221 @@
+"""Scalar function families — SURVEY.md §2.8.
+
+Everything here is a built-in JVM expression (whole-stage codegen) —
+no Python in the data path. Cross-engine parity traps handled in-query:
+Spark's int-typed results are cast to BIGINT where DuckDB returns
+BIGINT; day-of-week uses ISO numbering on both sides; double→int casts
+go through FLOOR (DuckDB rounds on cast, Spark truncates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_caffe_spark.registry import query
+from pyspark_caffe_spark.tables import load_table
+
+
+@query(
+    "fn_string",
+    oracle=r"""
+    SELECT p_partkey,
+           UPPER(p_name)                              AS uname,
+           SUBSTRING(p_name, 1, 4)                    AS pref,
+           CAST(LENGTH(p_name) AS BIGINT)             AS name_len,
+           TRIM(CONCAT('  ', p_name, '  '))           AS trimmed,
+           REGEXP_EXTRACT(p_name, '^(\w+)', 1)        AS first_word,
+           CAST(LEVENSHTEIN(p_name, 'red widget') AS BIGINT) AS lev,
+           CONCAT(p_brand, ':', p_type)               AS brand_type,
+           STRING_SPLIT(p_name, ' ')[2]               AS second_word
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case/substr/trim/concat/split/regexp/levenshtein."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.substring("p_name", 1, 4).alias("pref"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).cast("long").alias("lev"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.split("p_name", " ").getItem(1).alias("second_word"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate)  AS BIGINT)             AS y,
+           CAST(MONTH(o_orderdate) AS BIGINT)             AS m,
+           CAST(ISODOW(o_orderdate) AS BIGINT)            AS iso_dow,
+           CAST(DAYOFYEAR(o_orderdate) AS BIGINT)         AS doy,
+           o_orderdate + INTERVAL 30 DAY                  AS plus30,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(DATEDIFF('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT) AS days_to_2002
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family. ISO day-of-week (Mon=1..Sun=7) on both engines:
+    Spark ``weekday()`` is Mon=0, DuckDB ``isodow`` Mon=1 — align with
+    +1 (the classic ``dayofweek`` convention trap, SURVEY §2.8)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1)                        AS price_r1,
+           ABS(l_discount - 0.05)                           AS disc_dev,
+           CAST(CEIL(l_extendedprice)  AS BIGINT)           AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)           AS price_floor,
+           ROUND(LN(l_extendedprice), 6)                    AS price_ln,
+           POWER(l_quantity, 2)                             AS qty_sq,
+           ROUND(SQRT(l_extendedprice), 6)                  AS price_sqrt,
+           CAST(l_quantity AS BIGINT) % 7                   AS qty_mod7
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. ln/sqrt rounded to 6 (libm vs JVM last-ulp); ceil/
+    floor cast to BIGINT on the oracle side (DuckDB keeps DOUBLE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.pow("l_quantity", 2).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+    )
+
+
+@query(
+    "fn_cond",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                          AS tier,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status2,
+           IF(o_orderpriority = '1-URGENT', 1, 0)       AS is_urgent
+    FROM orders
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE WHEN tiering, COALESCE/NULLIF, IF."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("status2"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS BIGINT)                          AS dim,
+           CAST(embedding[1] AS DOUBLE)                            AS first_el,
+           ROUND(LIST_MAX(CAST(embedding AS DOUBLE[])), 6)         AS max_el,
+           LIST_TRANSFORM(CAST(embedding[1:4] AS DOUBLE[]), x -> ROUND(x * 2, 6)) AS head2x,
+           ROUND(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x)), 6) AS sq_norm
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order family on the embedding column.
+
+    array<float> is cast to array<double> before aggregation (Spark's
+    ``aggregate`` rejects a double accumulator over float elements —
+    SURVEY §1.3.2). sq_norm ≈ 1.0: fixtures are unit-normalized.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at(d, 1).alias("first_el"),
+        F.round(F.array_max(d), 6).alias("max_el"),
+        F.transform(F.slice(d, 1, 4), lambda x: F.round(x * 2, 6)).alias("head2x"),
+        F.round(
+            F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sq_norm"),
+    )
+
+
+@query(
+    "fn_map_json",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: parse the props JSON string, extract k, aggregate.
+    ``from_json`` with an explicit schema — never schema_of_json per
+    row at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR)                 AS key_str,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(FLOOR(o_totalprice) AS BIGINT)         AS price_int,
+           CAST(o_orderdate AS DATE)                   AS od,
+           CAST('42' AS BIGINT) + o_orderkey           AS plus42
+    FROM orders
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family. double→int goes through FLOOR on both sides:
+    DuckDB's CAST(double AS BIGINT) rounds, Spark's truncates — a
+    silent cross-engine divergence otherwise."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.floor("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        (F.lit("42").cast("long") + F.col("o_orderkey")).alias("plus42"),
+    )

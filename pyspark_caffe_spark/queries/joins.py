@@ -1,0 +1,258 @@
+"""Join operators — SURVEY.md §2.3.
+
+Scale notes apply to every join here: equi-joins against dimension
+tables are explicitly broadcast (dims stay < broadcast threshold even
+at 100 TB fact scale); large-fact equi-joins go through sort-merge /
+shuffled-hash chosen by Catalyst + AQE (skew-join splitting on).
+The as-of join is implemented as a union + window — ONE shuffle by key,
+linear in input, instead of a quadratic range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_caffe_spark.registry import query
+from pyspark_caffe_spark.tables import load_table
+
+
+@query(
+    "join_inner_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi-join; AQE picks broadcast-hash when the build side is
+    small, sort-merge otherwise — the plan is left to the optimizer."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, s_name, n_name
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dim with an explicit broadcast hint: zero shuffle of the
+    600k-row (→100 TB) fact side; dims replicate to every executor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("l_orderkey", "l_linenumber", "s_name", "n_name")
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-table chain. Hand-ordered dims-last so the two
+    fact tables join first on their shared key; nation/region/supplier
+    broadcast. Date filter lands on the orders scan (pushdown)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           ROUND(CAST(COALESCE(SUM(o_totalprice), 0) AS DOUBLE), 4) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving customers with zero orders (COUNT of the
+    null-extended key is 0 for them)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT a.c_custkey, a.c_name, b.o_orderkey, b.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_custkey < 50) a
+    FULL JOIN (SELECT * FROM orders WHERE o_custkey >= 1400) b
+      ON a.c_custkey = b.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer on (mostly) disjoint key ranges — null-extension on
+    both sides is exercised."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") >= 1400)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers with ≥1 order; probe side never widens."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.value AS value_a, b.value AS value_b
+    FROM (SELECT * FROM events WHERE event_id < 500) a
+    JOIN (SELECT * FROM events WHERE event_id < 500) b
+      ON a.event_id < b.event_id
+     AND b.value BETWEEN a.value - 1 AND a.value
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join on a value band. Physical plan is a
+    broadcast nested-loop — inherently quadratic, so the inputs are
+    pre-filtered slices; at scale a band join should be blocked on
+    bucketized value ranges first (see llm.sim_threshold_join for the
+    blocked pattern)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    a = ev.select(F.col("event_id").alias("id_a"), F.col("value").alias("value_a"))
+    b = ev.select(F.col("event_id").alias("id_b"), F.col("value").alias("value_b"))
+    return a.join(
+        b,
+        (F.col("id_a") < F.col("id_b"))
+        & F.col("value_b").between(F.col("value_a") - 1, F.col("value_a")),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click at-or-before
+    it, per user.
+
+    Spark has no native ASOF; the scalable pattern is union the two
+    sides, window-order by (ts, side) within user, and carry the last
+    non-null click timestamp forward — one shuffle on user_id, O(n)
+    state, no range-join blowup. Equal timestamps: the click sorts
+    first (side flag), matching DuckDB's ``p.ts >= c.ts`` semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"), F.lit(1).alias("is_p")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("is_p"),
+    )
+    unioned = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "click_ts")
+    )
+
+
+@query(
+    "join_cross_limited",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny dims (125 rows)."""
+    reg = load_table(spark, sf_dir, "region")
+    nat = load_table(spark, sf_dir, "nation")
+    return reg.crossJoin(nat).select("r_name", "n_name")

@@ -1,0 +1,596 @@
+"""LLM-data-pipeline operators: text analysis, dedup, multimodal, UDF
+surface — SURVEY.md §2.11.
+
+These are the training-data-pipeline operators a 100 TB corpus needs.
+Design decisions that matter at scale:
+  * Everything tokenization/shingling/hashing runs as built-in
+    higher-order functions (split/transform/xxhash64) — JVM codegen,
+    no Python.
+  * Near-dup detection is MinHash-LSH banding: the only shuffle is
+    groupBy(band_hash); NO pairwise cross-join ever touches the full
+    corpus.
+  * The fixtures contain zero natural duplicates (FIXTURES.md), so the
+    dedup operators plant perturbed copies in-query; tests assert the
+    planted pairs are recovered.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_caffe_spark.registry import query
+from pyspark_caffe_spark.tables import load_table
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+# Marker words per language for the (deliberately simple, deterministic)
+# n-gram/marker language-ID heuristic. The fixture text is a shared
+# vocabulary, so predictions skew 'en' — the operator demonstrates the
+# plumbing; swap profiles for real corpus statistics in production.
+LANG_MARKERS = {
+    "en": ["the", "fast", "order", "key"],
+    "zh": ["spark", "window"],
+    "es": ["data", "column"],
+    "de": ["merge", "batch"],
+    "fr": ["join", "table"],
+}
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_tokenize_tf",
+    oracle="""
+    SELECT term, COUNT(*) AS tf
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    ORDER BY tf DESC, term
+    LIMIT 20
+    """,
+)
+def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenize → explode → global term frequencies, top-20.
+    explode feeds a partial-aggregated count: shuffle carries one row
+    per (partition, term), not per token."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           CAST(SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+           CAST(MIN(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS min_words
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats; n_mismatch doubles as the n_chars ==
+    length(text) sanity invariant (always 0 on the fixtures)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum(F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatch"),
+        F.min(F.size(F.split("text", " "))).cast("long").alias("min_words"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words,
+           ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                     w -> LIST_CONTAINS({STOPWORDS!r}, w))) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 6) AS stopword_ratio,
+           ROUND(CAST(n_chars - LEN(STRING_SPLIT(text, ' ')) + 1 AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 6) AS avg_word_len,
+           CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 20
+                 AND CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                       w -> LIST_CONTAINS({STOPWORDS!r}, w))) AS DOUBLE)
+                     / LEN(STRING_SPLIT(text, ' ')) < 0.5
+                THEN 1 ELSE 0 END AS passes
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics (length / stopword-ratio / mean word
+    length) + a pass/fail gate — the standard pre-training corpus
+    filter, all in codegen'd higher-order functions."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    stop_ratio = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    ).cast("double") / n_words
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            (F.col("n_chars") - n_words + 1).cast("double") / n_words, 6
+        ).alias("avg_word_len"),
+        F.when((n_words >= 20) & (stop_ratio < 0.5), 1).otherwise(0).alias("passes"),
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    return (
+        f"LEN(LIST_FILTER({markers!r}, m -> LIST_CONTAINS(STRING_SPLIT(text, ' '), m)))"
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_score_sql(LANG_MARKERS['en'])} AS s_en,
+             {_lang_score_sql(LANG_MARKERS['zh'])} AS s_zh,
+             {_lang_score_sql(LANG_MARKERS['es'])} AS s_es,
+             {_lang_score_sql(LANG_MARKERS['de'])} AS s_de,
+             {_lang_score_sql(LANG_MARKERS['fr'])} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE GREATEST(s_en, s_zh, s_es, s_de, s_fr)
+             WHEN s_en THEN 'en' WHEN s_zh THEN 'zh' WHEN s_es THEN 'es'
+             WHEN s_de THEN 'de' ELSE 'fr' END AS pred_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: score each language profile
+    by marker hits, argmax with a fixed precedence (en>zh>es>de>fr) so
+    ties are deterministic. (The fixture text shares one vocabulary
+    across langs — the operator demonstrates the scoring plumbing.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scores = {
+        lang: F.size(F.filter(F.array(*[F.lit(m) for m in ms]), lambda m: F.array_contains(words, m)))
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["en"] == best, "en")
+        .when(scores["zh"] == best, "zh")
+        .when(scores["es"] == best, "es")
+        .when(scores["de"] == best, "de")
+        .otherwise("fr")
+    )
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@query("text_ngram_hash")  # rows-only: hash functions differ across engines
+def text_ngram_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram shingling + 64-bit hashing — the dedup building block.
+    shingles = sliding windows over the token array, built with
+    sequence+transform+slice (no explode, no Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 5),
+        lambda i: F.array_join(F.slice(words, i + 1, 5), " "),
+    )
+    hashes = F.transform(shingles, F.xxhash64)
+    return docs.select(
+        "doc_id",
+        F.size(shingles).cast("long").alias("n_shingles"),
+        F.array_min(hashes).alias("min_hash"),
+        F.array_max(hashes).alias("max_hash"),
+    )
+
+
+@query("text_fingerprint")  # rows-only: engine-specific 64-bit hash
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: xxhash64 of the case/whitespace-normalized
+    text — the exact-dedup key at scale (group by 8-byte fingerprint,
+    never by the full text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select(
+        "doc_id", F.xxhash64(norm).alias("fingerprint"), F.length(norm).cast("long").alias("norm_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def _augmented_docs(docs: DataFrame, n_dups: int = 50) -> DataFrame:
+    """Union documents with perturbed copies of the first ``n_dups``
+    docs (uppercased + padded ⇒ exact dups after normalization; ids
+    offset by 1,000,000). The fixtures have zero natural duplicates."""
+    dups = (
+        docs.filter(F.col("doc_id") < n_dups)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(dups)
+
+
+_AUG_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, UPPER(text) || '  ' AS text
+      FROM documents WHERE doc_id < 50
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH aug AS ({_AUG_SQL})
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM aug
+    GROUP BY LOWER(TRIM(text))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized text: group by the normalization key,
+    keep the smallest id. At 100 TB: group by xxhash64(norm) instead of
+    the text itself (see text_fingerprint) — same shuffle shape, 8-byte
+    keys."""
+    docs = _augmented_docs(load_table(spark, sf_dir, "documents"))
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.groupBy(norm.alias("_norm")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    ).drop("_norm").select("keep_id", "n_copies")
+
+
+def _perturbed_docs(docs: DataFrame, n_dups: int = 50) -> DataFrame:
+    """Near-duplicate plants: copies of the first ``n_dups`` docs with
+    the last 2 words dropped (high-Jaccard neighbours, ids +1,000,000)."""
+    words = F.split("text", " ")
+    near = docs.filter(F.col("doc_id") < n_dups).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 2, F.lit(1))), " ").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(near)
+
+
+_PERTURB_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 1)], ' ') AS text
+      FROM documents WHERE doc_id < 50
+"""
+
+
+@query("dedup_minhash")  # rows-only: xxhash64-based signatures are engine-specific
+def dedup_minhash(spark: SparkSession, sf_dir: str, num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """MinHash + LSH banding near-dup candidate pairs — THE scale path.
+
+    shingle(5-gram) → 32 minhashes (xxhash64 seeded by slot) → 8 bands
+    of 4 → groupBy(band_idx, band_hash) self-join. Only docs sharing a
+    band signature are ever paired: cost is O(candidates), not O(n²).
+    Tests assert ≥80% of the planted near-dup pairs are recovered.
+    """
+    docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 5, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, 5), " "),
+    )
+    # 32 minhash slots: min over shingles of xxhash64(shingle, slot)
+    sig = [
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(k)))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    signed = docs.select("doc_id", *sig)
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                    "band_hash"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signed.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_hash"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+@query("dedup_simhash")  # rows-only: engine-specific hash bits
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature from sign-summed
+    token-hash bits, blocked on 4×16-bit chunks (two near-dups within
+    hamming distance <(number of chunks) share ≥1 exact chunk — the
+    standard simhash blocking trick; no cross-join)."""
+    docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).withColumn(
+        "h", F.xxhash64("w")
+    )
+    # per-bit ±1 contributions; bit 63 read from the sign bit
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            if i < 63
+            else F.when(F.col("h") < 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = tokens.groupBy("doc_id").agg(*bit_sums)
+    sim = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(2**63))).otherwise(0)
+                for i in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk_idx", "ck.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH aug AS ({_PERTURB_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 3, 1) + 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+3], ' '))) AS sh
+      FROM aug
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (4-gram) Jaccard similarity join via shingle
+    inverted index: explode distinct shingles, self-join on the shingle
+    (the inverted-index pattern — pairs sharing no shingle never meet),
+    count intersections, filter J ≥ 0.5."""
+    docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
+    words = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 4, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, 4), " "),
+    )
+    sh = (
+        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal + UDF surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_enrich",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(e.embedding[1] AS DOUBLE) AS emb_head, e.label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.n_chars > 100 AND CAST(e.embedding[1] AS DOUBLE) > 0
+    """,
+)
+def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ vector enrichment: join documents to embeddings, build a
+    struct column {text meta, vector}, filter on BOTH a text predicate
+    and a vector predicate, flatten for output."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).withColumn(
+        "doc",
+        F.struct("lang", "n_chars", F.col("embedding").cast("array<double>").alias("vec"), "label"),
+    )
+    return joined.filter(
+        (F.col("doc.n_chars") > 100) & (F.element_at(F.col("doc.vec"), 1) > 0)
+    ).select(
+        "doc_id",
+        F.col("doc.lang").alias("lang"),
+        F.col("doc.n_chars").alias("n_chars"),
+        F.element_at(F.col("doc.vec"), 1).alias("emb_head"),
+        F.col("doc.label").alias("label"),
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT)            AS n_bytes,
+           CAST(LENGTH(text) % 64 + 1 AS BIGINT)   AS width,
+           CAST((LENGTH(text) * 7) % 64 + 1 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: text → BINARY column ("image bytes"),
+    decoded by a mapInPandas stage.
+
+    The real decode (PIL/ffmpeg) is STUBBED — those libs aren't in this
+    container — with a deterministic fake that derives (width, height)
+    from the byte length. Everything Spark-side is real: binary column,
+    Arrow batching of bytes into Python, mapInPandas schema contract.
+    The oracle reproduces the fake's arithmetic from LENGTH(text)
+    (fixture text is pure ASCII ⇒ bytes == chars, asserted in tests).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_bytes = docs.select("doc_id", F.encode("text", "utf-8").alias("img_bytes"))
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nb = pdf["img_bytes"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "width": nb % 64 + 1,
+                    "height": (nb * 7) % 64 + 1,
+                }
+            )
+
+    return with_bytes.mapInPandas(
+        decode, schema="doc_id long, n_bytes long, width long, height long"
+    )
+
+
+@query(
+    "udf_surface",
+    oracle="""
+    SELECT doc_id, lang,
+           SUBSTRING(text, 1, 1) AS first_char,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                 / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 6) AS z
+    FROM documents
+    """,
+)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Python execution surfaces in one query: a scalar
+    Python UDF (first_char — demo only, row-at-a-time is the slow
+    path), an Arrow pandas UDF (n_tokens), and a grouped-map
+    applyInPandas computing per-language z-scores (UDAF-style)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    first_char = F.udf(lambda s: s[:1], "string")
+
+    @F.pandas_udf("long")
+    def n_tokens(s: pd.Series) -> pd.Series:
+        return s.str.split(" ").map(len)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        pdf = pdf.copy()
+        pdf["z"] = ((pdf["n_chars"] - mu) / sd).round(6)
+        return pdf[["doc_id", "lang", "first_char", "n_tokens", "z"]]
+
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        first_char("text").alias("first_char"),
+        n_tokens("text").alias("n_tokens"),
+    )
+    return enriched.groupBy("lang").applyInPandas(
+        zscore, schema="doc_id long, lang string, first_char string, n_tokens long, z double"
+    )
+
+
+@query(
+    "udf_udtf",
+    oracle="""
+    SELECT doc_id,
+           UNNEST(STRING_SPLIT(text, ' ')) AS token,
+           CAST(GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS BIGINT) AS pos
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def udf_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined TABLE function (Spark 4 @udtf): tokenize with
+    positions, one input row → N output rows. Python-row-based, so the
+    input is a pruned 2-column slice."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string, pos bigint")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield doc_id, tok, i + 1
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        "SELECT t.* FROM _udtf_docs, LATERAL tokenize_udtf(doc_id, text) t"
+    )

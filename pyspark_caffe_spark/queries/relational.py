@@ -1,0 +1,306 @@
+"""Scans, sources/sinks, projection/filter, sort/limit, set ops.
+
+SURVEY.md §2.1, §2.2, §2.6, §2.7.  All pure built-in DataFrame ops —
+no Python executes per-row, so every query here stays inside
+whole-stage codegen and gets predicate pushdown / column pruning from
+Catalyst for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_caffe_spark.registry import query
+from pyspark_caffe_spark.tables import load_table
+
+# Scratch space for sink/roundtrip ops (gitignored, inside the repo —
+# the environment forbids writes elsewhere).
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(SCRATCH, exist_ok=True)
+    return os.path.join(SCRATCH, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@query("scan_parquet", oracle="SELECT * FROM lineitem")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table parquet scan. Catalyst prunes columns per consumer;
+    at 100 TB this is a splittable columnar scan, one task per row-group
+    range (``spark.sql.files.maxPartitionBytes``)."""
+    return load_table(spark, sf_dir, "lineitem")
+
+
+@query("scan_csv_roundtrip")  # rows-only: csv has no type fidelity for the oracle
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a lineitem slice to CSV, re-read with an explicit schema.
+
+    Explicit schema (never inferSchema) — schema inference is a full
+    extra pass over 100 TB of text.
+    """
+    src = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    path = _scratch("csv_roundtrip")
+    src.write.mode("overwrite").option("header", True).csv(path)
+    schema = src.schema
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@query("scan_json_roundtrip")  # rows-only
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an events slice to JSON-lines, re-read with explicit schema."""
+    src = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    path = _scratch("json_roundtrip")
+    src.write.mode("overwrite").json(path)
+    back = spark.read.schema(src.schema).json(path)
+    return back.select("event_id", "user_id", "event_type", "value")
+
+
+@query("sink_partitioned")  # rows-only
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders partitioned by status; read ONE partition back.
+
+    The read-back filter on the partition column must prune at planning
+    time (partition pruning) — at scale, reading one partition of a
+    status-partitioned 100 TB table touches only that directory.
+    """
+    src = load_table(spark, sf_dir, "orders")
+    path = _scratch("sink_partitioned")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filter / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+    FROM lineitem
+    """,
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + arithmetic; reads exactly 5 columns off disk."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rev.alias("revenue"),
+        (rev * (1 + F.col("l_tax"))).alias("charged"),
+    )
+
+
+@query(
+    "filter_conj",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity < 25 AND l_returnflag = 'A' AND l_linenumber IN (1, 2, 3)
+    """,
+)
+def filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicate (range + equality + IN) — all three land in
+    ``PushedFilters`` on the parquet scan (row-group min/max skipping)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 25)
+        & (F.col("l_returnflag") == "A")
+        & F.col("l_linenumber").isin(1, 2, 3)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@query(
+    "filter_null_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_type, p_size
+    FROM part
+    WHERE p_type LIKE 'PRO%' AND p_size BETWEEN 10 AND 30 AND p_brand IS NOT NULL
+    """,
+)
+def filter_null_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_type").like("PRO%")
+        & F.col("p_size").between(10, 30)
+        & F.col("p_brand").isNotNull()
+    ).select("p_partkey", "p_name", "p_type", "p_size")
+
+
+@query(
+    "filter_subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 48)
+    """,
+)
+def filter_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery as a left-semi join — the same rewrite Catalyst
+    applies to the SQL form; semi-join build side is the filtered
+    lineitem keys (small after the selective filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 48)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return orders.join(keys, "o_orderkey", "left_semi").select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / limit / top-k / sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    ORDER BY c_mktsegment ASC NULLS LAST, c_acctbal DESC
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-key sort mixed asc/desc; range-partitioned global sort
+    (sampled bounds) — no single-reducer bottleneck at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_custkey", "c_mktsegment", "c_acctbal").orderBy(
+        F.asc_nulls_last("c_mktsegment"), F.desc("c_acctbal")
+    )
+
+
+@query(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    top-k then a k-row merge on the driver — never a full global sort.
+    Tie-broken on o_orderkey so the row set is deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 5 OFFSET 10
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination. Fully ordered (tiebreak) so pages are stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(5)
+    )
+
+
+@query("sample_seeded")  # rows-only: samplers differ across engines
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample — deterministic for a fixed seed and
+    partitioning; executes scan-side with no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName — no shuffle, partitions concatenate."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_totalprice")
+    b = orders.filter(F.col("o_orderstatus") == "P").select("o_orderkey", "o_totalprice")
+    return a.unionByName(b)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+    UNION
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_totalprice")
+    b = orders.filter(F.col("o_orderstatus") == "P").select("o_orderkey", "o_totalprice")
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("c_custkey"))
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders
+    EXCEPT
+    SELECT DISTINCT user_id AS o_custkey FROM events WHERE event_type = 'error'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with orders minus users that produced error events."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    a = orders.select("o_custkey").distinct()
+    b = (
+        events.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("o_custkey"))
+        .distinct()
+    )
+    return a.exceptAll(b).distinct()

@@ -1,0 +1,279 @@
+"""Streaming operators — SURVEY.md §2.9.
+
+The ``events`` parquet is replayed as a file-source stream
+(``readStream`` + ``trigger(availableNow=True)`` + memory sink), which
+drains all input deterministically and stops — so the final memory
+table is comparable against a batch DuckDB oracle wherever the output
+mode emits complete results.
+
+Scale notes: event-time windowed aggregations keep state per (window ×
+group) in the executor state store; the watermark bounds that state —
+an unwatermarked stream accumulates state forever at 100 TB/day. The
+session-window and tumbling-window operators here are exactly the
+shapes Structured Streaming runs incrementally on a real cluster; the
+`availableNow` harness only changes the trigger, not the plan.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pyspark_caffe_spark.registry import query
+from pyspark_caffe_spark.queries.relational import _scratch
+from pyspark_caffe_spark.tables import load_table
+
+# Physical schema of events.parquet as the streaming reader sees it
+# (ts arrives as INT64 nanos under nanosAsLong — SURVEY §1.3.1).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over parquet with the nanos→timestamp conversion.
+
+    The file stream source requires a directory basePath; when handed a
+    single parquet file, pass its parent as basePath. Integer div for
+    nanos→micros (float division loses microseconds at 1.7e18).
+    """
+    if path.endswith(".parquet"):
+        # file source needs a directory: expose the single file through
+        # a scratch dir via symlink (zero-copy)
+        d = _scratch("stream_src_" + os.path.basename(os.path.dirname(path)))
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = d
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Run a streaming query to completion (availableNow) into a memory
+    sink; return the resulting table."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS ws, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts by event_type, computed by an
+    actual Structured Streaming query (complete mode ⇒ final table ==
+    batch result; window start == date_trunc('hour'))."""
+    ev = _read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    out = agg.select(
+        F.col("window.start").alias("ws"), "event_type", "n", "sum_value"
+    )
+    return _drain(out, f"mem_tumbling_{uuid.uuid4().hex[:8]}", "complete")
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts)
+             + TO_MINUTES(15 * CAST(FLOOR(EXTRACT(minute FROM ts) / 15) AS BIGINT))
+             - TO_MINUTES(15 * t.i)                      AS ws,
+           event_type,
+           COUNT(*) AS n
+    FROM events, (SELECT UNNEST([0, 1, 2, 3]) AS i) t
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min (each event lands in 4
+    windows). Oracle expands the 4 window starts per event explicitly."""
+    ev = _read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = ev.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    out = agg.select(F.col("window.start").alias("ws"), "event_type", "n")
+    return _drain(out, f"mem_sliding_{uuid.uuid4().hex[:8]}", "complete")
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via
+    ``session_window`` — the same operator Structured Streaming runs
+    with state-store-backed merging; executed on the batch DataFrame
+    here because append-mode streaming only flushes sessions the
+    watermark has passed (non-deterministic tail under availableNow).
+    The oracle sessionizes via the classic lag/gap/cumsum rewrite.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("stream_watermark_late")  # rows-only: late-drop count depends on batch split
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark demo: replay events as TWO files — recent data first,
+    then a straggler file of day-1/day-2 rows. With a 1-hour watermark
+    and maxFilesPerTrigger=1, batch 1 advances the watermark to
+    (max ts − 1h); every straggler in batch 2 is below it and is
+    dropped from the aggregation. Tests assert the late groups are
+    missing vs the batch twin."""
+    ev = load_table(spark, sf_dir, "events")
+    replay = _scratch("wm_replay_" + os.path.basename(sf_dir))
+    recent = ev.filter(F.col("ts") >= F.lit("2024-01-03").cast("timestamp"))
+    late = ev.filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    # raw long nanos back for the stream reader: write ts as long nanos
+    def _raw(df: DataFrame) -> DataFrame:
+        return df.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long")).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+
+    _raw(recent).coalesce(1).write.mode("overwrite").parquet(replay)
+    time.sleep(1.1)  # file-source orders batches by mod time
+    _raw(late).coalesce(1).write.mode("append").parquet(replay)
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    return _drain(agg, f"mem_wm_{uuid.uuid4().hex[:8]}", "update")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: the input is replayed with every event
+    duplicated; ``dropDuplicates('event_id')`` emits exactly the first
+    occurrence of each id, so the drained output equals the original
+    table. At scale the watermarked variant
+    (dropDuplicatesWithinWatermark) bounds the id-set state."""
+    ev = load_table(spark, sf_dir, "events")
+    replay = _scratch("dedup_replay_" + os.path.basename(sf_dir))
+    raw = ev.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long")).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    raw.unionByName(raw).coalesce(2).write.mode("overwrite").parquet(replay)
+
+    stream = _read_events_stream(spark, replay).dropDuplicates(["event_id"])
+    out = stream.select("event_id", "user_id", "event_type", "value")
+    return _drain(out, f"mem_dedup_{uuid.uuid4().hex[:8]}", "append")
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming op: per-user running totals via
+    ``applyInPandasWithState`` (GroupState keyed by user_id). With a
+    single availableNow batch the emitted update equals the full
+    per-user aggregate, so the result is oracle-checkable. On a live
+    stream the same code emits one update per user per micro-batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+    def running_totals(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (n, total) = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 4)]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        running_totals,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain(out, f"mem_stateful_{uuid.uuid4().hex[:8]}", "update")

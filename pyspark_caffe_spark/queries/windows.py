@@ -1,0 +1,149 @@
+"""Window functions — SURVEY.md §2.5.
+
+Every window here is partitioned (by customer / user / priority):
+a global un-partitioned window funnels ALL rows through one task and
+is forbidden at scale. Order keys always carry a unique tiebreak
+column so results are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_caffe_spark.registry import query
+from pyspark_caffe_spark.tables import load_table
+
+
+@query(
+    "win_rank_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number — one shuffle on the
+    partition key; per-group sort only (never a global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile sharing one window spec (computed in a
+    single Window exec, one shuffle). Compound order key makes ntile
+    bucket assignment deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           value - LAG(value)  OVER w AS delta_prev,
+           LEAD(value) OVER w - value AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-to-event deltas (lag/lead). Single subtraction of
+    identical doubles — bit-exact across engines, no rounding needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        (F.lead("value").over(w) - F.col("value")).alias("delta_next"),
+    )
+
+
+@query(
+    "win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+    FROM orders
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend — explicit ROWS frame. The frame order
+    is identical in both engines, so the prefix sums agree (rounded)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_spend"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderdate,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY EPOCH(o_orderdate)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 4) AS trailing_avg
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing average via a RANGE frame over epoch seconds.
+
+    Spark's rangeBetween needs a numeric order key — cast the timestamp
+    to long (seconds); 604800 = 7 days. The oracle uses EPOCH() for the
+    identical frame arithmetic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_orderdate").cast("timestamp_ltz").cast("long"))
+        .rangeBetween(-604800, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("trailing_avg"),
+    )

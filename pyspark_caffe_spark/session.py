@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+One place where every session-level knob is set, so that tests, the
+driver harness, and bench.py all run with identical semantics.
+
+Scale notes (100 TB deployment): the local[] master and the shuffle
+partition count are the only local-mode artifacts here; on a real
+cluster the same builder is used with a cluster master and
+``spark.sql.shuffle.partitions`` sized to ~2-3x total cores (AQE
+coalesces down at runtime, so erring high is safe).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "pyspark-caffe-spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    Settings that are correctness-critical:
+      * ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events``
+        fixture stores ``ts`` as INT64 TIMESTAMP(NANOS); PySpark 4.x
+        rejects it otherwise (SURVEY.md §1.3.1).  Must be set before
+        the first parquet read, hence here.
+      * ``spark.sql.session.timeZone=UTC`` — the DuckDB oracle reads
+        naive timestamps; pinning UTC makes collected values agree.
+
+    Settings that are performance-tuning:
+      * AQE on (default in 4.x) with skew-join handling — at 100 TB a
+        skewed join key is the norm, not the exception.
+      * ``shuffle.partitions`` sized for the local test box; AQE
+        coalesces small post-shuffle partitions either way.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,67 @@
+"""Table loaders — the single place fixture type gotchas are fixed.
+
+All ten fixture tables (TESTDATA.md / FIXTURES.md) are loaded through
+here so that every query sees identical, oracle-compatible types:
+
+  * ``events.ts`` arrives as INT64 nanoseconds (read via
+    ``nanosAsLong``) and is converted to a microsecond TimestampType
+    matching DuckDB's native read of the same parquet.
+  * ``embeddings.embedding`` stays ``array<float>`` on disk; use
+    :func:`emb_double` when a query needs higher-order aggregation
+    (Spark's ``aggregate`` with a double accumulator rejects float
+    element types).
+
+Scale note: these are plain ``spark.read.parquet`` scans — column
+pruning and predicate pushdown happen per-query via Catalyst, so
+loading "the whole table" here costs nothing until an action runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with oracle-compatible column types."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is read as LongType nanoseconds (nanosAsLong=true);
+        # truncate to micros to match DuckDB's timestamp view of the
+        # same column (SURVEY.md §1.3.1). INTEGER division — `/ 1000`
+        # goes through double and loses micros at 1.7e18 nanos.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = False) -> dict[str, DataFrame]:
+    """Load all fixture tables; optionally register temp views by name."""
+    tables = {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+    if register_views:
+        for name, df in tables.items():
+            df.createOrReplaceTempView(name)
+    return tables
+
+
+def emb_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Cast an array<float> embedding column to array<double>.
+
+    Required before Spark higher-order aggregation with a double
+    accumulator, and for value parity with DuckDB (which promotes to
+    double in list arithmetic).  FIXTURES.md: vectors are length-64 and
+    unit-normalised, so dot product == cosine similarity.
+    """
+    return df.withColumn(col, F.col(col).cast("array<double>"))
