@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Queries are materialized through the noop sink (forces every column
+and operator, no driver-side transfer skew). Compare against
+BASELINE.md's PySpark column — same engine class, same box.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_caffe_spark import get_spark
+from pyspark_caffe_spark.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the BASELINE.md shapes plus one representative per
+# capability layer (relational / window / streaming twin / ML / LLM).
+HEADLINE = [
+    "agg_hash_groupby",   # q1 pricing summary        (baseline 1.42 s)
+    "join_multiway",      # q5 6-way join chain       (baseline 1.92 s)
+    "win_rank_topk",      # top-3 per customer window (baseline 1.35 s)
+    "fn_map_json",        # events json parse + agg   (baseline ~0.68 s)
+    "agg_cube",           # cube over events
+    "join_asof",          # as-of via union+window
+    "topk_global",        # TakeOrdered
+    "sim_knn_exact",      # knn pairs — baseline outlier 20.5 s naive
+    "dedup_minhash",      # MinHash-LSH banding
+    "ml_model_apply",     # pandas-UDF model inference
+    "text_tokenize_tf",   # tokenize + TF
+    "stream_tumbling",    # real Structured Streaming drain
+]
+
+
+def main() -> None:
+    spark = get_spark("pyspark-caffe-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Session warm-up (JIT/codegen/scheduler) — BASELINE.md's numbers
+    # are warm-process ("single warm-process runs"), so match that.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    QUERIES["agg_hash_groupby"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall-clock (12 queries, noop-materialized)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

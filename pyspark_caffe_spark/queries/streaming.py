@@ -180,31 +180,38 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("stream_watermark_late")  # rows-only: late-drop count depends on batch split
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark demo: replay events as TWO files — recent data first,
-    then a straggler file of day-1/day-2 rows. With a 1-hour watermark
-    and maxFilesPerTrigger=1, batch 1 advances the watermark to
-    (max ts − 1h); every straggler in batch 2 is below it and is
-    dropped from the aggregation. Tests assert the late groups are
-    missing vs the batch twin."""
+    """Watermark demo: replay events as THREE files — recent data
+    (≥ Jan 3) first, then a Jan-2 buffer file, then the true stragglers
+    (< Jan 2). With a 1-hour watermark and maxFilesPerTrigger=1, the
+    watermark advances to (max ts − 1h) after batch 0 and — measured
+    empirically on Spark 4.1 — is APPLIED with one batch of lag, so
+    batch 2's day-1 rows are filtered as too-late and the day-1 windows
+    never appear in the append-mode output. Tests assert exactly that
+    against the batch twin."""
     ev = load_table(spark, sf_dir, "events")
     replay = _scratch("wm_replay_" + os.path.basename(sf_dir))
-    recent = ev.filter(F.col("ts") >= F.lit("2024-01-03").cast("timestamp"))
-    late = ev.filter(F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+
     # raw long nanos back for the stream reader: write ts as long nanos
     def _raw(df: DataFrame) -> DataFrame:
         return df.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long")).select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         )
 
-    _raw(recent).coalesce(1).write.mode("overwrite").parquet(replay)
-    time.sleep(1.1)  # file-source orders batches by mod time
-    _raw(late).coalesce(1).write.mode("append").parquet(replay)
+    jan2 = F.lit("2024-01-02").cast("timestamp")
+    jan3 = F.lit("2024-01-03").cast("timestamp")
+    _raw(ev.filter(F.col("ts") >= jan3)).coalesce(1).write.mode("overwrite").parquet(replay)
+    time.sleep(1.1)  # file source orders batches by mod time
+    _raw(ev.filter((F.col("ts") >= jan2) & (F.col("ts") < jan3))).coalesce(1).write.mode(
+        "append"
+    ).parquet(replay)
+    time.sleep(1.1)
+    _raw(ev.filter(F.col("ts") < jan2)).coalesce(1).write.mode("append").parquet(replay)
 
     stream = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(replay)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
         stream.withWatermark("ts", "1 hour")
@@ -212,7 +219,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("ws"), "event_type", "n")
     )
-    return _drain(agg, f"mem_wm_{uuid.uuid4().hex[:8]}", "update")
+    return _drain(agg, f"mem_wm_{uuid.uuid4().hex[:8]}", "append")
 
 
 @query(

@@ -1,0 +1,137 @@
+"""Invariant tests for the rows-only query keys (no SQL oracle — the
+driver only counts rows for these, so the REAL correctness checks live
+here: recall targets, accuracy bounds, monotone loss, watermark drops).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_caffe_spark.queries import QUERIES
+from pyspark_caffe_spark.tables import load_table
+
+
+def test_scan_csv_roundtrip(spark, sf_dir):
+    out = QUERIES["scan_csv_roundtrip"](spark, sf_dir)
+    src_n = (
+        load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000).count()
+    )
+    assert out.count() == src_n
+
+
+def test_scan_json_roundtrip(spark, sf_dir):
+    out = QUERIES["scan_json_roundtrip"](spark, sf_dir)
+    src_n = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000).count()
+    assert out.count() == src_n
+
+
+def test_sink_partitioned(spark, sf_dir):
+    out = QUERIES["sink_partitioned"](spark, sf_dir)
+    expected = (
+        load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").count()
+    )
+    assert out.count() == expected
+    assert out.filter(F.col("o_orderstatus") != "F").count() == 0
+
+
+def test_sample_seeded(spark, sf_dir):
+    out = QUERIES["sample_seeded"](spark, sf_dir)
+    total = load_table(spark, sf_dir, "orders").count()
+    n1, n2 = out.count(), QUERIES["sample_seeded"](spark, sf_dir).count()
+    assert n1 == n2, "seeded sample must be deterministic"
+    assert 0.05 * total < n1 < 0.15 * total
+
+
+def test_agg_approx_distinct(spark, sf_dir):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= 0.05 * n, (et, approx[et], n)
+
+
+def test_ml_predict_join(spark, sf_dir):
+    out = QUERIES["ml_predict_join"](spark, sf_dir)
+    total = sum(r["n"] for r in out.collect())
+    assert total == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_ml_train_iter(spark, sf_dir):
+    losses = [r["mse"] for r in QUERIES["ml_train_iter"](spark, sf_dir).orderBy("iteration").collect()]
+    assert len(losses) == 3
+    assert losses[1] < losses[0] and losses[2] <= losses[1], losses
+
+
+def test_dedup_minhash_recall(spark, sf_dir):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in QUERIES["dedup_minhash"](spark, sf_dir).collect()
+    }
+    planted = {(i, i + 1000000) for i in range(50)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.8, f"minhash recall {recall}"
+
+
+def test_dedup_simhash_recall(spark, sf_dir):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    }
+    planted = {(i, i + 1000000) for i in range(50)}
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.8, f"simhash recall {recall}"
+
+
+def test_sim_knn_lsh_recall(spark, sf_dir):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["sim_threshold_join"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]) for r in QUERIES["sim_knn_lsh"](spark, sf_dir).collect()
+    }
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"lsh recall {recall} over {len(exact)} exact pairs"
+
+
+def test_sim_lsh_bucketed(spark, sf_dir):
+    out = QUERIES["sim_lsh_bucketed"](spark, sf_dir).collect()
+    assert sum(r["n_vectors"] for r in out) == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_text_ngram_hash(spark, sf_dir):
+    out = QUERIES["text_ngram_hash"](spark, sf_dir)
+    bad = out.join(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", (F.size(F.split("text", " ")) - 4).alias("expected")
+        ),
+        "doc_id",
+    ).filter(F.col("n_shingles") != F.col("expected"))
+    assert bad.count() == 0
+
+
+def test_text_fingerprint(spark, sf_dir):
+    out = QUERIES["text_fingerprint"](spark, sf_dir)
+    n = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n
+    # fixtures have no duplicate texts → fingerprints unique
+    assert out.select("fingerprint").distinct().count() == n
+
+
+def test_stream_watermark_late_drops(spark, sf_dir):
+    out = QUERIES["stream_watermark_late"](spark, sf_dir).collect()
+    assert out, "watermark stream produced no rows"
+    cutoff = datetime.datetime(2024, 1, 2)
+    assert min(r["ws"] for r in out) >= cutoff, (
+        "late (pre-cutoff) windows should have been dropped by the watermark"
+    )
