@@ -1,0 +1,104 @@
+"""Property-based invariants (hypothesis) over small generated frames —
+SURVEY.md §5.3. These pin the algebraic laws the operators rely on,
+independent of the fixtures."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-100, 100)), min_size=0, max_size=40
+)
+
+
+def _df(spark, data):
+    pdf = pd.DataFrame(data, columns=["k", "v"]).astype({"k": "int64", "v": "int64"})
+    return spark.createDataFrame(pdf, schema="k long, v long")
+
+
+@given(a=rows, b=rows)
+@settings(**SETTINGS)
+def test_union_count_additive(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b)
+    assert da.unionByName(db).count() == len(a) + len(b)
+
+
+@given(a=rows, b=rows)
+@settings(**SETTINGS)
+def test_join_count_bounds(spark, a, b):
+    da, db = _df(spark, a), _df(spark, b)
+    inner = da.join(db, "k", "inner").count()
+    left = da.join(db, "k", "left").count()
+    assert inner <= len(a) * max(len(b), 1)
+    assert left >= len(a)
+    # semi + anti partition the left side
+    semi = da.join(db, "k", "left_semi").count()
+    anti = da.join(db, "k", "left_anti").count()
+    assert semi + anti == len(a)
+
+
+@given(a=rows)
+@settings(**SETTINGS)
+def test_window_rank_bounds(spark, a):
+    if not a:
+        return
+    da = _df(spark, a)
+    w = Window.partitionBy("k").orderBy("v")
+    out = da.select("k", F.row_number().over(w).alias("rn"))
+    sizes = {r["k"]: r["n"] for r in da.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    for r in out.collect():
+        assert 1 <= r["rn"] <= sizes[r["k"]]
+
+
+@given(a=rows)
+@settings(**SETTINGS)
+def test_dedup_idempotent(spark, a):
+    da = _df(spark, a).dropDuplicates(["k", "v"])
+    assert da.count() == da.dropDuplicates(["k", "v"]).count()
+    assert da.count() == len(set(a))
+
+
+@given(a=rows)
+@settings(**SETTINGS)
+def test_groupby_sum_matches_python(spark, a):
+    da = _df(spark, a)
+    got = {r["k"]: r["s"] for r in da.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    want: dict[int, int] = {}
+    for k, v in a:
+        want[k] = want.get(k, 0) + v
+    assert got == want
+
+
+@given(
+    ts=st.lists(st.integers(0, 10_000), min_size=1, max_size=30),
+    seed=st.integers(0, 2**16),
+)
+@settings(**SETTINGS)
+def test_sessionize_order_independent(spark, ts, seed):
+    """session_window result must not depend on input row order."""
+    import random
+
+    gap = 600  # seconds
+    base = pd.DataFrame({"user": [1] * len(ts), "t": pd.to_datetime(ts, unit="s")})
+    shuffled = base.sample(frac=1.0, random_state=seed)
+
+    def sessions(pdf):
+        df = spark.createDataFrame(pdf)
+        out = (
+            df.groupBy("user", F.session_window("t", f"{gap} seconds"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("session_window.start").alias("s"), "n")
+        )
+        return sorted((r["s"], r["n"]) for r in out.collect())
+
+    assert sessions(base) == sessions(shuffled)
