@@ -11,6 +11,7 @@ from pyspark_caffe_spark.queries import (  # noqa: F401
     llm,
     ml,
     relational,
+    scale_ops,
     similarity,
     streaming,
     windows,

@@ -1,0 +1,34 @@
+"""Scale-pattern operator invariants: bucketed join plans shuffle-free,
+IVF recall vs exact."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark_caffe_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    df = QUERIES["sink_bucketed"](spark, sf_dir)
+    plan = _plan(df)
+    join_part = plan.split("HashAggregate")[0]  # plan above the agg
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    # the join inputs must come straight from the bucketed scans —
+    # no shuffle exchange between scan and join
+    before_agg = join_part
+    assert "Exchange hashpartitioning" not in before_agg, before_agg
+
+
+def test_ivf_recall(spark, sf_dir):
+    exact = [r["vec_id"] for r in QUERIES["sim_knn_query"](spark, sf_dir).collect()]
+    approx = {r["vec_id"] for r in QUERIES["sim_knn_ivf"](spark, sf_dir).collect()}
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall}"
