@@ -6,6 +6,7 @@ Importing this package populates the registry in
 
 from pyspark_caffe_spark.queries import (  # noqa: F401
     aggregates,
+    analytics_ext,
     functions,
     joins,
     llm,

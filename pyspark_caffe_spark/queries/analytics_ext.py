@@ -1,0 +1,186 @@
+"""Extended analytics: pivot, value-windows, hypertable-style time
+rollups, stream-static joins, and MLlib library-grade training.
+
+The time rollup is the TimescaleDB-hypertable pattern expressed as one
+GROUPING SETS pass (Expand → single shuffle) instead of one query per
+resolution; the stream-static join is the standard streaming enrich
+(dim broadcast to every micro-batch, no stream-side state).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_caffe_spark.registry import query
+from pyspark_caffe_spark.queries.streaming import _drain, _read_events_stream
+from pyspark_caffe_spark.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type, one row per day. The pivot
+    value list is STATIC — with it, Spark skips the extra distinct-scan
+    job and plans a single pass (essential when the scan is 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           FIRST_VALUE(o_orderdate) OVER w AS first_date,
+           LAST_VALUE(o_orderdate)  OVER w AS last_date,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an explicit full-frame
+    window (the default frame would stop at CURRENT ROW for last_value
+    — a classic wrong-answer trap)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.first("o_orderdate").over(w).alias("first_date"),
+        F.last("o_orderdate").over(w).alias("last_date"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@query(
+    "agg_time_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour_ts,
+             CAST(DATE_TRUNC('day', ts)  AS TIMESTAMP) AS day_ts,
+             event_type, value
+      FROM events
+    )
+    SELECT CASE WHEN GROUPING(hour_ts) = 0 THEN 'hour' ELSE 'day' END AS resolution,
+           COALESCE(hour_ts, day_ts) AS bucket_ts,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM b
+    GROUP BY GROUPING SETS ((hour_ts, event_type), (day_ts, event_type))
+    """,
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly AND daily
+    aggregates in ONE scan via GROUPING SETS (the Expand operator
+    replicates rows per resolution before a single shuffle) — at
+    100 TB this halves the scan cost vs one query per resolution."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView(v := f"_rollup_events_{uuid.uuid4().hex[:8]}")
+    return spark.sql(f"""
+        SELECT CASE WHEN GROUPING(DATE_TRUNC('hour', ts)) = 0 THEN 'hour' ELSE 'day' END AS resolution,
+               COALESCE(DATE_TRUNC('hour', ts), DATE_TRUNC('day', ts)) AS bucket_ts,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM {v}
+        GROUP BY GROUPING SETS (
+          (DATE_TRUNC('hour', ts), event_type),
+          (DATE_TRUNC('day', ts),  event_type)
+        )
+    """)
+
+
+@query(
+    "stream_join_static",
+    oracle="""
+    SELECT c_mktsegment, event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joins the
+    static customer dim (re-read & broadcast per micro-batch, no
+    stream-side state), then aggregates. Complete-mode drain equals
+    the batch twin — the oracle."""
+    ev = _read_events_stream(spark, f"{sf_dir}/events.parquet")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    return _drain(agg, f"mem_sjoin_{uuid.uuid4().hex[:8]}", "complete")
+
+
+@query("ml_train_mllib")  # rows-only: iterative optimisation
+def ml_train_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library-grade distributed training (the reference's solver role
+    filled by MLlib): multinomial logistic regression on the embedding
+    column. Returns the objective history — strictly decreasing —
+    plus final train accuracy as the last row (iteration = -1).
+    Tests assert monotone objective and accuracy > the 10% random
+    baseline."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    lr = LogisticRegression(maxIter=15, regParam=0.01, elasticNetParam=0.0)
+    model = lr.fit(emb)
+    hist = [float(x) for x in model.summary.objectiveHistory]
+    acc = float(model.summary.accuracy)
+    rows = [(i, round(v, 6)) for i, v in enumerate(hist)] + [(-1, round(acc, 6))]
+    return spark.createDataFrame(rows, schema="iteration int, value double")
+
+
+@query("ml_kmeans")  # rows-only: cluster ids are seed/implementation-specific
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over embeddings (MLlib): k=10 clusters,
+    fixed seed; returns cluster sizes. The fit is the classic
+    broadcast-centroids / assign / re-average loop — the same
+    parameter-averaging shape as ml_train_iter, provided by the
+    library."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=10, seed=42, maxIter=10)
+    model = km.fit(emb)
+    return (
+        model.transform(emb)
+        .groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count("*").alias("n_vectors"))
+    )

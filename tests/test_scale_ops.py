@@ -32,3 +32,18 @@ def test_ivf_recall(spark, sf_dir):
     approx = {r["vec_id"] for r in QUERIES["sim_knn_ivf"](spark, sf_dir).collect()}
     recall = len(set(exact) & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall {recall}"
+
+
+def test_ml_train_mllib(spark, sf_dir):
+    rows = QUERIES["ml_train_mllib"](spark, sf_dir).collect()
+    hist = [r["value"] for r in sorted(rows, key=lambda r: r["iteration"]) if r["iteration"] >= 0]
+    acc = [r["value"] for r in rows if r["iteration"] == -1][0]
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:])), "objective must not increase"
+    assert acc > 0.15, f"accuracy {acc} not above random baseline"
+
+
+def test_ml_kmeans(spark, sf_dir):
+    rows = QUERIES["ml_kmeans"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    from pyspark_caffe_spark.tables import load_table
+    assert sum(r["n_vectors"] for r in rows) == load_table(spark, sf_dir, "embeddings").count()
