@@ -553,6 +553,50 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_framesample",
+    oracle="""
+    SELECT doc_id, t.frame_idx,
+           CAST(LENGTH(text) // 10 AS BIGINT)                          AS frame_bytes,
+           CAST(LENGTH(text) % 32 + 1 AS BIGINT)                       AS h_resized,
+           CAST((LENGTH(text) // 10 * (t.frame_idx + 1)) % 255 AS BIGINT) AS fake_mean_px
+    FROM documents, (SELECT UNNEST([0, 1, 2, 3]) AS frame_idx) t
+    WHERE doc_id < 200
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video plumbing: binary "video" column → sample 4
+    frames → resize → per-frame features, via mapInPandas.
+
+    The ffmpeg/PIL decode is STUBBED (libs not in this container) with
+    deterministic arithmetic over the byte payload; everything
+    Spark-side is real: binary column, one-row→N-frame-rows fan-out
+    inside the Python stage, Arrow batch shapes, pruned input. The
+    oracle reproduces the stub arithmetic from LENGTH(text).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    with_bytes = docs.select("doc_id", F.encode("text", "utf-8").alias("video_bytes"))
+    n_frames = 4
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "h_resized": [], "fake_mean_px": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["video_bytes"]):
+                nb = len(payload)
+                for i in range(n_frames):  # "frame-sample": 4 evenly spaced frames
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(nb // 10)       # stub: decode
+                    out["h_resized"].append(nb % 32 + 1)      # stub: resize
+                    out["fake_mean_px"].append((nb // 10 * (i + 1)) % 255)  # stub: feature
+            yield pd.DataFrame(out)
+
+    return with_bytes.mapInPandas(
+        sample_frames,
+        schema="doc_id long, frame_idx long, frame_bytes long, h_resized long, fake_mean_px long",
+    )
+
+
+@query(
     "udf_surface",
     oracle="""
     SELECT doc_id, lang,

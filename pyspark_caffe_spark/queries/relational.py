@@ -64,6 +64,17 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("event_id", "user_id", "event_type", "value")
 
 
+@query("scan_orc_roundtrip")  # rows-only
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a customer slice to ORC, re-read — second columnar format
+    (same pushdown/pruning machinery as parquet)."""
+    src = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 800)
+    path = _scratch("orc_roundtrip")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.schema(src.schema).orc(path)
+    return back.select("c_custkey", "c_name", "c_acctbal")
+
+
 @query("sink_partitioned")  # rows-only
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write orders partitioned by status; read ONE partition back.
