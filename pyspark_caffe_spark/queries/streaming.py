@@ -58,6 +58,9 @@ def _read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     single parquet file, pass its parent as basePath. Integer div for
     nanos→micros (float division loses microseconds at 1.7e18).
     """
+    from pyspark_caffe_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
     if path.endswith(".parquet"):
         # file source needs a directory: expose the single file through
         # a scratch dir via symlink (zero-copy)
