@@ -248,6 +248,51 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.value AS value_a, b.value AS value_b
+    FROM events a JOIN events b
+      ON a.event_id < b.event_id
+     AND b.value BETWEEN a.value - 1 AND a.value
+    WHERE a.event_id < 3000 AND b.event_id < 3000
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join, the SCALE way: bucketize the band column to
+    integer buckets of the band width, equi-join on bucket AND
+    bucket±1, then apply the exact band predicate.
+
+    Identical semantics to the naive theta join (the oracle IS the
+    naive form) but the physical plan is a hash/sort-merge EQUI-join on
+    ~3 bucket pairs per row instead of a broadcast-nested-loop over all
+    pairs: O(n·k) vs O(n²). This is the pattern join_theta_range's
+    docstring promises for 100 TB."""
+    band = 1.0
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "value", F.floor(F.col("value") / band).alias("bucket"))
+    )
+    a = ev.select(
+        F.col("event_id").alias("id_a"), F.col("value").alias("value_a"), "bucket"
+    )
+    # b probes its own bucket and the one above (a.value-1 can fall one bucket down)
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("value").alias("value_b"),
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & F.col("value_b").between(F.col("value_a") - band, F.col("value_a"))
+        )
+        .select("id_a", "id_b", "value_a", "value_b")
+    )
+
+
+@query(
     "join_cross_limited",
     oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
 )

@@ -263,6 +263,71 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(out, f"mem_dedup_{uuid.uuid4().hex[:8]}", "append")
 
 
+# transformWithStateInPandas needs google.protobuf (absent from this
+# container, installs forbidden) — register the operator only when the
+# dependency exists so the key never crashes the driver harness.
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_TWS_DEPS = True
+except ImportError:
+    _HAS_TWS_DEPS = False
+
+_TWS_ORACLE = """
+    SELECT user_id, COUNT(*) AS n_events, ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY user_id
+    """
+
+
+def stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's transformWithStateInPandas — the successor stateful
+    API (typed ValueState in the state store, timer support, eviction
+    control). Per-user running count + max via a StatefulProcessor;
+    single availableNow batch ⇒ output equals the batch aggregate
+    (the oracle). This is the at-scale custom-operator surface for
+    streaming: state is per-key in RocksDB, not in Python memory."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", "n LONG, mx DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = (0, float("-inf"))
+            if self._state.exists():
+                n, mx = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = _read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        RunningAgg(),
+        outputStructType="user_id long, n_events long, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return _drain(out, f"mem_tws_{uuid.uuid4().hex[:8]}", "update")
+
+
+if _HAS_TWS_DEPS:
+    stream_tws = query("stream_tws", oracle=_TWS_ORACLE)(stream_tws)
+
+
 @query(
     "stream_stateful",
     oracle="""
