@@ -21,5 +21,13 @@ Design rules (enforced throughout):
 from pyspark_caffe_spark.session import get_spark
 from pyspark_caffe_spark.tables import TABLE_NAMES, load_tables
 
-__all__ = ["get_spark", "load_tables", "TABLE_NAMES"]
+__all__ = [
+    "get_spark",
+    "load_tables",
+    "TABLE_NAMES",
+    # public API modules (import directly):
+    #   pyspark_caffe_spark.model    — model apply / feature extract / training
+    #   pyspark_caffe_spark.textops  — tokenize / shingle / fingerprint / dedup
+    #   pyspark_caffe_spark.vecops   — similarity search over embeddings
+]
 __version__ = "0.1.0"

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_caffe_spark import textops
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 
@@ -118,20 +119,16 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     length) + a pass/fail gate — the standard pre-training corpus
     filter, all in codegen'd higher-order functions."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n_words = F.size(words)
-    stop_ratio = F.size(
-        F.filter(words, lambda w: w.isin(*STOPWORDS))
-    ).cast("double") / n_words
+    q = textops.quality_columns("text", STOPWORDS)
     return docs.select(
         "doc_id",
         "lang",
-        n_words.cast("long").alias("n_words"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(
-            (F.col("n_chars") - n_words + 1).cast("double") / n_words, 6
-        ).alias("avg_word_len"),
-        F.when((n_words >= 20) & (stop_ratio < 0.5), 1).otherwise(0).alias("passes"),
+        q["n_words"].alias("n_words"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(q["avg_word_len"], 6).alias("avg_word_len"),
+        F.when((q["n_words"] >= 20) & (q["stopword_ratio"] < 0.5), 1)
+        .otherwise(0)
+        .alias("passes"),
     )
 
 
@@ -188,11 +185,7 @@ def text_ngram_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = sliding windows over the token array, built with
     sequence+transform+slice (no explode, no Python)."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 5),
-        lambda i: F.array_join(F.slice(words, i + 1, 5), " "),
-    )
+    shingles = textops.shingles_of("text", 5)
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     return docs.select(
         "doc_id",
@@ -208,9 +201,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     text — the exact-dedup key at scale (group by 8-byte fingerprint,
     never by the full text)."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return docs.select(
-        "doc_id", F.xxhash64(norm).alias("fingerprint"), F.length(norm).cast("long").alias("norm_len")
+        "doc_id",
+        textops.fingerprint("text").alias("fingerprint"),
+        F.length(textops.normalized("text")).cast("long").alias("norm_len"),
     )
 
 
@@ -256,10 +250,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the text itself (see text_fingerprint) — same shuffle shape, 8-byte
     keys."""
     docs = _augmented_docs(load_table(spark, sf_dir, "documents"))
-    norm = F.lower(F.trim(F.col("text")))
-    return docs.groupBy(norm.alias("_norm")).agg(
-        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
-    ).drop("_norm").select("keep_id", "n_copies")
+    return textops.exact_dedup(docs, "text", "doc_id").select("keep_id", "n_copies")
 
 
 def _perturbed_docs(docs: DataFrame, n_dups: int = 50) -> DataFrame:
@@ -300,65 +291,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str, num_hashes: int = 32, bands:
     expression, 79 s at sf0.1; this formulation runs in ~1 s.)
     """
     docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
-    words = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 5, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, 5), " "),
+    return textops.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_hashes=num_hashes, bands=bands, shingle_k=5
     )
-    # one string hash per shingle, then cheap per-slot mixing
-    base = docs.select(
-        "doc_id", F.explode(F.transform(shingles, lambda s: F.xxhash64(s))).alias("h")
-    )
-    p = (1 << 31) - 1  # Mersenne prime: (h%p)*a + b stays within int64 (ANSI-safe)
-    mix_rng = __import__("numpy").random.default_rng(1234)
-    coef = [
-        (int(a), int(b))
-        for a, b in zip(
-            mix_rng.integers(1, p, num_hashes), mix_rng.integers(0, p, num_hashes)
-        )
-    ]
-    hp = F.pmod(F.col("h"), F.lit(p))
-    sig = [
-        F.min(F.pmod(hp * F.lit(a) + F.lit(b), F.lit(p))).alias(f"mh{k}")
-        for k, (a, b) in enumerate(coef)
-    ]
-    signed = base.groupBy("doc_id").agg(*sig)
-    rows_per_band = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                    "band_hash"
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = signed.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", "band.band_idx", "band.band_hash"
-    )
-    # bucket-gather instead of self-join: the signature pipeline runs
-    # ONCE; pairs are generated inside each (small) bucket array.
-    buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ids",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("pair")
-    )
-    return pairs.select("pair.id_a", "pair.id_b").distinct()
 
 
 @query("dedup_simhash")  # rows-only: engine-specific hash bits
@@ -449,31 +384,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the inverted-index pattern — pairs sharing no shingle never meet),
     count intersections, filter J ≥ 0.5."""
     docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
-    words = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 4, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i + 1, 4), " "),
-    )
-    sh = (
-        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("sh"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
-    return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("id_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
-        .filter(jac >= 0.5)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-    )
+    return textops.jaccard_pairs(docs, "text", "doc_id", shingle_k=4, threshold=0.5)
 
 
 # ---------------------------------------------------------------------------

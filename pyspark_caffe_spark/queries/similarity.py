@@ -1,37 +1,29 @@
 """Similarity search over embeddings — SURVEY.md §2.11.
 
-Fixture embeddings are 64-dim float32, unit-normalized (FIXTURES.md),
-so dot product == cosine similarity throughout.
+Thin adapters over the public API in
+:mod:`pyspark_caffe_spark.vecops`. Fixture embeddings are 64-dim
+float32, unit-normalized (FIXTURES.md), so dot product == cosine.
 
 Scale design: the naive crossJoin + per-pair higher-order dot product
-measured 20.5 s at a mere 2k×2k (BASELINE.md) — it is never used here.
-  * Exact top-k pairs: broadcast the (small) embedding matrix, numpy
-    block-matmul per partition inside mapInPandas, per-partition top-k,
-    k-row global merge. Python executes O(n/p) matmuls, the shuffle
-    carries only candidate rows.
-  * Threshold joins / ANN: LSH bucketing (random hyperplane signs) so
-    only same-bucket pairs are compared — the 100 TB path, plus
-    MLlib's BucketedRandomProjectionLSH as the library variant.
+measured 20.5 s at a mere 2k×2k (BASELINE.md) — never used here. The
+exact tiers broadcast the (small) matrix and block-matmul per
+partition; the at-scale tiers bucket candidates first (sign-LSH /
+MLlib LSH / IVF in scale_ops).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_caffe_spark import vecops
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 
-DIM = 64
 _rng = np.random.default_rng(7)
-# Random hyperplanes for sign-LSH, rounded so Spark and any SQL twin
-# see identical literals.
-LSH_PLANES = np.round(_rng.standard_normal((8, DIM)), 6)
+LSH_PLANES = np.round(_rng.standard_normal((8, 64)), 6)
 
 
 def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,52 +44,9 @@ def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-10 most-similar pairs, exact.
-
-    Broadcast the full N×64 matrix (N·64·8 bytes — 1 MB at N=2k; at
-    true scale this becomes the IVF/LSH path below), then each
-    partition computes its rows' scores against all j>i columns with
-    ONE numpy matmul and keeps its local top-k. Global answer = k-row
-    TakeOrdered merge. Ordering on the rounded score keeps near-ties
-    cross-engine stable.
-    """
-    emb = _load_emb(spark, sf_dir)
-    rows = emb.select("vec_id", "emb")
-    # broadcast (ids, matrix) — built once, executor-local thereafter
-    pdf = rows.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    bc = spark.sparkContext.broadcast((ids, mat))
-    k = 10
-
-    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-            my_ids = pdf["vec_id"].to_numpy()
-            scores = x @ all_mat.T  # (batch, N)
-            mask = my_ids[:, None] < all_ids[None, :]  # dedupe: only i<j pairs
-            scores = np.where(mask, scores, -np.inf)
-            flat = scores.ravel()
-            take = min(k, int(mask.sum()))
-            if take == 0:
-                continue
-            idx = np.argpartition(-flat, take - 1)[:take]
-            r, c = np.unravel_index(idx, scores.shape)
-            yield pd.DataFrame(
-                {
-                    "id_a": my_ids[r],
-                    "id_b": all_ids[c],
-                    "cos": np.round(flat[idx], 6),
-                }
-            )
-
-    cand = rows.mapInPandas(local_topk, schema="id_a long, id_b long, cos double")
-    return cand.orderBy(F.desc("cos"), F.asc("id_a"), F.asc("id_b")).limit(k)
+    """Global top-10 most-similar pairs, exact — vecops.topk_pairs
+    (broadcast matrix + numpy block matmul + k-row merge)."""
+    return vecops.topk_pairs(_load_emb(spark, sf_dir), k=10)
 
 
 @query(
@@ -114,18 +63,13 @@ def sim_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-query brute-force ANN baseline: top-10 neighbours of
-    vec_id=0 by cosine. The query vector becomes a literal array, the
-    dot product is a codegen'd zip_with/aggregate — fully JVM-side,
-    embarrassingly parallel scan + TakeOrdered."""
+    vec_id=0. The dot product is vecops.dot_with — codegen'd zip_with/
+    aggregate, fully JVM-side, scan + TakeOrdered."""
     emb = _load_emb(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("emb").collect()[0]["emb"]
-    qlit = F.array(*[F.lit(float(v)) for v in qvec])
-    dot = F.aggregate(
-        F.zip_with("emb", qlit, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-    )
     return (
         emb.filter(F.col("vec_id") != 0)
-        .select("vec_id", "label", F.round(dot, 6).alias("cos"))
+        .select("vec_id", "label", F.round(vecops.dot_with("emb", qvec), 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
     )
@@ -139,61 +83,28 @@ def sim_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   CAST(b.embedding AS DOUBLE[])), 6) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE ROUND(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.6
+                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
     """,
 )
 def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine ≥ τ — embedding-based near-dup detection.
-
-    Exact semantics (the oracle is the full quadratic join), computed
-    via broadcast matrix + numpy block scoring like sim_knn_exact, but
-    emitting every pair over threshold. The threshold comparison uses
-    the ROUNDED score on both sides so boundary pairs agree. At 100 TB
-    the same operator runs after LSH bucketing (sim_knn_lsh) —
-    exactness traded for candidate pruning."""
-    tau = 0.6
-    emb = _load_emb(spark, sf_dir)
-    rows = emb.select("vec_id", "emb", "label")
-    pdf = rows.select("vec_id", "emb", "label").toPandas()
-    order = np.argsort(pdf["vec_id"].to_numpy())
-    ids = pdf["vec_id"].to_numpy()[order]
-    labels = pdf["label"].to_numpy()[order]
-    mat = np.stack(pdf["emb"].to_numpy()[order]).astype(np.float64)
-    bc = spark.sparkContext.broadcast((ids, labels, mat))
-
-    def over_tau(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_labels, all_mat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-            my_ids = pdf["vec_id"].to_numpy()
-            my_labels = pdf["label"].to_numpy()
-            scores = np.round(x @ all_mat.T, 6)
-            mask = (my_ids[:, None] < all_ids[None, :]) & (scores >= tau)
-            r, c = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "id_a": my_ids[r],
-                    "id_b": all_ids[c],
-                    "label_a": my_labels[r].astype("int32"),
-                    "label_b": all_labels[c].astype("int32"),
-                    "cos": scores[r, c],
-                }
-            )
-
-    return rows.mapInPandas(
-        over_tau, schema="id_a long, id_b long, label_a int, label_b int, cos double"
+    """All pairs with cosine ≥ τ (=0.4; the fixture pair-score p99.9 is ~0.38,
+    so the threshold selects the true near-dup tail) —
+    vecops.threshold_pairs. The threshold compares the ROUNDED score on
+    both engines so boundary pairs agree. At 100 TB the same operator
+    runs after LSH bucketing — exactness traded for candidate pruning."""
+    out = vecops.threshold_pairs(
+        _load_emb(spark, sf_dir), tau=0.4, extra_cols=["label"]
     )
+    return out.select("id_a", "id_b", "label_a", "label_b", "cos")
 
 
 @query("sim_knn_lsh")  # rows-only: LSH bucketing is engine/library-specific
 def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join via MLlib BucketedRandomProjectionLSH
-    (requires Vector columns — array_to_vector first). Returns candidate
-    pairs with Euclidean distance < 0.9, which for unit vectors is
-    cosine > 1 - 0.9²/2 ≈ 0.6. Tests assert recall ≥ 0.8 vs the exact
-    threshold join. This is the library-grade 100 TB path: only
+    (Vector columns — array_to_vector first). Euclidean distance < 1.095
+    on unit vectors ⇔ cosine > 1 - 1.095²/2 ≈ 0.4 (matches the exact
+    threshold join). Tests assert recall
+    ≥ 0.8 vs the exact threshold join. Library-grade 100 TB path: only
     same-bucket pairs are joined."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
@@ -203,7 +114,7 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="vec", outputCol="hashes", bucketLength=0.5, numHashTables=6, seed=42
     )
     model = lsh.fit(emb)
-    pairs = model.approxSimilarityJoin(emb, emb, 0.9, distCol="dist")
+    pairs = model.approxSimilarityJoin(emb, emb, 1.095, distCol="dist")
     return (
         pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(
@@ -217,34 +128,14 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_lsh_bucketed")  # rows-only: hand-rolled sign-LSH buckets
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hand-rolled sign-LSH (random hyperplanes): 8-bit signature from
-    the signs of fixed random projections — computed entirely with
-    codegen'd higher-order functions, no Python. Same-signature pairs
-    are the ANN candidates; this is the pre-join bucketing that makes
+    """Hand-rolled sign-LSH (vecops.lsh_bucket): 8-bit signature from
+    fixed random hyperplane signs, entirely codegen'd. Same-signature
+    pairs are the ANN candidates — the pre-join bucketing that keeps
     the threshold join linear-ish at scale. Returns per-bucket sizes
     (the data for choosing plane count)."""
     emb = _load_emb(spark, sf_dir)
-    sig = sum(
-        [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        "emb",
-                        F.array(*[F.lit(float(v)) for v in LSH_PLANES[p]]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                > 0,
-                F.lit(1 << p),
-            ).otherwise(0)
-            for p in range(len(LSH_PLANES))
-        ],
-        F.lit(0),
-    )
     return (
-        emb.select("vec_id", sig.alias("bucket"))
+        vecops.lsh_bucket(emb, LSH_PLANES)
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
     )

@@ -1,0 +1,171 @@
+"""Public text-pipeline API: tokenization, shingling, fingerprints,
+dedup primitives — all codegen'd built-ins, no Python in the data path.
+
+These are the composable pieces behind the `text_*` / `dedup_*` query
+keys; a pipeline user calls them directly on any DataFrame with a text
+column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def words_of(text_col: str | Column = "text") -> Column:
+    return F.split(text_col, " ")
+
+
+def shingles_of(text_col: str | Column = "text", k: int = 5) -> Column:
+    """Sliding k-gram shingles over the token array (sequence +
+    transform + slice: array-native, no explode needed until the
+    consumer wants rows)."""
+    words = words_of(text_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+
+
+def normalized(text_col: str | Column = "text") -> Column:
+    """Case/whitespace normalization for exact dedup."""
+    return F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+
+
+def fingerprint(text_col: str | Column = "text") -> Column:
+    """64-bit document fingerprint of the normalized text — the exact-
+    dedup key at 100 TB (8-byte shuffle keys, not full texts)."""
+    return F.xxhash64(normalized(text_col))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per normalized-text group."""
+    return (
+        df.groupBy(normalized(text_col).alias("_norm"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+        .drop("_norm")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 5,
+    seed: int = 1234,
+) -> DataFrame:
+    """MinHash signatures: ONE xxhash64 per shingle, then num_hashes
+    mod-prime mixes (ANSI-safe long arithmetic). Returns
+    (id, mh0..mhN-1)."""
+    p = (1 << 31) - 1
+    rng = np.random.default_rng(seed)
+    coef = list(zip(rng.integers(1, p, num_hashes), rng.integers(0, p, num_hashes)))
+    base = df.select(
+        F.col(id_col),
+        F.explode(F.transform(shingles_of(text_col, shingle_k), lambda s: F.xxhash64(s))).alias("h"),
+    )
+    hp = F.pmod(F.col("h"), F.lit(p))
+    return base.groupBy(id_col).agg(
+        *[
+            F.min(F.pmod(hp * F.lit(int(a)) + F.lit(int(b)), F.lit(p))).alias(f"mh{k}")
+            for k, (a, b) in enumerate(coef)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Band the signature, bucket-gather, emit candidate (id_a < id_b)
+    pairs. The only shuffle is groupBy(band); never O(n²)."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        id_col, "band.band_idx", "band.band_hash"
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("pair")
+    )
+    return pairs.select("pair.id_a", "pair.id_b").distinct()
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs, end to end."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    return lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard via inverted index self-join."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles_of(text_col, shingle_k))).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col(f"sa.{id_col}") == F.col("id_a"))
+        .join(sb, F.col(f"sb.{id_col}") == F.col("id_b"))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def quality_columns(text_col: str = "text", stopwords: list[str] | None = None) -> dict[str, Column]:
+    """Standard corpus-quality signals as named Columns."""
+    stopwords = stopwords or ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+    words = words_of(text_col)
+    n_words = F.size(words)
+    stop_ratio = F.size(F.filter(words, lambda w: w.isin(*stopwords))).cast("double") / n_words
+    return {
+        "n_words": n_words.cast("long"),
+        "stopword_ratio": stop_ratio,
+        "avg_word_len": (F.length(text_col) - n_words + 1).cast("double") / n_words,
+    }
