@@ -25,7 +25,7 @@ from pyspark_caffe_spark.queries import QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the BASELINE.md shapes plus one representative per
+# Headline set (14): the BASELINE.md shapes plus one representative per
 # capability layer (relational / window / streaming twin / ML / LLM).
 HEADLINE = [
     "agg_hash_groupby",   # q1 pricing summary        (baseline 1.42 s)
@@ -40,6 +40,8 @@ HEADLINE = [
     "ml_model_apply",     # pandas-UDF model inference
     "text_tokenize_tf",   # tokenize + TF
     "stream_tumbling",    # real Structured Streaming drain
+    "join_range_bucketed",  # band join via bucketized equi-join
+    "agg_time_rollup",    # hour+day rollup in one scan
 ]
 
 
@@ -60,7 +62,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall-clock (12 queries, noop-materialized)",
+                "metric": "headline suite wall-clock (14 queries, noop-materialized)",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,

@@ -167,13 +167,18 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with NO order above 300k. (Every fixture
+    customer has ≥1 order, so the unfiltered anti-join would be
+    vacuously empty — the build side is filtered to keep the check
+    meaningful.)"""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
