@@ -1,0 +1,125 @@
+"""Unit tests for the public API modules (model / textops / vecops) on
+synthetic data — the library surface a reference user migrates to."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_caffe_spark import model, textops, vecops
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((40, 8))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rows = [(i, [float(v) for v in mat[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, schema="vec_id long, emb array<double>")
+    return df, mat
+
+
+def test_linear_model_activations():
+    m = model.LinearModel(np.array([[1.0, -1.0]]), bias=np.array([0.5]), activation="relu")
+    out = m.forward(np.array([[2.0, 1.0]]))
+    assert out.tolist() == [[1.5]]
+    s = model.LinearModel(np.array([1.0, 0.0]), activation="sigmoid")
+    assert abs(s.forward(np.array([[0.0, 9.9]]))[0] - 0.5) < 1e-12
+
+
+def test_npz_roundtrip(tmp_path):
+    w = np.arange(6, dtype=np.float64).reshape(2, 3)
+    np.savez(tmp_path / "m.npz", weights=w, bias=np.array([1.0, 2.0]))
+    m = model.LinearModel.from_npz(str(tmp_path / "m.npz"))
+    assert np.allclose(m.forward(np.ones((1, 3))), [[3 + 1, 12 + 2]])
+
+
+def test_score_column_matches_numpy(spark, emb_df):
+    df, mat = emb_df
+    w = np.round(np.random.default_rng(5).standard_normal(8), 6)
+    out = model.score_column(df, model.LinearModel(w), "emb", "s").orderBy("vec_id").collect()
+    want = mat @ w
+    got = np.array([r["s"] for r in out])
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_train_parameter_averaging_converges(spark):
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((300, 4))
+    true_w = np.array([1.0, -2.0, 0.5, 3.0])
+    y = x @ true_w + 0.7
+    rows = [([float(v) for v in x[i]], float(y[i])) for i in range(300)]
+    df = spark.createDataFrame(rows, schema="f array<double>, y double")
+    w, losses = model.train_parameter_averaging(df, "f", "y", dim=4, rounds=4, partitions=4)
+    assert losses[-1] < losses[0] * 0.2, losses
+    assert np.allclose(w[:4], true_w, atol=0.5)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog again and"),        # near dup
+        (3, "completely different words here about spark and large tables"),
+    ]
+    return spark.createDataFrame(texts, schema="doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    out = {r["keep_id"]: r["n_copies"] for r in textops.exact_dedup(docs_df).collect()}
+    assert out[0] == 2  # docs 0,1 collapse
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_shingles_and_fingerprint(spark, docs_df):
+    n = docs_df.select(F.size(textops.shingles_of("text", 5)).alias("n")).collect()
+    assert all(r["n"] >= 1 for r in n)
+    fps = [r["fp"] for r in docs_df.select(textops.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] and fps[0] != fps[3]
+
+
+def test_minhash_pairs_find_near_dup(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in textops.minhash_dedup_pairs(docs_df, num_hashes=16, bands=8).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup in ≥1 band
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_pairs(spark, docs_df):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in textops.jaccard_pairs(docs_df).collect()}
+    assert out[(0, 1)] == 1.0
+    assert 0.5 <= out[(0, 2)] < 1.0
+
+
+def test_vecops_topk_matches_numpy(spark, emb_df):
+    df, mat = emb_df
+    scores = mat @ mat.T
+    iu = np.triu_indices(len(mat), k=1)
+    best = np.argmax(scores[iu])
+    want = (int(iu[0][best]), int(iu[1][best]))
+    got = vecops.topk_pairs(df, k=1).collect()[0]
+    assert (got["id_a"], got["id_b"]) == want
+
+
+def test_vecops_threshold_matches_numpy(spark, emb_df):
+    df, mat = emb_df
+    tau = 0.3
+    scores = np.round(mat @ mat.T, 6)
+    iu = np.triu_indices(len(mat), k=1)
+    want = {(int(a), int(b)) for a, b in zip(*iu) if scores[a, b] >= tau}
+    got = {(r["id_a"], r["id_b"]) for r in vecops.threshold_pairs(df, tau=tau).collect()}
+    assert got == want
+
+
+def test_vecops_knn_for_query(spark, emb_df):
+    df, mat = emb_df
+    q = mat[0]
+    got = [r["vec_id"] for r in vecops.knn_for_query(df.filter("vec_id != 0"), q, k=5).collect()]
+    scores = mat[1:] @ q
+    want = list(np.argsort(-np.round(scores, 6), kind="stable")[:5] + 1)
+    assert got == [int(v) for v in want]
