@@ -25,11 +25,12 @@ from pyspark_caffe_spark.queries import QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set (14): the BASELINE.md shapes plus one representative per
+# Headline set (15): the BASELINE.md shapes plus one representative per
 # capability layer (relational / window / streaming twin / ML / LLM).
 HEADLINE = [
     "agg_hash_groupby",   # q1 pricing summary        (baseline 1.42 s)
     "join_multiway",      # q5 6-way join chain       (baseline 1.92 s)
+    "join_q3_topk",       # q3 shipping priority      (baseline 4.23 s)
     "win_rank_topk",      # top-3 per customer window (baseline 1.35 s)
     "fn_map_json",        # events json parse + agg   (baseline ~0.68 s)
     "agg_cube",           # cube over events
@@ -62,7 +63,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall-clock (14 queries, noop-materialized)",
+                "metric": "headline suite wall-clock (15 queries, noop-materialized)",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,

@@ -387,6 +387,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.jaccard_pairs(docs, "text", "doc_id", shingle_k=4, threshold=0.5)
 
 
+@query(
+    "dedup_latest",
+    oracle="""
+    SELECT event_id, user_id, ts, event_type, value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-wins dedup (the CDC/SCD upsert-compaction shape):
+    keep each (user, event_type)'s most recent event via a partitioned
+    row_number — one shuffle on the key, per-group sort only. The
+    backbone of compacting an append log into current-state at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal + UDF surface
 # ---------------------------------------------------------------------------
