@@ -143,6 +143,44 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sink_sized")  # rows-only: physical layout, not row semantics
+def sink_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write with controlled file sizing: repartitionByRange on the
+    sort key + maxRecordsPerFile. The two knobs that prevent the
+    small-files problem (and its opposite, unsplittable monster files)
+    at 100 TB: range partitioning gives min/max-pruned, sorted files;
+    maxRecordsPerFile caps each at a target size. Returns per-file row
+    counts read back (tests assert the cap held and rows survived)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch", "sink_sized"
+    )
+    # explicit range buckets instead of repartitionByRange: the latter
+    # samples boundaries with a per-run random seed (observed: file
+    # splits differ across runs) — deterministic layout needs fixed
+    # boundaries, here quartiles of the key domain
+    hi = li.agg(F.max("l_orderkey").alias("m")).collect()[0]["m"] + 1
+    bucket = F.least(F.floor(F.col("l_orderkey") * 4 / hi), F.lit(3))
+    (
+        li.withColumn("pb", bucket)
+        .repartition(4, F.col("pb"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .partitionBy("pb")
+        .option("maxRecordsPerFile", 100_000)
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("pb", F.input_file_name().alias("file"))
+        .agg(F.count("*").alias("n_rows"))
+        .groupBy("pb")
+        .agg(F.count("*").alias("n_files"), F.sum("n_rows").alias("n_rows"))
+        .orderBy("pb")
+        .select("pb", "n_files", "n_rows")
+    )
+
+
 @query("sim_knn_ivf")  # rows-only: cluster assignment is implementation-specific
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbours: coarse

@@ -47,3 +47,15 @@ def test_ml_kmeans(spark, sf_dir):
     assert len(rows) == 10
     from pyspark_caffe_spark.tables import load_table
     assert sum(r["n_vectors"] for r in rows) == load_table(spark, sf_dir, "embeddings").count()
+
+
+def test_sink_sized(spark, sf_dir):
+    from pyspark_caffe_spark.tables import load_table
+    rows = QUERIES["sink_sized"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "lineitem").count()
+    assert [r["pb"] for r in rows] == [0, 1, 2, 3]  # one range dir per bucket
+    assert sum(r["n_rows"] for r in rows) == total
+    # maxRecordsPerFile cap: rows per bucket never exceed files * cap
+    assert all(r["n_rows"] <= r["n_files"] * 100_000 for r in rows)
+    rows2 = QUERIES["sink_sized"](spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]  # deterministic
