@@ -388,6 +388,95 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE aug AS ({_PERTURB_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 3, 1) + 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+3], ' '))) AS sh
+      FROM aug
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM (SELECT DISTINCT doc_id FROM aug)
+      UNION
+      SELECT u.src AS node, r.lbl
+      FROM reach r JOIN und u ON u.dst = r.node
+    )
+    SELECT CAST(MIN(lbl) AS BIGINT) AS cluster_id,
+           COUNT(DISTINCT node) AS cluster_size
+    FROM (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+    GROUP BY lbl
+    HAVING COUNT(DISTINCT node) > 1
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from candidate pairs — connected components
+    by iterative min-label propagation (the step every dedup pipeline
+    needs after pairing: pairs → groups → keep one per group).
+
+    Each iteration: label(node) ← min(label over neighbors ∪ self);
+    loop until the label multiset stops changing (graph diameter
+    iterations — near-dup graphs are shallow; at 100 TB this is the
+    standard large-scale connected-components pattern, one shuffle per
+    hop, with persist() between hops). Oracle: recursive CTE computing
+    min reachable id per node. Emits (cluster_id=min doc_id, size>1).
+    """
+    docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
+    edges = textops.jaccard_pairs(docs, "text", "doc_id", shingle_k=4, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    und = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
+    und = und.persist()
+    for _ in range(20):  # bounded; converges in diameter hops
+        neigh = (
+            und.join(labels, und.id_b == labels.node)
+            .groupBy(F.col("id_a").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select("node", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = (
+        labels.groupBy("lbl")
+        .agg(F.countDistinct("node").alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+        .select(F.col("lbl").cast("long").alias("cluster_id"), "cluster_size")
+    )
+    return out
+
+
+@query(
     "dedup_latest",
     oracle="""
     SELECT event_id, user_id, ts, event_type, value
@@ -411,6 +500,61 @@ def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+
+
+@query(
+    "pipeline_corpus",
+    oracle=f"""
+    WITH aug AS ({_AUG_SQL}),
+    enriched AS (
+      SELECT a.doc_id, a.text, d.lang,
+             LEN(STRING_SPLIT(a.text, ' ')) AS n_words,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(a.text, ' '),
+                   w -> LIST_CONTAINS({STOPWORDS!r}, w))) AS DOUBLE)
+               / LEN(STRING_SPLIT(a.text, ' ')) AS stop_ratio
+      FROM aug a JOIN documents d ON (a.doc_id % 1000000) = d.doc_id
+    ),
+    quality AS (
+      SELECT * FROM enriched WHERE n_words >= 20 AND stop_ratio < 0.5
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+             MIN(n_words) AS n_words
+      FROM quality GROUP BY LOWER(TRIM(text))
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(n_words), 6) AS avg_words
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus pipeline composition: ingest (with planted
+    duplicate pollution) → quality gate → exact dedup (keep min id) →
+    per-language stats. One declarative plan: Catalyst fuses the
+    quality filter into the scan side of the dedup shuffle; nothing
+    materializes between stages. The shape every pretraining data job
+    takes at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _augmented_docs(docs)
+    enriched = aug.join(
+        docs.select(F.col("doc_id").alias("orig_id"), "lang"),
+        aug.doc_id % 1000000 == F.col("orig_id"),
+    )
+    q = textops.quality_columns("text", STOPWORDS)
+    quality = enriched.filter((q["n_words"] >= 20) & (q["stopword_ratio"] < 0.5))
+    deduped = (
+        quality.groupBy(textops.normalized("text").alias("_norm"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("lang").alias("lang"),
+            F.min(q["n_words"]).alias("n_words"),
+        )
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_words"), 6).alias("avg_words"),
     )
 
 
