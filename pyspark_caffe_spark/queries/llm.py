@@ -227,6 +227,11 @@ def _augmented_docs(docs: DataFrame, n_dups: int = 50) -> DataFrame:
     return docs.select("doc_id", "text").unionByName(dups)
 
 
+# DuckDB twin of textops.normalized(): lower + trim + collapse
+# whitespace runs (the Spark side normalizes runs, so the oracle must
+# too — LOWER(TRIM(...)) alone diverges on multi-space texts).
+_NORM_SQL = "LOWER(TRIM(REGEXP_REPLACE({col}, '\\s+', ' ', 'g')))"
+
 _AUG_SQL = """
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -241,7 +246,7 @@ _AUG_SQL = """
     WITH aug AS ({_AUG_SQL})
     SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
     FROM aug
-    GROUP BY LOWER(TRIM(text))
+    GROUP BY {_NORM_SQL.format(col="text")}
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,6 +276,33 @@ _PERTURB_SQL = """
              ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 1)], ' ') AS text
       FROM documents WHERE doc_id < 50
 """
+
+# Shared oracle fragment: 4-gram Jaccard pairs (J >= 0.5) over an `aug`
+# CTE — used by dedup_ngram_jaccard AND dedup_clusters so the edge
+# definition lives in exactly one place.
+_JACCARD_EDGES_SQL = """
+    sh AS (
+      SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 3, 1) + 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+3], ' '))) AS sh
+      FROM aug
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b,
+             ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    )
+"""
+
 
 
 @query("dedup_minhash")  # rows-only: xxhash64-based signatures are engine-specific
@@ -358,24 +390,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH aug AS ({_PERTURB_SQL}),
-    sh AS (
-      SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
-               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 3, 1) + 1),
-               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+3], ' '))) AS sh
-      FROM aug
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    {_JACCARD_EDGES_SQL}
+    SELECT id_a, id_b, jaccard FROM edges
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,24 +407,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE aug AS ({_PERTURB_SQL}),
-    sh AS (
-      SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
-               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 3, 1) + 1),
-               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+3], ' '))) AS sh
-      FROM aug
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    edges AS (
-      SELECT id_a, id_b FROM inter
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
-    ),
+    {_JACCARD_EDGES_SQL},
     und AS (
       SELECT id_a AS src, id_b AS dst FROM edges
       UNION SELECT id_b, id_a FROM edges
@@ -444,36 +443,49 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     und = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    )
+    ).persist()
     labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
-    und = und.persist()
-    for _ in range(20):  # bounded; converges in diameter hops
-        neigh = (
-            und.join(labels, und.id_b == labels.node)
-            .groupBy(F.col("id_a").alias("node"))
-            .agg(F.min("lbl").alias("nlbl"))
+    max_iters, converged = 20, False
+    try:
+        for _ in range(max_iters):
+            neigh = (
+                und.join(labels, und.id_b == labels.node)
+                .groupBy(F.col("id_a").alias("node"))
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            # localCheckpoint truncates the lineage each hop — without
+            # it the logical plan doubles per iteration (labels appears
+            # twice in new_labels) and the ANALYZER, not the data,
+            # becomes the bottleneck by hop ~15
+            new_labels = (
+                labels.join(neigh, "node", "left")
+                .select("node", F.least("lbl", "nlbl").alias("lbl"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
+                .filter(F.col("lbl") != F.col("old"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"dedup_clusters: label propagation did not converge in {max_iters} "
+                "hops (component diameter exceeds the cap) — raise max_iters"
+            )
+        return (
+            labels.groupBy("lbl")
+            .agg(F.count("*").alias("cluster_size"))  # node unique per row
+            .filter(F.col("cluster_size") > 1)
+            .select(F.col("lbl").cast("long").alias("cluster_id"), "cluster_size")
+            # detach the result from the loop's checkpoint before unpersist
+            .localCheckpoint(eager=True)
         )
-        new_labels = (
-            labels.join(neigh, "node", "left")
-            .select("node", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
-            .persist()
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
-            .filter(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    out = (
-        labels.groupBy("lbl")
-        .agg(F.countDistinct("node").alias("cluster_size"))
-        .filter(F.col("cluster_size") > 1)
-        .select(F.col("lbl").cast("long").alias("cluster_id"), "cluster_size")
-    )
-    return out
+    finally:
+        und.unpersist()
 
 
 @query(
@@ -521,7 +533,7 @@ def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped AS (
       SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
              MIN(n_words) AS n_words
-      FROM quality GROUP BY LOWER(TRIM(text))
+      FROM quality GROUP BY {_NORM_SQL.format(col="text")}
     )
     SELECT lang, COUNT(*) AS n_docs,
            ROUND(AVG(n_words), 6) AS avg_words
