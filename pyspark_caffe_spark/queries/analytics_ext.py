@@ -140,6 +140,97 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, f"mem_sjoin_{uuid.uuid4().hex[:8]}", "complete")
 
 
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS st FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS ct FROM events e
+          JOIN s ON e.user_id = s.user_id
+                AND e.ts > s.st AND e.ts <= s.st + INTERVAL 6 HOUR
+          WHERE e.event_type = 'click' GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+          JOIN c ON e.user_id = c.user_id
+                AND e.ts > c.ct AND e.ts <= c.ct + INTERVAL 6 HOUR
+          WHERE e.event_type = 'purchase' GROUP BY 1)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: each stage
+    is the earliest qualifying event strictly after the previous
+    stage's, within a 6-hour conversion window (without the window
+    every fixture user trivially converts). Three hash-aggregate + join stages on user_id — one
+    partitioning reused throughout; no window over the full event
+    stream."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") > F.col("st"))
+            & (F.col("ts") <= F.col("st") + F.expr("INTERVAL 6 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("ct"))
+            & (F.col("ts") <= F.col("ct") + F.expr("INTERVAL 6 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(DATE_TRUNC('day', MIN(ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY 1
+    )
+    SELECT f.cohort,
+           CAST(DATEDIFF('day', f.cohort, DATE_TRUNC('day', e.ts)) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+    WHERE DATEDIFF('day', f.cohort, DATE_TRUNC('day', e.ts)) <= 7
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, distinct
+    active users per day-offset 0..7. The first_day dim is small
+    (|users|) → broadcast to the event scan."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    offset = F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort")).cast("long")
+    return (
+        ev.join(F.broadcast(first_day), "user_id")
+        .withColumn("day_offset", offset)
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 @query("ml_train_mllib")  # rows-only: iterative optimisation
 def ml_train_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library-grade distributed training (the reference's solver role

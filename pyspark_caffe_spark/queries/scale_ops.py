@@ -181,6 +181,57 @@ def sink_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(LEVENSHTEIN(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON STRING_SPLIT(a.p_name, ' ')[2] = STRING_SPLIT(b.p_name, ' ')[2]
+     AND a.p_partkey < b.p_partkey
+    WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
+    """,
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) self-join on part names: block on
+    the noun (second word) so levenshtein only runs within blocks —
+    the classic entity-resolution shape. An unblocked fuzzy join is
+    O(n²) string comparisons; blocking reduces it to Σ|block|², and at
+    100 TB the block key becomes a coarser signature (soundex /
+    length-band / q-gram prefix)."""
+    part = load_table(spark, sf_dir, "part")
+    keyed = part.select(
+        "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("noun")
+    )
+    a = keyed.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"), "noun"
+    )
+    b = keyed.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"), "noun"
+    )
+    return (
+        a.join(b, "noun")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter((F.col("dist") <= 2) & (F.col("name_a") != F.col("name_b")))
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
+
+
+@query("sample_stratified")  # rows-only: sampler implementation-specific
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: per-stratum fractions via sampleBy —
+    down-weight the dominant event type, keep the rare ones (the
+    class-rebalancing step of a training-data pipeline). Seeded ⇒
+    deterministic for a fixed partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"click": 0.2, "view": 0.2, "purchase": 1.0, "signup": 1.0, "error": 1.0}
+    return ev.sampleBy("event_type", fractions, seed=42).select(
+        "event_id", "event_type", "value"
+    )
+
+
 @query("sim_knn_ivf")  # rows-only: cluster assignment is implementation-specific
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbours: coarse

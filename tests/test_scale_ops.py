@@ -59,3 +59,15 @@ def test_sink_sized(spark, sf_dir):
     assert all(r["n_rows"] <= r["n_files"] * 100_000 for r in rows)
     rows2 = QUERIES["sink_sized"](spark, sf_dir).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]  # deterministic
+
+
+def test_sample_stratified(spark, sf_dir):
+    from pyspark_caffe_spark.tables import load_table
+    out = QUERIES["sample_stratified"](spark, sf_dir)
+    counts = {r["event_type"]: r["n"] for r in out.groupBy("event_type").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    full = {r["event_type"]: r["n"] for r in load_table(spark, sf_dir, "events").groupBy("event_type").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert counts["purchase"] == full["purchase"]  # fraction 1.0 keeps all
+    assert counts["error"] == full["error"]
+    assert 0.1 * full["click"] < counts["click"] < 0.3 * full["click"]
+    out2 = QUERIES["sample_stratified"](spark, sf_dir)
+    assert out.count() == out2.count()  # seeded determinism
