@@ -119,8 +119,10 @@ def train_parameter_averaging(
     SparkNet loop: broadcast w → local SGD per partition (mapInPandas)
     → collect K small weight vectors → average → repeat.
 
-    Returns (final weights incl. bias, per-round MSE history). The only
-    driver-side data is K×(dim+1) floats per round.
+    Returns (final weights incl. bias, MSE history of length rounds+1 —
+    one loss per pre-round weight vector PLUS the final averaged
+    weights, so the last entry scores what you actually get back).
+    The only driver-side data is K×(dim+1) floats per round.
     """
     data = df.select(
         F.col(feature_col).cast("array<double>").alias("x"),
@@ -144,17 +146,22 @@ def train_parameter_averaging(
 
         return local_sgd
 
-    for _ in range(rounds):
+    def eval_mse(w: np.ndarray) -> float:
         wl = [float(v) for v in w]
         pred = F.aggregate(
             F.zip_with("x", F.array(*[F.lit(v) for v in wl[:dim]]), lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, v: acc + v,
         ) + F.lit(wl[dim])
-        mse = data.select(F.avg(F.pow(pred - F.col("y"), 2)).alias("m")).collect()[0]["m"]
-        losses.append(float(mse))
+        return float(
+            data.select(F.avg(F.pow(pred - F.col("y"), 2)).alias("m")).collect()[0]["m"]
+        )
+
+    for _ in range(rounds):
+        losses.append(eval_mse(w))
         local = data.mapInPandas(make_local_sgd(w), schema="w array<double>")
         w = np.mean([np.array(r["w"]) for r in local.collect()], axis=0)
+    losses.append(eval_mse(w))  # score the FINAL averaged weights too
 
     data.unpersist()
     return w, losses

@@ -42,7 +42,7 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     t_orders, t_cust = f"b_orders_{sfx}", f"b_customer_{sfx}"
-    if not spark.catalog.tableExists(t_orders):
+    if not (spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(t_cust)):
         # a stale warehouse dir from a previous session shadows the
         # (session-local) catalog — clear it before re-creating
         import shutil
@@ -151,10 +151,10 @@ def sink_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB: range partitioning gives min/max-pruned, sorted files;
     maxRecordsPerFile caps each at a target size. Returns per-file row
     counts read back (tests assert the cap held and rows survived)."""
+    from pyspark_caffe_spark.queries.relational import _scratch
+
     li = load_table(spark, sf_dir, "lineitem")
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch", "sink_sized"
-    )
+    path = _scratch("sink_sized")
     # explicit range buckets instead of repartitionByRange: the latter
     # samples boundaries with a per-run random seed (observed: file
     # splits differ across runs) — deterministic layout needs fixed

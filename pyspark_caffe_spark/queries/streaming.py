@@ -63,11 +63,15 @@ def _read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     ensure_session_confs(spark)
     if path.endswith(".parquet"):
         # file source needs a directory: expose the single file through
-        # a scratch dir via symlink (zero-copy)
+        # a scratch dir via symlink (zero-copy). lexists + readlink
+        # guard against stale/broken links when sf dirs move between
+        # runs (exists() follows the link and would miss both cases).
         d = _scratch("stream_src_" + os.path.basename(os.path.dirname(path)))
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, "events.parquet")
-        if not os.path.exists(link):
+        if os.path.lexists(link) and os.readlink(link) != path:
+            os.remove(link)
+        if not os.path.lexists(link):
             os.symlink(path, link)
         path = d
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
@@ -99,7 +103,12 @@ def _drain(df: DataFrame, name: str, output_mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    # detach the result from the memory-sink temp view, then drop it —
+    # uuid-named sink tables would otherwise accumulate full result
+    # sets in driver memory for the session lifetime
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @query(
@@ -152,15 +161,15 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
     ), sessions AS (
-      SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT user_id, ts, value, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     )

@@ -69,17 +69,25 @@ def topk_pairs(
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             my_ids = pdf[id_col].to_numpy()
-            scores = x @ all_mat.T
+            # round BEFORE selecting: the global order (and any SQL
+            # oracle) ranks on the rounded score + id tiebreaks, so the
+            # local cut must use the same key or boundary rounded-ties
+            # get dropped on the wrong side
+            scores = np.round(x @ all_mat.T, ndigits)
             mask = my_ids[:, None] < all_ids[None, :]
             flat = np.where(mask, scores, -np.inf).ravel()
             take = min(k, int(mask.sum()))
             if take == 0:
                 continue
-            idx = np.argpartition(-flat, take - 1)[:take]
-            r, c = np.unravel_index(idx, scores.shape)
-            yield pd.DataFrame(
-                {"id_a": my_ids[r], "id_b": all_ids[c], "cos": np.round(flat[idx], ndigits)}
-            )
+            # pre-cut at the k-th largest VALUE (keeping all rounded
+            # ties), then exact (score desc, id_a, id_b) lexsort — the
+            # deterministic local top-k
+            kth = -np.partition(-flat, take - 1)[take - 1]
+            pre = np.nonzero(flat >= kth)[0]
+            r_pre, c_pre = np.unravel_index(pre, scores.shape)
+            order = np.lexsort((all_ids[c_pre], my_ids[r_pre], -flat[pre]))[:take]
+            r, c = r_pre[order], c_pre[order]
+            yield pd.DataFrame({"id_a": my_ids[r], "id_b": all_ids[c], "cos": scores[r, c]})
 
     cand = df.select(id_col, vec_col).mapInPandas(
         local_topk, schema="id_a long, id_b long, cos double"
@@ -101,8 +109,11 @@ def threshold_pairs(
     extra_cols = extra_cols or []
     ids, mat, extras = _collect_matrix(df, id_col, vec_col, extra_cols)
     bc = df.sparkSession.sparkContext.broadcast((ids, mat, extras))
+    # companion columns keep their INPUT types (an int32 label stays
+    # int32, a string source stays string) — no forced int cast
+    field_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     schema = "id_a long, id_b long" + "".join(
-        f", {c}_a int, {c}_b int" for c in extra_cols
+        f", {c}_a {field_type[c]}, {c}_b {field_type[c]}" for c in extra_cols
     ) + ", cos double"
 
     def over_tau(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -117,8 +128,8 @@ def threshold_pairs(
             r, c = np.nonzero(mask)
             out = {"id_a": my_ids[r], "id_b": all_ids[c]}
             for col in extra_cols:
-                out[f"{col}_a"] = pdf[col].to_numpy()[r].astype("int32")
-                out[f"{col}_b"] = all_extras[col][c].astype("int32")
+                out[f"{col}_a"] = pdf[col].to_numpy()[r]
+                out[f"{col}_b"] = all_extras[col][c]
             out["cos"] = scores[r, c]
             yield pd.DataFrame(out)
 
