@@ -59,7 +59,10 @@ def main() -> None:
         df = QUERIES[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
     print(
         json.dumps(
             {
@@ -67,7 +70,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf else None,
+                "sf": sf,
             }
         )
     )

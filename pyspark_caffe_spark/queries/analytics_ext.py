@@ -104,7 +104,7 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this halves the scan cost vs one query per resolution."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView(v := f"_rollup_events_{uuid.uuid4().hex[:8]}")
-    return spark.sql(f"""
+    df = spark.sql(f"""
         SELECT CASE WHEN GROUPING(DATE_TRUNC('hour', ts)) = 0 THEN 'hour' ELSE 'day' END AS resolution,
                COALESCE(DATE_TRUNC('hour', ts), DATE_TRUNC('day', ts)) AS bucket_ts,
                event_type,
@@ -116,6 +116,8 @@ def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
           (DATE_TRUNC('day', ts),  event_type)
         )
     """)
+    spark.catalog.dropTempView(v)  # plan is resolved; don't leak the view
+    return df
 
 
 @query(

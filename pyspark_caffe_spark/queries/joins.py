@@ -197,7 +197,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (theta) join on a value band. Physical plan is a
     broadcast nested-loop — inherently quadratic, so the inputs are
     pre-filtered slices; at scale a band join should be blocked on
-    bucketized value ranges first (see llm.sim_threshold_join for the
+    bucketized value ranges first (see join_range_bucketed / similarity.sim_threshold_join for the
     blocked pattern)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     a = ev.select(F.col("event_id").alias("id_a"), F.col("value").alias("value_a"))

@@ -649,7 +649,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_framesample",
     oracle="""
-    SELECT doc_id, t.frame_idx,
+    SELECT doc_id, CAST(t.frame_idx AS BIGINT) AS frame_idx,
            CAST(LENGTH(text) // 10 AS BIGINT)                          AS frame_bytes,
            CAST(LENGTH(text) % 32 + 1 AS BIGINT)                       AS h_resized,
            CAST((LENGTH(text) // 10 * (t.frame_idx + 1)) % 255 AS BIGINT) AS fake_mean_px

@@ -314,4 +314,4 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("o_custkey"))
         .distinct()
     )
-    return a.exceptAll(b).distinct()
+    return a.subtract(b)  # EXCEPT DISTINCT: one anti-join, not the exceptAll count-replication rewrite

@@ -33,7 +33,7 @@ def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         orders.select("o_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
     )
 
@@ -59,9 +59,9 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 

@@ -48,6 +48,5 @@ def get_spark(app_name: str = "pyspark-caffe-spark", cpus: int | None = None) ->
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.spill.compress", "true")
     )
     return builder.getOrCreate()

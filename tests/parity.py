@@ -70,12 +70,40 @@ def duck_result(con, sql: str) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+# DuckDB logical type -> Spark simpleString types the driver should
+# treat as schema-equal (the driver compares schemas; int-width or
+# date/timestamp drift is a real failure mode the value-hash normalizer
+# would otherwise mask).
+_TYPE_COMPAT = {
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "DATE": {"date"},
+    "BOOLEAN": {"boolean"},
+    "DOUBLE[]": {"array<double>"},
+    "BIGINT[]": {"array<bigint>"},
+    "VARCHAR[]": {"array<string>"},
+}
+
+
+def assert_type_parity(df, con, sql: str, key: str = "?"):
+    stypes = dict(df.dtypes)
+    rel = con.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+    for c, dt in zip(rel.columns, [str(t) for t in rel.types]):
+        ok = stypes.get(c) in _TYPE_COMPAT.get(dt, set())
+        assert ok, f"[{key}] dtype mismatch on {c}: spark={stypes.get(c)} duck={dt}"
+
+
 def assert_parity(df, con, sql: str, key: str = "?"):
     s_cols, s_rows = spark_result(df)
     d_cols, d_rows = duck_result(con, sql)
     assert sorted(s_cols) == sorted(d_cols), (
         f"[{key}] column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
+    assert_type_parity(df, con, sql, key)
     assert len(s_rows) == len(d_rows), (
         f"[{key}] row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
     )
