@@ -26,8 +26,7 @@ from pyspark.sql import functions as F
 from pyspark_caffe_spark import textops
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
-
-STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+from pyspark_caffe_spark.textops import STOPWORDS
 
 # Marker words per language for the (deliberately simple, deterministic)
 # n-gram/marker language-ID heuristic. The fixture text is a shared
@@ -708,17 +707,25 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas computing per-language z-scores (UDAF-style)."""
     docs = load_table(spark, sf_dir, "documents")
 
-    first_char = F.udf(lambda s: s[:1], "string")
+    first_char = F.udf(lambda s: s[:1] if s is not None else None, "string")
 
     @F.pandas_udf("long")
     def n_tokens(s: pd.Series) -> pd.Series:
         return s.str.split(" ").map(len)
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         mu = pdf["n_chars"].mean()
         sd = pdf["n_chars"].std(ddof=1)
         pdf = pdf.copy()
-        pdf["z"] = ((pdf["n_chars"] - mu) / sd).round(6)
+        if not np.isfinite(sd) or sd == 0:
+            # 1-row group: STDDEV_SAMP is NULL in SQL — emit NULL, not NaN
+            pdf["z"] = None
+        else:
+            # unrounded here; F.round below rounds HALF_UP like DuckDB
+            # (pandas .round is banker's rounding — a latent mismatch)
+            pdf["z"] = (pdf["n_chars"] - mu) / sd
         return pdf[["doc_id", "lang", "first_char", "n_tokens", "z"]]
 
     enriched = docs.select(
@@ -730,7 +737,7 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return enriched.groupBy("lang").applyInPandas(
         zscore, schema="doc_id long, lang string, first_char string, n_tokens long, z double"
-    )
+    ).withColumn("z", F.round("z", 6))
 
 
 @query(

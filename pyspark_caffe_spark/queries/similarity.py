@@ -101,7 +101,7 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_knn_lsh")  # rows-only: LSH bucketing is engine/library-specific
 def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate similarity join via MLlib BucketedRandomProjectionLSH
-    (Vector columns — array_to_vector first). Euclidean distance < 1.095
+    (Vector columns — array_to_vector first). Euclidean distance < 1.0955 (> √1.2)
     on unit vectors ⇔ cosine > 1 - 1.095²/2 ≈ 0.4 (matches the exact
     threshold join). Tests assert recall
     ≥ 0.8 vs the exact threshold join. Library-grade 100 TB path: only
@@ -114,7 +114,7 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="vec", outputCol="hashes", bucketLength=0.5, numHashTables=6, seed=42
     )
     model = lsh.fit(emb)
-    pairs = model.approxSimilarityJoin(emb, emb, 1.095, distCol="dist")
+    pairs = model.approxSimilarityJoin(emb, emb, 1.0955, distCol="dist")
     return (
         pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(

@@ -13,6 +13,10 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Canonical corpus stopword list — llm.py imports this (and bakes it
+# into the oracle SQL); keep exactly one copy.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
 
 def words_of(text_col: str | Column = "text") -> Column:
     return F.split(text_col, " ")
@@ -81,6 +85,11 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature, bucket-gather, emit candidate (id_a < id_b)
     pairs. The only shuffle is groupBy(band); never O(n²)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands}); "
+            "leftover minhash slots would be silently dropped"
+        )
     rows_per_band = num_hashes // bands
     band_structs = F.array(
         *[
@@ -138,9 +147,12 @@ def jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact shingle-set Jaccard via inverted index self-join."""
+    # array_distinct already de-dupes within a doc and id_col is unique
+    # per doc for every caller — no .distinct() (a full extra shuffle of
+    # the largest intermediate in the job)
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles_of(text_col, shingle_k))).alias("sh")
-    ).distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -160,7 +172,7 @@ def jaccard_pairs(
 
 def quality_columns(text_col: str = "text", stopwords: list[str] | None = None) -> dict[str, Column]:
     """Standard corpus-quality signals as named Columns."""
-    stopwords = stopwords or ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+    stopwords = stopwords or STOPWORDS
     words = words_of(text_col)
     n_words = F.size(words)
     stop_ratio = F.size(F.filter(words, lambda w: w.isin(*stopwords))).cast("double") / n_words

@@ -1,6 +1,7 @@
-"""Shared fixtures: one SparkSession for the whole test run, one DuckDB
-connection per scale factor with the fixture tables registered as views
-under their bare names (mirroring the driver's harness)."""
+"""Shared fixtures: one SparkSession for the whole test run, plus a
+DuckDB connection with the fixture tables registered as views under
+their bare names at $SPARK_GRAFT_TEST_SF_DIR (mirroring the driver's
+harness)."""
 
 from __future__ import annotations
 
@@ -16,7 +17,6 @@ from pyspark_caffe_spark import get_spark
 from pyspark_caffe_spark.tables import TABLE_NAMES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
-SF_SMALL = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")

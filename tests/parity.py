@@ -110,8 +110,9 @@ def assert_parity(df, con, sql: str, key: str = "?"):
     sn = normalize_result(s_cols, s_rows)
     dn = normalize_result(d_cols, d_rows)
     if sn != dn:
-        diff_s = [r for r in sn if r not in set(dn)][:5]
-        diff_d = [r for r in dn if r not in set(sn)][:5]
+        dset, sset = set(dn), set(sn)
+        diff_s = [r for r in sn if r not in dset][:5]
+        diff_d = [r for r in dn if r not in sset][:5]
         raise AssertionError(
             f"[{key}] value mismatch ({len(sn)} rows)\n"
             f"  spark-only (≤5): {diff_s}\n  duck-only (≤5): {diff_d}"
