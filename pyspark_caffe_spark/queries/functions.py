@@ -195,6 +195,35 @@ def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                      AS k_and,
+           o_orderkey | 16                       AS k_or,
+           XOR(o_orderkey, 42)                   AS k_xor,
+           CAST(o_orderkey << 2 AS BIGINT)       AS k_shl,
+           CAST(o_orderkey >> 3 AS BIGINT)       AS k_shr,
+           CAST(BIT_COUNT(o_orderkey) AS BIGINT) AS k_bits
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (the hash/partition-bucket arithmetic toolkit):
+    and/or/xor/shifts/popcount, all codegen'd."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(16)).alias("k_or"),
+        k.bitwiseXOR(F.lit(42)).alias("k_xor"),
+        F.shiftleft(k, 2).alias("k_shl"),
+        F.shiftright(k, 3).alias("k_shr"),
+        F.bit_count(k).cast("long").alias("k_bits"),
+    )
+
+
+@query(
     "fn_cast",
     oracle="""
     SELECT o_orderkey,

@@ -66,6 +66,30 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_percent",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — relative-position windows (the
+    percentile-of-row primitives used for score normalization)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
     "win_lag_lead",
     oracle="""
     SELECT event_id, user_id, ts, value,
