@@ -9,6 +9,7 @@ resolution; the stream-static join is the standard streaming enrich
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -140,6 +141,139 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
     )
     return _drain(agg, f"mem_sjoin_{uuid.uuid4().hex[:8]}", "complete")
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT c_custkey, c_name, t.o_orderkey, t.o_totalprice
+    FROM customer, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (SQL entry point): top-2 orders
+    per customer. Catalyst decorrelates the LATERAL into a window +
+    filter — same physical plan as the hand-written row_number version
+    (win_rank_topk), demonstrating the optimizer owns the rewrite."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView(cv := f"_lat_cust_{uuid.uuid4().hex[:8]}")
+    orders.createOrReplaceTempView(ov := f"_lat_ord_{uuid.uuid4().hex[:8]}")
+    df = spark.sql(f"""
+        SELECT c_custkey, c_name, t.o_orderkey, t.o_totalprice
+        FROM {cv}, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM {ov}
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+    """)
+    spark.catalog.dropTempView(cv)
+    spark.catalog.dropTempView(ov)
+    return df
+
+
+@query(
+    "fn_struct_map",
+    oracle="""
+    SELECT o_orderkey,
+           ['key', 'price', 'cust'] AS mkeys,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_val,
+           o_custkey AS cust_val,
+           CAST(3 AS INT) AS msize
+    FROM orders
+    """,
+)
+def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column family: build a MapType column per row
+    (map_from_arrays), then read it back via map_keys / element_at /
+    size. Output is flattened to plain columns (the oracle recomputes
+    the values arithmetically — map layouts aren't comparable across
+    engines, their contents are)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = F.map_from_arrays(
+        F.array(F.lit("key"), F.lit("price"), F.lit("cust")),
+        F.array(
+            F.col("o_orderkey"),
+            F.floor("o_totalprice").cast("long"),
+            F.col("o_custkey"),
+        ),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.sort_array(F.map_keys(m)).alias("_sorted_keys"),
+        F.element_at(m, "price").alias("price_val"),
+        F.element_at(m, "cust").alias("cust_val"),
+        F.size(m).alias("msize"),
+    ).withColumn(
+        "mkeys", F.array(F.lit("key"), F.lit("price"), F.lit("cust"))
+    ).drop("_sorted_keys")
+
+
+@query(
+    "fn_explode_pos",
+    oracle="""
+    SELECT vec_id,
+           CAST(GENERATE_SUBSCRIPTS(embedding[1:3], 1) - 1 AS INT) AS pos,
+           CAST(UNNEST(embedding[1:3]) AS DOUBLE) AS val
+    FROM embeddings
+    """,
+)
+def fn_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: one row per (position, element) of the embedding
+    head — the generator-function surface (0-based pos, matching
+    generate_subscripts - 1 in the oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 3)).alias(
+            "pos", "val"
+        ),
+    )
+
+
+@query(
+    "stream_foreachbatch",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch is handed to arbitrary batch
+    code (HERE: parquet append — the production pattern for sinks with
+    no native streaming writer: JDBC upserts, multi-table fan-out).
+    The written files are read back and aggregated; with the
+    availableNow drain the result equals the batch aggregate."""
+    import shutil
+
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    out_dir = _scratch("feb_out_" + os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev = _read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("event_id", "event_type", "value").write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch("feb_ckpt_" + uuid.uuid4().hex[:8]))
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 @query(
