@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
+from pyspark_caffe_spark.nputil import round_half_away
+
 
 @dataclass(frozen=True)
 class LinearModel:
@@ -71,7 +73,7 @@ def score_column(df: DataFrame, model: LinearModel, input_col: str, output_col: 
         m = bc.value
         for s in batches:
             out = m.forward(_batches(s))
-            yield pd.Series(np.round(out, ndigits) if ndigits is not None else out)
+            yield pd.Series(round_half_away(out, ndigits) if ndigits is not None else out)
 
     return df.withColumn(output_col, _score(F.col(input_col).cast("array<double>")))
 
@@ -86,7 +88,7 @@ def extract_features(df: DataFrame, model: LinearModel, input_col: str, output_c
         for s in batches:
             out = m.forward(_batches(s))
             if ndigits is not None:
-                out = np.round(out, ndigits)
+                out = round_half_away(out, ndigits)
             yield pd.Series(list(out))
 
     return df.withColumn(output_col, _feat(F.col(input_col).cast("array<double>")))

@@ -45,6 +45,10 @@ W_FEAT = np.round(_rng.standard_normal((4, DIM)), 6)  # 64 → 4 extractor
 W_CLS = np.round(_rng.standard_normal((N_CLASSES, DIM)), 6)  # 64 → 10 classifier
 
 SCORER = LinearModel(W_SCORE, activation="sigmoid")
+# raw (no sigmoid) scorer for top-k ranking: sigmoid saturates near 1.0
+# and would collapse rounded near-ties, changing top-10 order vs the
+# oracle's raw dot product
+RAW_SCORER = LinearModel(W_SCORE)
 EXTRACTOR = LinearModel(W_FEAT)
 CLASSIFIER = LinearModel(W_CLS)
 
@@ -117,9 +121,7 @@ def ml_batch_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every row, return the global top-10 (TakeOrderedAndProject
     — per-partition top-k, k-row driver merge). Ordering on the
     ROUNDED score keeps near-tie ranking cross-engine stable."""
-    scored = score_column(
-        _emb(spark, sf_dir), LinearModel(W_SCORE), "embedding", "score", ndigits=6
-    )
+    scored = score_column(_emb(spark, sf_dir), RAW_SCORER, "embedding", "score", ndigits=6)
     return (
         scored.select("vec_id", "label", "score")
         .orderBy(F.desc("score"), F.asc("vec_id"))

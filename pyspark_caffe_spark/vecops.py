@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark_caffe_spark.nputil import round_half_away
+
 
 def dot_with(vec_col: str | Column, query: list[float] | np.ndarray) -> Column:
     """JVM-side dot product with a constant vector (codegen'd)."""
@@ -73,7 +75,7 @@ def topk_pairs(
             # oracle) ranks on the rounded score + id tiebreaks, so the
             # local cut must use the same key or boundary rounded-ties
             # get dropped on the wrong side
-            scores = np.round(x @ all_mat.T, ndigits)
+            scores = round_half_away(x @ all_mat.T, ndigits)
             mask = my_ids[:, None] < all_ids[None, :]
             flat = np.where(mask, scores, -np.inf).ravel()
             take = min(k, int(mask.sum()))
@@ -123,7 +125,7 @@ def threshold_pairs(
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             my_ids = pdf[id_col].to_numpy()
-            scores = np.round(x @ all_mat.T, ndigits)
+            scores = round_half_away(x @ all_mat.T, ndigits)
             mask = (my_ids[:, None] < all_ids[None, :]) & (scores >= tau)
             r, c = np.nonzero(mask)
             out = {"id_a": my_ids[r], "id_b": all_ids[c]}

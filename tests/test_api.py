@@ -98,10 +98,12 @@ def test_jaccard_pairs(spark, docs_df):
 
 def test_vecops_topk_matches_numpy(spark, emb_df):
     df, mat = emb_df
-    scores = mat @ mat.T
+    from pyspark_caffe_spark.nputil import round_half_away
+
+    scores = round_half_away(mat @ mat.T, 6)  # rank on rounded, like the engine
     iu = np.triu_indices(len(mat), k=1)
-    best = np.argmax(scores[iu])
-    want = (int(iu[0][best]), int(iu[1][best]))
+    ranked = sorted(zip(-scores[iu], iu[0], iu[1]))  # score desc, id_a, id_b
+    want = (int(ranked[0][1]), int(ranked[0][2]))
     got = vecops.topk_pairs(df, k=1).collect()[0]
     assert (got["id_a"], got["id_b"]) == want
 

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import datetime
 
-import pytest
 from pyspark.sql import functions as F
 
 from pyspark_caffe_spark.queries import QUERIES
@@ -99,9 +98,9 @@ def test_sim_knn_lsh_recall(spark, sf_dir):
     approx = {
         (r["id_a"], r["id_b"]) for r in QUERIES["sim_knn_lsh"](spark, sf_dir).collect()
     }
-    if exact:
-        recall = len(exact & approx) / len(exact)
-        assert recall >= 0.8, f"lsh recall {recall} over {len(exact)} exact pairs"
+    assert exact, "exact threshold join returned no pairs - vacuous recall test"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"lsh recall {recall} over {len(exact)} exact pairs"
 
 
 def test_sim_lsh_bucketed(spark, sf_dir):
@@ -113,7 +112,8 @@ def test_text_ngram_hash(spark, sf_dir):
     out = QUERIES["text_ngram_hash"](spark, sf_dir)
     bad = out.join(
         load_table(spark, sf_dir, "documents").select(
-            "doc_id", (F.size(F.split("text", " ")) - 4).alias("expected")
+            "doc_id",
+            F.greatest(F.size(F.split("text", " ")) - 4, F.lit(1)).alias("expected"),
         ),
         "doc_id",
     ).filter(F.col("n_shingles") != F.col("expected"))
@@ -135,3 +135,18 @@ def test_stream_watermark_late_drops(spark, sf_dir):
     assert min(r["ws"] for r in out) >= cutoff, (
         "late (pre-cutoff) windows should have been dropped by the watermark"
     )
+
+
+def test_ml_predict_class_matches_numpy(spark, sf_dir):
+    """Value-level check of the classifier (ml_predict_join itself is
+    rows-only): argmax on a collected sample must equal numpy's."""
+    import numpy as np
+    from pyspark_caffe_spark.model import predict_class
+    from pyspark_caffe_spark.queries.ml import CLASSIFIER
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = predict_class(emb, CLASSIFIER, "embedding").select("embedding", "pred").collect()
+    assert rows
+    for r in rows:
+        want = int(np.argmax(CLASSIFIER.forward(np.array(r["embedding"], dtype=np.float64))))
+        assert r["pred"] == want
