@@ -46,6 +46,13 @@ def get_spark(app_name: str = "pyspark-caffe-spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # RocksDB state store: bounded-memory streaming state (the JVM
+        # heap store OOMs once state exceeds executor memory at real
+        # stream volumes); verified working in this container
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
