@@ -102,3 +102,74 @@ def test_sessionize_order_independent(spark, ts, seed):
         return sorted((r["s"], r["n"]) for r in out.collect())
 
     assert sessions(base) == sessions(shuffled)
+
+
+@given(
+    ts=st.lists(st.tuples(st.integers(0, 1000), st.booleans()), min_size=1, max_size=40),
+)
+@settings(**SETTINGS)
+def test_asof_union_window_matches_bruteforce(spark, ts):
+    """The union+window as-of rewrite must equal the brute-force
+    'latest click at-or-before each purchase' definition."""
+    rows = [(i, t, "purchase" if is_p else "click") for i, (t, is_p) in enumerate(ts)]
+    df = spark.createDataFrame(rows, "event_id long, t long, kind string")
+
+    p = df.filter(F.col("kind") == "purchase").select(
+        "event_id", "t", F.lit(None).cast("long").alias("click_t"), F.lit(1).alias("is_p")
+    )
+    c = df.filter(F.col("kind") == "click").select(
+        F.lit(None).cast("long").alias("event_id"), "t", F.col("t").alias("click_t"), F.lit(0).alias("is_p")
+    )
+    w = (
+        Window.orderBy(F.col("t").asc(), F.col("is_p").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r["event_id"]: r["ct"]
+        for r in p.unionByName(c)
+        .withColumn("ct", F.last("click_t", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .collect()
+    }
+    clicks = sorted(t for t, is_p in ts if not is_p)
+    want = {}
+    for i, (t, is_p) in enumerate(ts):
+        if is_p:
+            prior = [ct for ct in clicks if ct <= t]
+            want[i] = max(prior) if prior else None
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.floats(0, 50, allow_nan=False, width=32), min_size=0, max_size=30),
+)
+@settings(**SETTINGS)
+def test_band_join_bucketing_matches_bruteforce(spark, vals):
+    """Bucketized band join (equi-join on bucket, bucket+1) must find
+    exactly the naive O(n²) band pairs."""
+    band = 1.0
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id long, v double").withColumn(
+        "bucket", F.floor(F.col("v") / band)
+    )
+    a = df.select(F.col("id").alias("ia"), F.col("v").alias("va"), "bucket")
+    b = df.select(
+        F.col("id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)).alias("bucket"),
+    )
+    got = {
+        (r["ia"], r["ib"])
+        for r in a.join(b, "bucket")
+        .filter((F.col("ia") < F.col("ib")) & F.col("vb").between(F.col("va") - band, F.col("va")))
+        .collect()
+    }
+    want = {
+        (i, j)
+        for i, vi in rows
+        for j, vj in rows
+        if i < j and vi - band <= vj <= vi
+    }
+    assert got == want
