@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_caffe_spark import textops
+from pyspark_caffe_spark import textops, vecops
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 from pyspark_caffe_spark.textops import STOPWORDS
@@ -512,6 +512,52 @@ def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("event_id", "user_id", "ts", "event_type", "value")
     )
+
+
+@query(
+    "dedup_embed_cosine",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE ROUND(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    )
+    SELECT p.id_b AS dup_id, MIN(p.id_a) AS keep_id,
+           MAX(p.cos) AS max_cos, COUNT(*) AS n_near, d.lang
+    FROM pairs p JOIN documents d ON p.id_b = d.doc_id
+    GROUP BY p.id_b, d.lang
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup over the documents corpus: each
+    doc's embedding (doc_id = vec_id, 1:1 in the fixtures) is compared
+    against all others; a doc is a near-dup when some LOWER-id doc sits
+    within cosine >= 0.4 (the fixture tail — p99.9 of the pair-score
+    distribution is ~0.38). Keep-first semantics: the duplicate's
+    canonical survivor is its minimum near-neighbour id.
+
+    Pair generation is vecops.threshold_pairs (broadcast matrix +
+    numpy block matmul — never a crossJoin); the dedup decision is one
+    groupBy(dup_id) + a broadcast-joined lang lookup. At 100 TB the
+    identical decision aggregation runs after sign-LSH bucketing
+    (sim_lsh_bucketed) prunes the candidate pairs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pairs = vecops.threshold_pairs(emb, tau=0.4)
+    decisions = pairs.groupBy(F.col("id_b").alias("dup_id")).agg(
+        F.min("id_a").alias("keep_id"),
+        F.max("cos").alias("max_cos"),
+        F.count("*").alias("n_near"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return decisions.join(
+        F.broadcast(docs), decisions.dup_id == docs.doc_id
+    ).select("dup_id", "keep_id", "max_cos", "n_near", "lang")
 
 
 @query(
