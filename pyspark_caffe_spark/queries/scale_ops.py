@@ -232,6 +232,24 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lloyd_spherical(sample: np.ndarray, nlist: int, iters: int = 10) -> np.ndarray:
+    """Spherical Lloyd k-means on unit vectors: assign by max dot
+    product, recenter on the L2-normalized mean. Deterministic — init
+    is the first ``nlist`` sample rows (sample is vec_id-ordered); an
+    emptied cluster keeps its previous centroid."""
+    cents = sample[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cents[c] = m / norm
+    return cents
+
+
 @query("sim_knn_ivf")  # rows-only: cluster assignment is implementation-specific
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbours: coarse
@@ -242,16 +260,26 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     one numpy matmul per Arrow batch; the candidate scan touches
     nprobe/nlist of the corpus (here ~50%, at 100 TB typically 1-2%
     with nlist ~√N). Tests assert recall ≥ 0.6 vs the exact top-10 of
-    the same query. Centroids: the first 16 vectors (deterministic);
-    a production build would k-means a sample.
+    the same query. Centroids: Lloyd k-means trained driver-side on a
+    deterministic hash-sample of the corpus (the standard IVF recipe —
+    train on a sample, broadcast the tiny centroid table; the full
+    corpus never leaves the executors for training).
     """
     nlist, nprobe, k = 16, 8, 10
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
     )
-    head = emb.filter(F.col("vec_id") < nlist).orderBy("vec_id").collect()
-    centroids = np.stack([np.array(r["emb"]) for r in head])  # (nlist, 64)
-    qvec = np.array(head[0]["emb"])  # query = vec_id 0
+    # deterministic ~50% training sample (hash-gated, not .sample() —
+    # partitioning-independent); cap the driver-side matrix at 4096 rows
+    train = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) == 0)
+        .orderBy("vec_id").limit(4096).collect()
+    )
+    sample = np.stack([np.array(r["emb"]) for r in train])
+    centroids = _lloyd_spherical(sample, nlist, iters=10)
+    qvec = np.array(
+        emb.filter(F.col("vec_id") == 0).collect()[0]["emb"]
+    )  # query = vec_id 0
     probe = set(np.argsort(-(centroids @ qvec))[:nprobe].tolist())
     bc = spark.sparkContext.broadcast((centroids, qvec, probe))
 
