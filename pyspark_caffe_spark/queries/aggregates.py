@@ -200,3 +200,37 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 12)
     )
+
+
+@query(
+    "agg_q6_selective",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def agg_q6_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style selective scalar aggregate: three conjunctive
+    predicates (range + between + less-than) feeding a single SUM —
+    the canonical pushdown probe. All three conjuncts reach the
+    parquet scan as PushedFilters, so row-groups outside the 1996
+    ship-year never leave storage; the agg itself is a map-side
+    partial + 1-row final merge (no meaningful shuffle at any scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )

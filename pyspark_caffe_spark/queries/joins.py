@@ -351,3 +351,38 @@ def join_cross_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = load_table(spark, sf_dir, "region")
     nat = load_table(spark, sf_dir, "nation")
     return reg.crossJoin(nat).select("r_name", "n_name")
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT NULLIF(o_orderstatus, 'P') AS k, COUNT(*) AS n_a
+               FROM orders GROUP BY 1),
+         b AS (SELECT NULLIF(o_orderstatus, 'F') AS k, COUNT(*) AS n_b
+               FROM orders GROUP BY 1)
+    SELECT a.k AS k_a, b.k AS k_b, n_a, n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing from the inner join.
+    Two order-status rollups with different statuses NULLed out share
+    only {O, NULL} — a plain equi-join returns 1 row, the null-safe
+    join 2.
+
+    Scale note: <=> is still a hash-joinable equi-key (Spark coalesces
+    NULL into an ordinary join value), so this stays a broadcast/SMJ —
+    no nested-loop penalty. But ALL null rows land on one key: a
+    null-heavy column needs the null side split out (union of an
+    IS NULL branch) or salted, same as any hot key."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")
+    ).agg(F.count("*").alias("n_a"))
+    b = orders.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("k")
+    ).agg(F.count("*").alias("n_b"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k_a"), b["k"].alias("k_b"), "n_a", "n_b"
+    )

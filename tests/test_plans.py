@@ -36,6 +36,8 @@ CASES = [
     ("agg_hash_groupby", r"HashAggregate(.|\n)*HashAggregate", None, "partial + final aggregation"),
     ("win_rank_topk", r"Window", r"CartesianProduct", "partitioned window"),
     ("join_lateral", r"Window", r"CartesianProduct|BroadcastNestedLoopJoin", "LATERAL decorrelated to window, not nested loop"),
+    ("agg_q6_selective", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", None, "Q6 date range pushed to parquet"),
+    ("join_null_safe", r"BroadcastHashJoin", r"BroadcastNestedLoopJoin|CartesianProduct", "null-safe equality stays a hash join"),
 ]
 
 
