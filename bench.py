@@ -25,7 +25,7 @@ from pyspark_caffe_spark.queries import QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set (15): the BASELINE.md shapes plus one representative per
+# Headline set (16): the BASELINE.md shapes plus one representative per
 # capability layer (relational / window / streaming twin / ML / LLM).
 HEADLINE = [
     "agg_hash_groupby",   # q1 pricing summary        (baseline 1.42 s)
@@ -43,6 +43,7 @@ HEADLINE = [
     "stream_tumbling",    # real Structured Streaming drain
     "join_range_bucketed",  # band join via bucketized equi-join
     "agg_time_rollup",    # hour+day rollup in one scan
+    "agg_q6_selective",   # Q6-style pushdown probe
 ]
 
 
@@ -66,7 +67,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall-clock (15 queries, noop-materialized)",
+                "metric": "headline suite wall-clock (16 queries, noop-materialized)",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,

@@ -300,3 +300,36 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand = emb.mapInPandas(search, schema="vec_id long, cos double")
     return cand.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+@query(
+    "join_partition_pruned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, label
+    FROM orders
+    JOIN (SELECT * FROM (VALUES ('F', 'finished'), ('X', 'never')) d(k, label)
+          WHERE label = 'finished') d
+      ON o_orderstatus = d.k
+    """,
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: orders written partitioned by status,
+    then joined on the partition column against a dim whose selective
+    filter (label = 'finished') is NOT on the join key — so static
+    pushdown can't prune. Spark's DPP inserts a runtime subquery that
+    broadcasts the dim's surviving keys and skips every non-matching
+    partition directory at the fact scan (`dynamicpruning` in the
+    plan's PartitionFilters). At 100 TB this is the difference between
+    scanning one status partition and scanning the table."""
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    src = load_table(spark, sf_dir, "orders")
+    path = _scratch("join_partition_pruned")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("X", "never")], "k string, label string"
+    ).filter(F.col("label") == "finished")
+    return fact.join(dim, fact.o_orderstatus == dim.k).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "label"
+    )
