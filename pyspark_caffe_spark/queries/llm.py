@@ -736,6 +736,56 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id, CAST(t.win_idx AS BIGINT) AS win_idx,
+           CAST(ASCII(SUBSTRING(text, t.win_idx * 100 + 1, 1)) AS BIGINT) AS first_sample,
+           CAST(LIST_SUM(LIST_TRANSFORM(
+                 STRING_SPLIT(SUBSTRING(text, t.win_idx * 100 + 1, 100), ''),
+                 c -> ASCII(c))) AS BIGINT) AS energy,
+           CAST(LIST_MAX(LIST_TRANSFORM(
+                 STRING_SPLIT(SUBSTRING(text, t.win_idx * 100 + 1, 100), ''),
+                 c -> ASCII(c))) AS BIGINT) AS peak
+    FROM documents, (SELECT UNNEST([0, 1, 2]) AS win_idx) t
+    WHERE n_chars >= 300
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing: binary "PCM" column → 3 fixed
+    100-byte analysis windows → per-window features (first sample,
+    energy = byte sum, peak = byte max) via mapInPandas.
+
+    Unlike the image/video stubs this one actually READS the payload
+    bytes — the windowed sum/max over the binary column is the exact
+    shape of a real frame-energy / silence-detection pass, and the
+    oracle recomputes it character-wise in SQL (fixture text is pure
+    ASCII ⇒ bytes == chars). A real ffmpeg decode would replace the
+    byte slicing only; schema, fan-out, and Arrow batch shapes stay.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 300)
+    with_bytes = docs.select("doc_id", F.encode("text", "utf-8").alias("audio_bytes"))
+    win = 100
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "win_idx": [], "first_sample": [], "energy": [], "peak": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["audio_bytes"]):
+                for i in range(3):
+                    chunk = payload[i * win : (i + 1) * win]
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(i)
+                    out["first_sample"].append(chunk[0])
+                    out["energy"].append(sum(chunk))
+                    out["peak"].append(max(chunk))
+            yield pd.DataFrame(out)
+
+    return with_bytes.mapInPandas(
+        features,
+        schema="doc_id long, win_idx long, first_sample long, energy long, peak long",
+    )
+
+
+@query(
     "udf_surface",
     oracle="""
     SELECT doc_id, lang,
