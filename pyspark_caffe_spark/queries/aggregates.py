@@ -234,3 +234,27 @@ def agg_q6_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@query("agg_hll_rollup")  # rows-only: sketch bytes are engine-specific
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch reaggregation: per (event_type, day) HLL
+    sketches of distinct users, then hll_union_agg up to a per-type
+    total estimate — the 100 TB distinct-count architecture. Unlike
+    countDistinct (whose partials are the raw values and reshuffle at
+    every rollup level), sketches are fixed-size (~KB) and merge
+    associatively: the daily sketch table is computed once and any
+    rollup (weekly, monthly, global) is a cheap union over it. Tests
+    assert the estimate within 5% of exact countDistinct."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -128,6 +128,8 @@ def threshold_pairs(
             scores = round_half_away(x @ all_mat.T, ndigits)
             mask = (my_ids[:, None] < all_ids[None, :]) & (scores >= tau)
             r, c = np.nonzero(mask)
+            if len(r) == 0:
+                continue
             out = {"id_a": my_ids[r], "id_b": all_ids[c]}
             for col in extra_cols:
                 out[f"{col}_a"] = pdf[col].to_numpy()[r]

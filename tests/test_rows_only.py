@@ -150,3 +150,18 @@ def test_ml_predict_class_matches_numpy(spark, sf_dir):
     for r in rows:
         want = int(np.argmax(CLASSIFIER.forward(np.array(r["embedding"], dtype=np.float64))))
         assert r["pred"] == want
+
+
+def test_agg_hll_rollup(spark, sf_dir):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_hll_rollup"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= 0.05 * n, f"{t}: approx {approx[t]} vs exact {n}"
