@@ -49,3 +49,43 @@ def test_plan_shape(key, want, ban, reason, spark, sf_dir):
         assert re.search(want, plan), f"{key}: expected /{want}/ ({reason})"
     if ban:
         assert not re.search(ban, plan), f"{key}: must not contain /{ban}/ ({reason})"
+
+
+_BLOOM_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+}
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """Runtime bloom-filter join pushdown — the 100 TB fact⋈fact shape:
+    with broadcast disabled (forcing SMJ, as at real fact sizes), the
+    selective filter on the creation side injects a bloom_filter_agg
+    subquery whose might_contain() drops non-matching fact rows BEFORE
+    the shuffle. Size thresholds are lowered because local fixtures are
+    below the defaults (10 GB application side); at cluster scale the
+    defaults trigger this rewrite untouched."""
+    from pyspark.sql import functions as F
+
+    from pyspark_caffe_spark.tables import load_table
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+        j = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_totalprice"
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan, "bloom filter not applied to the fact scan side"
+        assert "bloom_filter_agg" in plan, "bloom filter not built from the filtered side"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
