@@ -375,3 +375,54 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _drain(out, f"mem_stateful_{uuid.uuid4().hex[:8]}", "update")
+
+
+@query(
+    "stream_join_stream",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joined to
+    the same user's purchases within the following hour.
+
+    Both sides carry a 1-hour watermark and the join condition carries
+    the event-time interval — the combination that lets Structured
+    Streaming BOUND the join state (click rows older than watermark +
+    interval are evicted; without it, both sides buffer forever at
+    100 TB/day). Inner join + append mode + availableNow drain emits
+    exactly the matched pairs, so the batch interval join is a full
+    oracle."""
+    clicks = (
+        _read_events_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _read_events_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    return _drain(joined, f"mem_ssjoin_{uuid.uuid4().hex[:8]}", "append")
