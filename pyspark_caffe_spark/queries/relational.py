@@ -315,3 +315,43 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return a.subtract(b)  # EXCEPT DISTINCT: one anti-join, not the exceptAll count-replication rewrite
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: each custkey kept min(count_a, count_b)
+    times — the bag semantics `intersect` (distinct) loses. Spark plans
+    this as one count-replicating aggregation per side + a join, same
+    shuffle shape as the distinct variant."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT user_id AS o_custkey FROM events WHERE event_type = 'error'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: per-order custkeys minus one occurrence per
+    error event — count_a - count_b copies survive (set_except's
+    anti-join form would drop a customer entirely on a single error)."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    a = orders.select("o_custkey")
+    b = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("o_custkey")
+    )
+    return a.exceptAll(b)
