@@ -258,3 +258,29 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_modern",
+    oracle="""
+    SELECT o_custkey,
+           MAX_BY(o_orderkey, o_totalprice) AS best_order,
+           MIN_BY(o_orderkey, o_totalprice) AS worst_order,
+           CAST(COUNT_IF(o_totalprice > 200000) AS BIGINT) AS n_big,
+           BOOL_OR(o_orderstatus = 'F') AS any_finished
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate family: max_by/min_by (argmax — the per-group
+    "row with the best score" WITHOUT a window + filter pass, one hash
+    agg instead of a sort), count_if, bool_or. (o_custkey,
+    o_totalprice) is duplicate-free at every fixture SF — checked — so
+    the argmax is deterministic and fully oracled."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+    )
