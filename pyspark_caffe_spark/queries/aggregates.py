@@ -284,3 +284,35 @@ def agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
     )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total,
+             ROUND(AVG(o_totalprice), 2) AS avg_price
+      FROM orders GROUP BY 1)
+    SELECT o_orderstatus, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (n_orders, total, avg_price))
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of agg_pivot: a wide per-status
+    metrics row becomes (status, metric, value) long form. Purely a
+    projection+explode over the already-aggregated (tiny) wide table —
+    no additional shuffle beyond the groupBy that built it."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "total", "avg_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
