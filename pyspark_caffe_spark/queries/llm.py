@@ -864,3 +864,56 @@ def udf_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.* FROM _udtf_docs, LATERAL tokenize_udtf(doc_id, text) t"
     )
+
+
+_EMAIL_RE = r"[a-z0-9.]+@[a-z]+\.com"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || doc_id ||
+                       '@example.com or +1-555-' ||
+                       LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           REGEXP_REPLACE(REGEXP_REPLACE(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS scrubbed
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before tokenization. The fixture text contains no natural PII,
+    so synthetic email/phone tokens are planted on every 7th doc
+    in-query; both engines then count and redact them with the same
+    RE2-compatible patterns. All codegen'd regexp ops — at 100 TB this
+    is a pure map stage, no shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, planted).otherwise(F.col("text")).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+        ).alias("scrubbed"),
+    )
