@@ -316,3 +316,32 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) + 1 AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (10 buckets over
+    [0, 500k); fixture prices stay inside, so bucket == floor(v/50k)+1
+    — the DuckDB oracle's formulation). One hash agg over ≤10 groups:
+    the shuffle carries bucket ids, the canonical distribution-profile
+    pass at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(10))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

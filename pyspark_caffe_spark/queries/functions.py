@@ -248,3 +248,31 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("od"),
         (F.lit("42").cast("long") + F.col("o_orderkey")).alias("plus42"),
     )
+
+
+@query(
+    "fn_try",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(CASE WHEN event_type = 'click' THEN '12'
+                         ELSE event_type END AS BIGINT) AS maybe_num,
+           CASE WHEN user_id % 3 = 0 THEN NULL
+                ELSE ROUND(value / (user_id % 3), 6) END AS safe_div
+    FROM events
+    """,
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family: try_cast turns unparseable strings
+    into NULL, try_divide turns /0 into NULL — instead of killing the
+    stage under ANSI mode (Spark 4 default). At 100 TB this is the
+    difference between one malformed row poisoning a 6-hour job and a
+    NULL you can filter; the oracle spells out the equivalent
+    TRY_CAST / CASE guards."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr(
+            "try_cast(CASE WHEN event_type = 'click' THEN '12' ELSE event_type END AS BIGINT)"
+        ).alias("maybe_num"),
+        F.round(F.try_divide("value", F.col("user_id") % 3), 6).alias("safe_div"),
+    )
