@@ -345,3 +345,27 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "agg_corr_regr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_qty_disc,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope_price_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates per group: Pearson correlation,
+    sample covariance, regression slope. Each is a single-pass
+    mergeable moment computation (sum, sum², sum-of-products partials)
+    — the same partial+final shape as SUM, so the shuffle carries one
+    moment tuple per group regardless of row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope_price_qty"),
+    )
