@@ -171,3 +171,40 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.round(F.avg("o_totalprice").over(w), 4).alias("trailing_avg"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS run_len, MIN(ts) AS run_start
+    FROM seq GROUP BY user_id, event_type, grp
+    HAVING COUNT(*) >= 3
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user, via the row_number-difference trick (global seq minus
+    per-type seq is constant within a run). Both windows share the
+    user_id partition, so one shuffle serves both; runs of >= 3 are
+    the \"streak\" output. Ties on ts are broken by event_id in BOTH
+    engines — determinism requirement for any oracle over windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_type)
+    )
+    return (
+        seq.groupBy("user_id", "event_type", "grp")
+        .agg(F.count("*").alias("run_len"), F.min("ts").alias("run_start"))
+        .filter(F.col("run_len") >= 3)
+        .drop("grp")
+    )
