@@ -369,3 +369,37 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope_price_qty"),
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT o_custkey,
+           STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_list,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) BETWEEN 2 AND 6
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / STRING_AGG): per-customer
+    comma-joined orderkey list. Sorted NUMERICALLY before stringifying
+    (sort_array on longs, then cast — sorting the strings would give
+    lexicographic '100' < '99' and diverge from the oracle's ORDER BY).
+    Same one-shuffle collect shape as agg_collect; the HAVING keeps
+    list rows bounded — the guard any 100 TB list-agg needs against a
+    hot key materializing an unbounded string."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("order_list"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("n_orders").between(2, 6))
+    )
