@@ -386,3 +386,33 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"].alias("k_a"), b["k"].alias("k_b"), "n_a", "n_b"
     )
+
+
+@query(
+    "join_exists_flag",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 400000) AS has_big_order
+    FROM customer
+    """,
+)
+def join_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-flag (mark) join: every customer row kept, annotated
+    with a boolean instead of filtered (the semi/anti joins' sibling
+    that feature pipelines want — the flag becomes a model feature).
+    Implemented as left join against the DISTINCT matching keys: the
+    distinct pre-aggregation keeps the join 1:1 so no row multiplies,
+    and the build side shrinks to unique keys before broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+        .distinct()
+    )
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("o_custkey").isNotNull().alias("has_big_order"),
+    )
