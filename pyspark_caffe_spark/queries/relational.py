@@ -355,3 +355,35 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("o_custkey")
     )
     return a.exceptAll(b)
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS note
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, 'v2' AS note
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations of the same
+    table — v1 carries o_totalprice, v2 drops it and adds a note
+    column — unified by mergeSchema=true into the superset schema with
+    NULL fill. The 100 TB reality this models: a lake table whose
+    producers changed schema mid-history must stay readable without
+    rewriting petabytes; Parquet + mergeSchema gives that, and the
+    footer-only schema merge costs no data I/O."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch("schema_evolution")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", F.lit("v2").alias("note")
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{path}/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    return back.select("o_orderkey", "o_totalprice", "note")
