@@ -162,7 +162,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect",
     oracle="""
-    SELECT o_custkey, LIST(o_orderkey ORDER BY o_orderkey) AS order_keys
+    SELECT o_custkey,
+           STRING_AGG(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys
     FROM orders
     WHERE o_totalprice > 450000
     GROUP BY o_custkey
@@ -170,12 +171,25 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list + sort_array — deterministic array aggregation.
-    (Unsorted collect_list order is partition-dependent; always sort.)"""
+    (Unsorted collect_list order is partition-dependent; always sort.)
+
+    The sorted array is serialized to a comma-joined string: array-typed
+    output columns crash the driver's pandas canonicalizer (unhashable
+    list), so every registered query emits scalar columns only — locked
+    by tests/test_api.py::test_no_complex_output_columns."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.filter(F.col("o_totalprice") > 450000)
         .groupBy("o_custkey")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("order_keys")
+        )
     )
 
 

@@ -182,7 +182,7 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_struct_map",
     oracle="""
     SELECT o_orderkey,
-           ['key', 'price', 'cust'] AS mkeys,
+           'cust,key,price' AS mkeys,
            CAST(FLOOR(o_totalprice) AS BIGINT) AS price_val,
            o_custkey AS cust_val,
            CAST(3 AS INT) AS msize
@@ -192,9 +192,10 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed column family: build a MapType column per row
     (map_from_arrays), then read it back via map_keys / element_at /
-    size. Output is flattened to plain columns (the oracle recomputes
-    the values arithmetically — map layouts aren't comparable across
-    engines, their contents are)."""
+    size. Output is flattened to plain/scalar columns (map layouts
+    aren't comparable across engines, their contents are; array output
+    would crash the driver's canonicalizer — the sorted key list is
+    emitted as a comma-joined string instead)."""
     orders = load_table(spark, sf_dir, "orders")
     m = F.map_from_arrays(
         F.array(F.lit("key"), F.lit("price"), F.lit("cust")),
@@ -206,13 +207,11 @@ def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return orders.select(
         "o_orderkey",
-        F.sort_array(F.map_keys(m)).alias("_sorted_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("mkeys"),
         F.element_at(m, "price").alias("price_val"),
         F.element_at(m, "cust").alias("cust_val"),
         F.size(m).alias("msize"),
-    ).withColumn(
-        "mkeys", F.array(F.lit("key"), F.lit("price"), F.lit("cust"))
-    ).drop("_sorted_keys")
+    )
 
 
 @query(

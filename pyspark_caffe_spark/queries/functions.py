@@ -146,7 +146,10 @@ def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LEN(embedding) AS BIGINT)                          AS dim,
            CAST(embedding[1] AS DOUBLE)                            AS first_el,
            ROUND(LIST_MAX(CAST(embedding AS DOUBLE[])), 6)         AS max_el,
-           LIST_TRANSFORM(CAST(embedding[1:4] AS DOUBLE[]), x -> ROUND(x * 2, 6)) AS head2x,
+           ARRAY_TO_STRING(
+             LIST_TRANSFORM(CAST(embedding[1:4] AS DOUBLE[]),
+                            x -> CAST(CAST(ROUND(x * 2, 6) AS DECIMAL(18,6)) AS VARCHAR)),
+             ',')                                                  AS head2x,
            ROUND(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x)), 6) AS sq_norm
     FROM embeddings
     """,
@@ -157,6 +160,9 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     array<float> is cast to array<double> before aggregation (Spark's
     ``aggregate`` rejects a double accumulator over float elements —
     SURVEY §1.3.2). sq_norm ≈ 1.0: fixtures are unit-normalized.
+    head2x is serialized to a comma-joined string via DECIMAL(18,6)
+    (identical text on both engines) — array-typed outputs crash the
+    driver's canonicalizer.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     d = F.col("embedding").cast("array<double>")
@@ -165,7 +171,13 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").cast("long").alias("dim"),
         F.element_at(d, 1).alias("first_el"),
         F.round(F.array_max(d), 6).alias("max_el"),
-        F.transform(F.slice(d, 1, 4), lambda x: F.round(x * 2, 6)).alias("head2x"),
+        F.array_join(
+            F.transform(
+                F.slice(d, 1, 4),
+                lambda x: F.round(x * 2, 6).cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("head2x"),
         F.round(
             F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x), 6
         ).alias("sq_norm"),

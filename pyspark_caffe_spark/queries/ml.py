@@ -82,20 +82,36 @@ def ml_model_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ml_feature_extract",
     oracle=f"""
     SELECT vec_id,
-           [ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[0])}), 6),
-            ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[1])}), 6),
-            ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[2])}), 6),
-            ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[3])}), 6)
-           ] AS features
+           ARRAY_TO_STRING(
+             [CAST(CAST(ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[0])}), 6) AS DECIMAL(18,6)) AS VARCHAR),
+              CAST(CAST(ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[1])}), 6) AS DECIMAL(18,6)) AS VARCHAR),
+              CAST(CAST(ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[2])}), 6) AS DECIMAL(18,6)) AS VARCHAR),
+              CAST(CAST(ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[3])}), 6) AS DECIMAL(18,6)) AS VARCHAR)
+             ], ',') AS features
     FROM embeddings
     """,
 )
 def ml_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction producing a new array column (reference
-    analog: Caffe blob extraction) via model.extract_features."""
-    return extract_features(
+    """Feature extraction producing a new feature vector (reference
+    analog: Caffe blob extraction) via model.extract_features.
+
+    The array<double> vector is serialized to a comma-joined string via
+    DECIMAL(18,6) — array-typed outputs crash the driver's
+    canonicalizer; downstream consumers keep the array form by calling
+    model.extract_features directly."""
+    feats = extract_features(
         _emb(spark, sf_dir), EXTRACTOR, "embedding", "features", ndigits=6
-    ).select("vec_id", "features")
+    )
+    return feats.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: x.cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("features"),
+    )
 
 
 @query("ml_predict_join")  # rows-only: argmax near-ties are not cross-engine stable
