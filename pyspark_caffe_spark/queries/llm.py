@@ -539,11 +539,13 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution is ~0.38). Keep-first semantics: the duplicate's
     canonical survivor is its minimum near-neighbour id.
 
-    Pair generation is vecops.threshold_pairs (broadcast matrix +
-    numpy block matmul — never a crossJoin); the dedup decision is one
-    groupBy(dup_id) + a broadcast-joined lang lookup. At 100 TB the
-    identical decision aggregation runs after sign-LSH bucketing
-    (sim_lsh_bucketed) prunes the candidate pairs.
+    Pair generation is vecops.threshold_pairs (never a crossJoin):
+    bounded broadcast-matrix matmul for small corpora, distributed
+    block-pair matmul above the row guard — no unbounded driver
+    collect on any path. The dedup decision is one groupBy(dup_id) +
+    a broadcast-joined lang lookup. At 100 TB the identical decision
+    aggregation runs after sign-LSH bucketing (sim_lsh_bucketed)
+    prunes the candidate pairs.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")

@@ -118,6 +118,40 @@ def test_vecops_threshold_matches_numpy(spark, emb_df):
     assert got == want
 
 
+def test_vecops_threshold_blocked_tier_matches_numpy(spark, emb_df):
+    """Force the distributed block-pair tier (broadcast cap 0) — must be
+    exactly the numpy all-pairs result, including companion columns."""
+    df, mat = emb_df
+    df = df.withColumn("lbl", (F.col("vec_id") % 3).cast("int"))
+    tau = 0.3
+    scores = np.round(mat @ mat.T, 6)
+    iu = np.triu_indices(len(mat), k=1)
+    want = {(int(a), int(b)) for a, b in zip(*iu) if scores[a, b] >= tau}
+    got_rows = vecops.threshold_pairs(
+        df, tau=tau, extra_cols=["lbl"], broadcast_max_rows=0, block_rows=7
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got == want
+    for r in got_rows:
+        assert r["id_a"] < r["id_b"]
+        assert r["lbl_a"] == r["id_a"] % 3 and r["lbl_b"] == r["id_b"] % 3
+
+
+def test_vecops_topk_blocked_tier_matches_broadcast(spark, emb_df):
+    df, mat = emb_df
+    broad = vecops.topk_pairs(df, k=5).collect()
+    blocked = vecops.topk_pairs(df, k=5, broadcast_max_rows=0, block_rows=7).collect()
+    assert [tuple(r) for r in blocked] == [tuple(r) for r in broad]
+
+
+def test_vecops_collect_matrix_guard(spark, emb_df):
+    df, _ = emb_df
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="broadcast tier cap"):
+        vecops._collect_matrix(df, "vec_id", "emb", max_rows=10)
+
+
 def test_vecops_knn_for_query(spark, emb_df):
     df, mat = emb_df
     q = mat[0]
