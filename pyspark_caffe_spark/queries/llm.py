@@ -397,7 +397,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (4-gram) Jaccard similarity join via shingle
     inverted index: explode distinct shingles, self-join on the shingle
     (the inverted-index pattern — pairs sharing no shingle never meet),
-    count intersections, filter J ≥ 0.5."""
+    count intersections, filter J ≥ 0.5. textops.jaccard_pairs carries
+    a document-frequency cutoff (broadcast anti-join of the hot-shingle
+    list) so one boilerplate shingle can't go quadratic at corpus
+    scale; fixture max df is 6, far under the cap, so the oracle stays
+    exact."""
     docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
     return textops.jaccard_pairs(docs, "text", "doc_id", shingle_k=4, threshold=0.5)
 

@@ -81,10 +81,22 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", num_hashes: int = 32, bands: int = 8
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Band the signature, bucket-gather, emit candidate (id_a < id_b)
-    pairs. The only shuffle is groupBy(band); never O(n²)."""
+    pairs. The only shuffle is groupBy(band); never O(n²).
+
+    ``max_bucket`` is the skew guard: a band bucket of M docs emits
+    M(M-1)/2 pairs, so one degenerate bucket (boilerplate corpus, a
+    constant field minhashed by mistake) can go quadratic. Buckets over
+    the cap are dropped — at that collision rate the members are
+    better handled by the exact-dedup pass (fingerprint groupBy) than
+    by pairwise comparison. Fixture buckets are ≤ ~5 docs; the default
+    cap never fires on real (non-degenerate) data."""
     if bands <= 0 or num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must divide evenly into bands ({bands}); "
@@ -110,6 +122,8 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -133,10 +147,11 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs, end to end."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    return lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket)
 
 
 def jaccard_pairs(
@@ -145,14 +160,33 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 4,
     threshold: float = 0.5,
+    max_df: int | None = 1024,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard via inverted index self-join."""
+    """Exact shingle-set Jaccard via inverted index self-join.
+
+    ``max_df`` is the skew guard (standard document-frequency cutoff):
+    a shingle appearing in M docs contributes M(M-1)/2 rows to the
+    self-join, so one ubiquitous boilerplate shingle goes quadratic at
+    corpus scale. Shingles over the cap are removed from the shingle
+    space BEFORE sizes and intersections (both sides see the same
+    space, so the Jaccard stays internally consistent); the hot list
+    is tiny by construction and anti-joined via broadcast — no extra
+    shuffle on the big side. Fixture max df is 6, so the default cap
+    never fires there (oracle parity unchanged)."""
     # array_distinct already de-dupes within a doc and id_col is unique
     # per doc for every caller — no .distinct() (a full extra shuffle of
     # the largest intermediate in the job)
     sh = df.select(
         F.col(id_col), F.explode(F.array_distinct(shingles_of(text_col, shingle_k))).alias("sh")
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -96,6 +96,34 @@ def test_jaccard_pairs(spark, docs_df):
     assert 0.5 <= out[(0, 2)] < 1.0
 
 
+def test_jaccard_hot_shingle_guard(spark):
+    """Planted ubiquitous shingle: df-cutoff must suppress its quadratic
+    candidate block while true near-dups (overlapping on non-hot
+    shingles) still pair up."""
+    rows = [(i, f"common boiler plate text u{i}a u{i}b u{i}c") for i in range(40)]
+    rows.append((100, "common boiler plate text u5a u5b u5c extra"))
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in textops.jaccard_pairs(df, max_df=10).collect()
+    }
+    # only the planted near-dup survives; the shared boilerplate shingle
+    # (df=41 > 10) generates no pairs
+    assert set(got) == {(5, 100)}
+    assert abs(got[(5, 100)] - 0.75) < 1e-9  # 3 common / (3 + 4 - 3) non-hot shingles
+
+
+def test_minhash_bucket_guard(spark):
+    """Degenerate bucket (30 identical docs → every band bucket holds
+    all 30): the bucket cap drops it; uncapped it goes quadratic."""
+    rows = [(i, "identical corpus boilerplate text repeated endlessly here") for i in range(30)]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    ungated = textops.minhash_dedup_pairs(df, num_hashes=16, bands=8, max_bucket=None)
+    assert ungated.count() == 30 * 29 // 2
+    gated = textops.minhash_dedup_pairs(df, num_hashes=16, bands=8, max_bucket=16)
+    assert gated.count() == 0
+
+
 def test_vecops_topk_matches_numpy(spark, emb_df):
     df, mat = emb_df
     from pyspark_caffe_spark.nputil import round_half_away
