@@ -236,12 +236,25 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_seeded")  # rows-only: samplers differ across engines
+@query(
+    "sample_seeded",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE ((o_orderkey * 1103515245 + 12345) % 2147483647) % 10 = 0
+    """,
+)
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample — deterministic for a fixed seed and
-    partitioning; executes scan-side with no shuffle."""
+    """Deterministic ~10% sample via hash-gating on the key (LCG mix
+    mod a Mersenne prime, keep h % 10 == 0) — executes scan-side with
+    no shuffle, like a Bernoulli sample, but content-deterministic:
+    ``df.sample(seed=...)`` draws per-partition, so the SAME seed
+    yields a DIFFERENT sample after any repartition — a silent
+    reproducibility trap in a 100 TB pipeline where partitioning is
+    chosen by AQE. Hash-gating is stable across partitioning, engines
+    (exact SQL twin), and reruns."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+    h = F.pmod(F.col("o_orderkey") * F.lit(1103515245) + F.lit(12345), F.lit((1 << 31) - 1))
+    return orders.filter(F.pmod(h, F.lit(10)) == 0).select("o_orderkey", "o_totalprice")
 
 
 # ---------------------------------------------------------------------------

@@ -219,17 +219,29 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_stratified")  # rows-only: sampler implementation-specific
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    WHERE CASE WHEN event_type IN ('click', 'view')
+               THEN ((event_id * 1103515245 + 12345) % 2147483647) % 5 = 0
+               ELSE TRUE END
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling: per-stratum fractions via sampleBy —
-    down-weight the dominant event type, keep the rare ones (the
-    class-rebalancing step of a training-data pipeline). Seeded ⇒
-    deterministic for a fixed partitioning."""
+    """Stratified sampling with per-stratum rates: down-weight the
+    dominant event types to ~20%, keep the rare ones whole (the
+    class-rebalancing step of a training-data pipeline). Selection is
+    hash-gated on the key (same LCG mix as sample_seeded) rather than
+    ``sampleBy``: per-partition seeded draws change with partitioning,
+    hash-gating is content-deterministic and has an exact SQL twin —
+    the reproducibility property a snapshotted training set needs."""
     ev = load_table(spark, sf_dir, "events")
-    fractions = {"click": 0.2, "view": 0.2, "purchase": 1.0, "signup": 1.0, "error": 1.0}
-    return ev.sampleBy("event_type", fractions, seed=42).select(
-        "event_id", "event_type", "value"
-    )
+    h = F.pmod(F.col("event_id") * F.lit(1103515245) + F.lit(12345), F.lit((1 << 31) - 1))
+    keep = F.when(
+        F.col("event_type").isin("click", "view"), F.pmod(h, F.lit(5)) == 0
+    ).otherwise(F.lit(True))
+    return ev.filter(keep).select("event_id", "event_type", "value")
 
 
 def _lloyd_spherical(sample: np.ndarray, nlist: int, iters: int = 10) -> np.ndarray:
