@@ -335,7 +335,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_histogram",
     oracle="""
-    SELECT CAST(FLOOR(o_totalprice / 50000) + 1 AS BIGINT) AS bucket,
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000) + 1, 11) AS BIGINT) AS bucket,
            COUNT(*) AS n_orders,
            ROUND(SUM(o_totalprice), 2) AS total
     FROM orders GROUP BY 1
@@ -343,10 +343,11 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram via width_bucket (10 buckets over
-    [0, 500k); fixture prices stay inside, so bucket == floor(v/50k)+1
-    — the DuckDB oracle's formulation). One hash agg over ≤10 groups:
-    the shuffle carries bucket ids, the canonical distribution-profile
-    pass at any scale."""
+    [0, 500k); the oracle mirrors width_bucket's overflow clamp with
+    LEAST(..., 11) so the two sides stay structurally identical even
+    if a regenerated fixture ever exceeds 550k). One hash agg over ≤10
+    groups: the shuffle carries bucket ids, the canonical
+    distribution-profile pass at any scale."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(

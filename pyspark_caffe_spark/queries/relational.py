@@ -394,9 +394,12 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", F.lit("v2").alias("note")
     )
-    v1.write.mode("overwrite").parquet(f"{path}/gen=1")
-    v2.write.mode("overwrite").parquet(f"{path}/gen=2")
+    # plain v1/v2 dir names, NOT key=value: a Hive-style gen=1 segment
+    # would be inferred as a partition column by any future read of the
+    # parent scratch path
+    v1.write.mode("overwrite").parquet(f"{path}/v1")
+    v2.write.mode("overwrite").parquet(f"{path}/v2")
     back = spark.read.option("mergeSchema", "true").parquet(
-        f"{path}/gen=1", f"{path}/gen=2"
+        f"{path}/v1", f"{path}/v2"
     )
     return back.select("o_orderkey", "o_totalprice", "note")

@@ -288,10 +288,17 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id").limit(4096).collect()
     )
     sample = np.stack([np.array(r["emb"]) for r in train])
+    if len(sample) < nlist:
+        # degenerate corpus: fewer training rows than requested lists —
+        # shrink nlist (and nprobe with it) rather than silently
+        # training short centroids
+        nlist = max(1, len(sample))
+        nprobe = min(nprobe, nlist)
     centroids = _lloyd_spherical(sample, nlist, iters=10)
-    qvec = np.array(
-        emb.filter(F.col("vec_id") == 0).collect()[0]["emb"]
-    )  # query = vec_id 0
+    qrow = emb.filter(F.col("vec_id") == 0).collect()  # query = vec_id 0
+    if not qrow:
+        raise ValueError("sim_knn_ivf: query vector vec_id=0 not present in corpus")
+    qvec = np.array(qrow[0]["emb"])
     probe = set(np.argsort(-(centroids @ qvec))[:nprobe].tolist())
     bc = spark.sparkContext.broadcast((centroids, qvec, probe))
 
