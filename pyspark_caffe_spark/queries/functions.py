@@ -288,3 +288,33 @@ def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("maybe_num"),
         F.round(F.try_divide("value", F.col("user_id") % 3), 6).alias("safe_div"),
     )
+
+
+@query(
+    "fn_regexp",
+    oracle=r"""
+    SELECT doc_id,
+           REGEXP_EXTRACT(text, '([a-z]+)ing', 1)                    AS first_ing_stem,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS INT)      AS n_numbers,
+           REGEXP_REPLACE(text[1:40], '[aeiou]', '_', 'g')           AS devoweled_head,
+           (text LIKE '%data%')                                      AS has_data,
+           REGEXP_MATCHES(text, '^[A-Z]')                            AS starts_upper
+    FROM documents
+    """,
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family over the corpus text: group extraction, global
+    match count, global replace, substring LIKE, anchored search —
+    all JVM codegen'd expressions (never a Python UDF for regex: at
+    100 TB the regex pass is a pure map stage that must stay
+    JVM-side). Patterns kept to the Java/RE2-common subset so the
+    DuckDB twin matches byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)ing", 1).alias("first_ing_stem"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("int").alias("n_numbers"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]", "_").alias("devoweled_head"),
+        F.col("text").contains("data").alias("has_data"),
+        F.col("text").rlike("^[A-Z]").alias("starts_upper"),
+    )

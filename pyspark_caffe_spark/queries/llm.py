@@ -923,3 +923,86 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
         ).alias("scrubbed"),
     )
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+    )
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM media GROUP BY md5(text)
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-media dedup by content hash: hash the payload bytes
+    (md5 — stable across engines), group, keep the smallest id. The
+    canonical first pass over a scraped image/audio corpus: byte-exact
+    duplicates collapse BEFORE any expensive decode or embedding step,
+    and the shuffle carries (16-byte hash, id) — never the payload.
+    Payloads here are the documents' bytes standing in for media blobs
+    (no image libs in this container); 50 byte-identical copies are
+    planted at ids +1,000,000. The Spark side hashes the BINARY
+    column — exactly what it would do on real image bytes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    media = docs.unionByName(dups).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return (
+        media.groupBy(F.md5("payload").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "pipeline_training_snapshot",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, lang, text,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words
+      FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 30
+        AND CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                  w -> LIST_CONTAINS({STOPWORDS!r}, w))) AS DOUBLE)
+            / LEN(STRING_SPLIT(text, ' ')) < 0.4
+    ), deduped AS (
+      SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang, MIN(n_words) AS n_words
+      FROM quality
+      GROUP BY {{norm}}
+    )
+    SELECT doc_id, lang, n_words
+    FROM deduped
+    WHERE ((doc_id * 1103515245 + 12345) % 2147483647) % 2 = 0
+    """.format(norm="LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"),
+)
+def pipeline_training_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data snapshot pipeline in ONE declarative plan:
+    quality gate (min length + stopword-ratio cap) → exact dedup
+    keep-first (normalized text) → deterministic hash-gated 50%
+    subsample → per-doc manifest (id, lang, token count).
+
+    Every stage is the scale-correct form: the quality gate is a pure
+    codegen'd map (runs scan-side), dedup shuffles once on the
+    normalization key (at 100 TB: on xxhash64 of it — text_fingerprint),
+    and the subsample is content-deterministic (same LCG gate as
+    sample_seeded) so a snapshot is reproducible regardless of
+    partitioning. Catalyst pipelines all of it with no driver
+    round-trips."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = textops.quality_columns("text", STOPWORDS)
+    quality = docs.select("doc_id", "lang", "text", q["n_words"].alias("n_words")).filter(
+        (q["n_words"] >= 30) & (q["stopword_ratio"] < 0.4)
+    )
+    deduped = quality.groupBy(textops.normalized("text").alias("_norm")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_words").alias("n_words"),
+    )
+    h = F.pmod(F.col("doc_id") * F.lit(1103515245) + F.lit(12345), F.lit((1 << 31) - 1))
+    return deduped.filter(F.pmod(h, F.lit(2)) == 0).select("doc_id", "lang", "n_words")

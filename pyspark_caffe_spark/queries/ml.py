@@ -158,3 +158,45 @@ def ml_train_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, round(m, 6)) for i, m in enumerate(losses)], schema="iteration int, mse double"
     )
+
+
+@query(
+    "ml_centroids",
+    oracle="""
+    WITH bypos AS (
+      SELECT label, pos, AVG(v) AS m
+      FROM (SELECT label,
+                   UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+                   GENERATE_SUBSCRIPTS(embedding, 1)   AS pos
+            FROM embeddings)
+      GROUP BY label, pos
+    )
+    SELECT label, CAST(COUNT(*) AS INT) AS dim,
+           STRING_AGG(CAST(CAST(ROUND(m, 6) AS DECIMAL(18,6)) AS VARCHAR),
+                      ',' ORDER BY pos) AS centroid
+    FROM bypos GROUP BY label
+    """,
+)
+def ml_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (class prototype) — the reduction
+    behind nearest-centroid classifiers, cluster summaries, and
+    IVF coarse training. posexplode to (label, pos, value), partial
+    avg per (label, pos) — the shuffle carries tiny (label, pos,
+    sum, count) tuples thanks to map-side partial aggregation, never
+    whole vectors — then one re-assembly groupBy(label) with a
+    position-sorted join of the 64 means into the DECIMAL-text
+    serialization (array outputs crash the driver canonicalizer)."""
+    emb = _emb(spark, sf_dir).select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    bypos = emb.groupBy("label", "pos").agg(F.avg("v").alias("m"))
+    return bypos.groupBy("label").agg(
+        F.count("*").cast("int").alias("dim"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: F.round(s["m"], 6).cast("decimal(18,6)").cast("string"),
+            ),
+            ",",
+        ).alias("centroid"),
+    )

@@ -403,3 +403,83 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{path}/v1", f"{path}/v2"
     )
     return back.select("o_orderkey", "o_totalprice", "note")
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+    SELECT 'doc_' || doc_id || '.bin' AS fname,
+           CAST(n_chars AS BIGINT)    AS length
+    FROM documents WHERE doc_id < 8
+    """,
+)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — Spark's ingestion path for raw media files
+    (images/audio/video land as one row per file: path, modTime,
+    length, content binary). Eight docs' bytes are materialized as
+    .bin files and read back; the oracle checks (name, length) against
+    the documents table (ASCII fixtures ⇒ bytes == chars). At 100 TB
+    the same reader fans out over an object-store listing; per-file
+    rows then feed the multimodal_* decode stages."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 8)
+    d = _scratch("binfiles_" + os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(d, exist_ok=True)
+    for r in docs.select("doc_id", "text").collect():  # 8 rows, bounded
+        with open(os.path.join(d, f"doc_{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(d)
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.col("length"),
+    )
+
+
+@query(
+    "sink_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    ), upd AS (
+      SELECT o_orderkey, ROUND(o_totalprice + 1000, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+           ROUND(COALESCE(u.o_totalprice, b.o_totalprice), 2) AS o_totalprice,
+           CASE WHEN u.o_orderkey IS NULL THEN 'kept'
+                WHEN b.o_orderkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet (no lakehouse jars in
+    this container): base table full-outer-joined with a staged update
+    set — matched rows take the update, unmatched-by-source rows keep
+    the base value, unmatched-by-target rows insert — then the merged
+    result is written and read back (copy-on-write, what Delta/Iceberg
+    MERGE does under the hood per touched file). Pairs with
+    dedup_latest for CDC compaction. At scale the join shuffles on the
+    upsert key; with a bucketed base table (sink_bucketed) the shuffle
+    drops to the update side only."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey", "o_totalprice")
+    upd = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") + 1000, 2).alias("o_totalprice")
+    )
+    b, u = base.alias("b"), upd.alias("u")
+    merged = (
+        b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.o_orderkey"), F.col("u.o_orderkey")).alias("o_orderkey"),
+            F.round(
+                F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")), 2
+            ).alias("o_totalprice"),
+            F.when(F.col("u.o_orderkey").isNull(), "kept")
+            .when(F.col("b.o_orderkey").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("merge_action"),
+        )
+    )
+    path = _scratch("merge_upsert_" + os.path.basename(sf_dir.rstrip("/")))
+    merged.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -145,3 +145,43 @@ def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
     )
+
+
+@query(
+    "sim_knn_batch",
+    oracle="""
+    SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+           ROUND(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]),
+                                  CAST(q.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings b, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+    WHERE b.vec_id <> q.vec_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY cos DESC, b.vec_id) <= 3
+    """,
+)
+def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN — top-3 neighbours for EACH of a set of query vectors
+    (the realistic serving/eval shape, vs sim_knn_query's single
+    probe). The 5-query table broadcasts onto every corpus partition
+    (5× scan fan-out, zero shuffle of the corpus); the per-query rank
+    is one window over (query_id). Fully JVM-side: zip_with/aggregate
+    dot product, no Python. At 100 TB with thousands of queries the
+    same plan holds — broadcast the query block, fan out, rank."""
+    from pyspark.sql import Window
+
+    emb = _load_emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "q_emb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(dot, 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("query_id", "vec_id", "cos")
+    )
