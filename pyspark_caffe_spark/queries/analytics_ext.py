@@ -413,3 +413,75 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("prediction").alias("cluster"))
         .agg(F.count("*").alias("n_vectors"))
     )
+
+
+@query(
+    "join_corr_scalar",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (SELECT MAX(o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    WHERE c_acctbal > 5000
+    """,
+)
+def join_corr_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (TPC-H Q2's shape): per-customer max
+    order value as a subselect in the projection. Catalyst decorrelates
+    it into aggregate-then-LEFT-join — the only scale-sane plan (a
+    per-row subquery execution would be O(rows) round trips); customers
+    with no orders surface NULL, exactly the SQL semantics. Written in
+    SQL to exercise the decorrelation path end-to-end."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView(cv := f"_cs_cust_{uuid.uuid4().hex[:8]}")
+    orders.createOrReplaceTempView(ov := f"_cs_ord_{uuid.uuid4().hex[:8]}")
+    df = spark.sql(f"""
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_totalprice) FROM {ov} o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM {cv} c
+        WHERE c_acctbal > 5000
+    """)
+    spark.catalog.dropTempView(cv)
+    spark.catalog.dropTempView(ov)
+    return df
+
+
+@query(
+    "agg_q18_topk",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, ROUND(sum_qty, 4) AS sum_qty
+    FROM orders o
+    JOIN customer c ON c_custkey = o_custkey
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 150) big
+      ON big.l_orderkey = o.o_orderkey
+    """,
+)
+def agg_q18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18's shape): orders whose total
+    lineitem quantity exceeds a threshold, joined back to customer.
+    The aggregation runs FIRST — lineitem collapses to one row per
+    order before any join touches it, so the join probes shrink by the
+    lineitem fan-in factor. At 100 TB this ordering (agg-then-join,
+    which Catalyst preserves from the declarative form) is the
+    difference between shuffling 100 TB and shuffling orders-sized
+    data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "o_orderkey", "o_totalprice",
+            F.round("sum_qty", 4).alias("sum_qty"),
+        )
+    )

@@ -39,6 +39,11 @@ CASES = [
     ("agg_q6_selective", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", None, "Q6 date range pushed to parquet"),
     ("join_null_safe", r"BroadcastHashJoin", r"BroadcastNestedLoopJoin|CartesianProduct", "null-safe equality stays a hash join"),
     ("join_partition_pruned", r"dynamicpruning", None, "runtime partition pruning from the dim filter"),
+    ("sim_knn_batch", r"BroadcastNestedLoopJoin", r"CartesianProduct", "query block broadcast onto corpus, never a cartesian shuffle"),
+    ("sink_merge_upsert", r"ReadSchema: [^\n]*merge_action", None, "sink returns the written merged snapshot (merge plan ran at write time)"),
+    ("ml_centroids", r"HashAggregate(.|\n)*HashAggregate", None, "per-(label,pos) partial agg before shuffle"),
+    ("fn_regexp", r"ReadSchema: [^\n]*text", r"ReadSchema: [^\n]*n_chars", "regex pass reads only doc_id+text"),
+    ("pipeline_training_snapshot", r"partial_min", r"hashpartitioning(.|\n)*hashpartitioning", "partial agg below the single dedup shuffle; no shuffle pile-up"),
 ]
 
 
