@@ -184,38 +184,53 @@ def sink_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_fuzzy_blocked",
     oracle="""
-    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-           a.p_name AS name_a, b.p_name AS name_b,
+    WITH names AS (
+      SELECT p_name, MIN(p_partkey) AS rep_key, COUNT(*) AS n_rows
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           a.rep_key AS rep_a, b.rep_key AS rep_b,
+           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
            CAST(LEVENSHTEIN(a.p_name, b.p_name) AS BIGINT) AS dist
-    FROM part a JOIN part b
+    FROM names a JOIN names b
       ON STRING_SPLIT(a.p_name, ' ')[2] = STRING_SPLIT(b.p_name, ' ')[2]
-     AND a.p_partkey < b.p_partkey
-    WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
+     AND a.rep_key < b.rep_key
+    WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 2
     """,
 )
 def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy (edit-distance) self-join on part names: block on
-    the noun (second word) so levenshtein only runs within blocks —
-    the classic entity-resolution shape. An unblocked fuzzy join is
-    O(n²) string comparisons; blocking reduces it to Σ|block|², and at
-    100 TB the block key becomes a coarser signature (soundex /
-    length-band / q-gram prefix)."""
+    """Blocked fuzzy (edit-distance) join — the entity-resolution
+    shape, done in the scale-correct order: FIRST collapse rows to the
+    distinct entity-string vocabulary (one groupBy: 20k part rows →
+    64 names at sf0.1, and the vocabulary, not the row count, is what
+    edit distance is about), THEN pair within blocks (noun = second
+    word) with two lossless prunes — a length-band prefilter (edit
+    distance ≥ length difference) and Spark 4's THRESHOLDED
+    levenshtein (banded O(len·k) DP, -1 above the cutoff, never the
+    full matrix). Pairing raw rows instead of the vocabulary went
+    quadratic in SF on this fixture (0.7 s → 24 s for 10× data,
+    2.4M near-identical output pairs); the vocabulary form is
+    SF-invariant output joined back to per-name row counts. At 100 TB
+    the blocks get a finer composite key (noun + q-gram prefix)."""
     part = load_table(spark, sf_dir, "part")
-    keyed = part.select(
-        "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("noun")
+    names = part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("rep_key"), F.count("*").alias("n_rows")
+    ).withColumn("noun", F.split("p_name", " ").getItem(1))
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("rep_key").alias("rep_a"),
+        F.col("n_rows").alias("n_rows_a"), "noun",
     )
-    a = keyed.select(
-        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"), "noun"
-    )
-    b = keyed.select(
-        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"), "noun"
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("rep_key").alias("rep_b"),
+        F.col("n_rows").alias("n_rows_b"), "noun",
     )
     return (
         a.join(b, "noun")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter((F.col("dist") <= 2) & (F.col("name_a") != F.col("name_b")))
-        .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        .withColumn("dist", F.levenshtein("name_a", "name_b", 2).cast("long"))
+        .filter(F.col("dist") >= 0)
+        .select("name_a", "name_b", "rep_a", "rep_b", "n_rows_a", "n_rows_b", "dist")
     )
 
 
