@@ -1006,3 +1006,38 @@ def pipeline_training_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.pmod(F.col("doc_id") * F.lit(1103515245) + F.lit(12345), F.lit((1 << 31) - 1))
     return deduped.filter(F.pmod(h, F.lit(2)) == 0).select("doc_id", "lang", "n_words")
+
+
+@query("dedup_candidate_verify")  # rows-only: candidates are LSH-impl-specific
+def dedup_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup pipeline: MinHash-LSH candidate
+    generation followed by exact-Jaccard VERIFICATION of only the
+    candidate pairs — the candidate→verify composition every corpus
+    dedup runs at scale (LSH alone over-merges on band collisions;
+    exact Jaccard alone is quadratic; candidates∩verify is both sound
+    and near-linear). The verify join touches |candidates| pairs, not
+    Σ|block|²: shingle sets are re-derived per side and intersected
+    with a broadcast-joined candidate list. Tests assert the verified
+    set equals the exact jaccard_pairs result restricted to LSH
+    candidates, with recall ≥ 0.9 of all true pairs."""
+    docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
+    cands = textops.minhash_dedup_pairs(docs, "text", "doc_id", num_hashes=32, bands=16)
+    sh = docs.select(
+        "doc_id", F.array_distinct(textops.shingles_of("text", 4)).alias("shset")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shset").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shset").alias("sh_b"))
+    verified = (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified.select("id_a", "id_b", "jaccard")

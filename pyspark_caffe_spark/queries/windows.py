@@ -208,3 +208,25 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_len") >= 3)
         .drop("grp")
     )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) — equi-height bucketing per segment (the quartile/
+    decile assignment behind score binning and per-stratum splits).
+    Deterministic tie-break on the key so both engines agree on
+    boundary rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+    )

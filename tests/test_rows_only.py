@@ -165,3 +165,22 @@ def test_agg_hll_rollup(spark, sf_dir):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= 0.05 * n, f"{t}: approx {approx[t]} vs exact {n}"
+
+
+def test_dedup_candidate_verify(spark, sf_dir):
+    """Verified set == exact jaccard pairs restricted to LSH candidates;
+    recall ≥ 0.9 of ALL true pairs (16 bands of 2 rows collide often at
+    J≥0.5)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in QUERIES["dedup_candidate_verify"](spark, sf_dir).collect()
+    }
+    assert set(verified) <= set(exact), "verify must never pass a non-true pair"
+    for pair, j in verified.items():
+        assert abs(j - exact[pair]) < 1e-9
+    recall = len(verified) / len(exact)
+    assert recall >= 0.9, f"candidate recall {recall} over {len(exact)} true pairs"
