@@ -51,6 +51,7 @@ _EXPENSIVE_LAST = [
     "stream_stateful",
     "stream_join_stream",
     "stream_tumbling",
+    "stream_recovery",
     "stream_watermark_late",
 ]
 

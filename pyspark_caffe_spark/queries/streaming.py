@@ -431,3 +431,61 @@ def stream_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
     return _drain(joined, f"mem_ssjoin_{uuid.uuid4().hex[:8]}", "append", partitions=4)
+
+
+@query(
+    "stream_recovery",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed restart with an exactly-once file sink: the events
+    table is replayed as TWO files; the streaming query drains file 1,
+    STOPS, then a second query start with the SAME checkpoint drains
+    only file 2 (the source offsets live in the checkpoint's WAL — no
+    reprocessing), and the parquet sink's transaction log keeps the
+    output exactly-once across the restart. Reading the sink back
+    equals the batch table — the oracle. This is the recovery
+    semantics a 100 TB/day pipeline leans on after every executor or
+    driver loss; availableNow only changes the trigger, not the
+    commit protocol."""
+    ev = load_table(spark, sf_dir, "events")
+    base = _scratch("recovery_" + os.path.basename(sf_dir.rstrip("/")))
+    src, sink, ckpt = base + "/src", base + "/sink", base + "/ckpt"
+    import shutil
+
+    for d in (src, sink, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+
+    def _raw(df: DataFrame) -> DataFrame:
+        return df.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long")).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+
+    half = F.col("event_id") % 2 == 0
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .select("event_id", "user_id", "event_type", "value")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _raw(ev.filter(half)).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # drains file 1, commits offsets + sink txn log, stops
+    time.sleep(0.15)  # distinct mtime for deterministic file ordering
+    _raw(ev.filter(~half)).coalesce(1).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint: processes ONLY file 2
+    return spark.read.parquet(sink)
