@@ -173,3 +173,38 @@ def test_band_join_bucketing_matches_bruteforce(spark, vals):
         if i < j and vi - band <= vj <= vi
     }
     assert got == want
+
+
+@given(
+    n=st.integers(2, 20),
+    seed=st.integers(0, 2**16),
+    tau=st.floats(-0.5, 0.9),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_blocked_threshold_tier_matches_bruteforce(spark, n, seed, tau):
+    """The distributed block-pair tier must equal naive O(n²) pairs for
+    ANY corpus size, block size, and threshold — including block counts
+    that don't divide the corpus and blocks left empty by hash gaps."""
+    import numpy as np
+
+    from pyspark_caffe_spark import vecops
+
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, 6))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        schema="vec_id long, emb array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in vecops.threshold_pairs(
+            df, tau=tau, broadcast_max_rows=0, block_rows=3
+        ).collect()
+    }
+    scores = np.round(mat @ mat.T, 6)
+    want = {
+        (i, j) for i in range(n) for j in range(i + 1, n) if scores[i, j] >= tau
+    }
+    assert got == want
