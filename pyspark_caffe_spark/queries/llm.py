@@ -1041,3 +1041,94 @@ def dedup_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+@query(
+    "pack_shards",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             doc_id % 8 AS pack_group
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, pack_group,
+           CAST(pack_group * 100000
+                + FLOOR((SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / 4096) AS BIGINT) AS shard_id
+    FROM toks
+    """,
+)
+def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed token-budget training
+    shards (budget 4096) by running cumulative token count — each doc
+    lands in the shard where its group's token stream crosses a budget
+    boundary. The cumsum runs WITHIN 8 deterministic pack groups
+    (doc_id % 8), not globally: a global ORDER BY cumsum is a
+    single-partition window (the classic scale trap); partitioned
+    packing keeps every group's window local to one executor and
+    shards are globally unique via group * 100000 + local. This is the
+    sharding pass every pretraining pipeline runs between corpus and
+    dataloader."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 8).alias("pack_group"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "pack_group",
+        (
+            F.col("pack_group") * 100000
+            + F.floor((cum - F.col("n_tokens")) / 4096)
+        ).cast("long").alias("shard_id"),
+    )
+
+
+@query(
+    "corpus_mixture",
+    oracle="""
+    SELECT doc_id, lang, CAST(copy_idx AS BIGINT) AS copy_idx
+    FROM documents, (SELECT UNNEST([0, 1]) AS copy_idx) t
+    WHERE lang = 'en'
+    UNION ALL
+    SELECT doc_id, lang, 0 AS copy_idx FROM documents
+    WHERE lang <> 'en'
+      AND (lang IN ('de', 'fr')
+           OR ((doc_id * 1103515245 + 12345) % 2147483647) % 2 = 0)
+    """,
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling — the weighted-corpus step of
+    pretraining: en is UPsampled ×2 (explode over a copy-index
+    sequence, so each replica is addressable downstream), de/fr kept
+    whole, every other language DOWNsampled to ~50% by the
+    deterministic LCG hash gate (content-stable, partitioning-proof —
+    same guarantees as sample_seeded). Pure codegen'd map stage: the
+    mixture of a 100 TB corpus is one scan, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    en = (
+        docs.filter(F.col("lang") == "en")
+        .select("doc_id", "lang", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("_ci"))
+        .select("doc_id", "lang", F.col("_ci").cast("long").alias("copy_idx"))
+    )
+    h = F.pmod(F.col("doc_id") * F.lit(1103515245) + F.lit(12345), F.lit((1 << 31) - 1))
+    rest = (
+        docs.filter(F.col("lang") != "en")
+        .filter(F.col("lang").isin("de", "fr") | (F.pmod(h, F.lit(2)) == 0))
+        .select("doc_id", "lang", F.lit(0).cast("long").alias("copy_idx"))
+    )
+    return en.unionByName(rest)
