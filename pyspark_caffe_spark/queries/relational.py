@@ -483,3 +483,41 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("merge_upsert_" + os.path.basename(sf_dir.rstrip("/")))
     merged.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+@query(
+    "profile_table",
+    oracle="""
+    SELECT COUNT(*)                                        AS n_rows,
+           COUNT(DISTINCT o_custkey)                       AS n_custkeys,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS n_null_priority,
+           ROUND(MIN(o_totalprice), 4)                     AS min_price,
+           ROUND(MAX(o_totalprice), 4)                     AS max_price,
+           ROUND(AVG(o_totalprice), 4)                     AS avg_price,
+           MIN(o_orderdate)                                AS first_date,
+           MAX(o_orderdate)                                AS last_date,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)   AS n_statuses
+    FROM orders
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass (the ANALYZE/data-quality sweep a pipeline
+    runs before trusting a new drop): row count, key cardinality, null
+    counts, numeric min/max/avg, date range, low-cardinality domain
+    size — ALL in one scan (one partial-agg shuffle of a single tuple).
+    At 100 TB the same single-pass profile is how you detect schema
+    drift and null explosions before they poison a training run;
+    exact distincts can swap to approx_count_distinct sketches."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).cast("long").alias("n_null_priority"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+        F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
+    )

@@ -185,3 +185,61 @@ def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 3)
         .select("query_id", "vec_id", "cos")
     )
+
+
+@query(
+    "sim_rerank",
+    oracle="""
+    WITH cand AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS vec_id, b.embedding,
+             ROUND(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
+      FROM embeddings b, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+      WHERE b.vec_id <> q.vec_id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY cos DESC, b.vec_id) <= 10
+    )
+    SELECT query_id, vec_id, cos,
+           ROUND(1 / (1 + EXP(-LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {w}))), 6)
+             AS rerank_score
+    FROM cand
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rerank_score DESC, vec_id) <= 3
+    """.format(w=__import__("pyspark_caffe_spark.queries.ml", fromlist=["_sql_vec"])._sql_vec(
+        __import__("pyspark_caffe_spark.queries.ml", fromlist=["W_SCORE"]).W_SCORE)),
+)
+def sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve → rerank, the two-stage serving shape: cheap first-pass
+    retrieval (cosine top-10 per query — in production, the ANN index)
+    followed by an expensive model rescoring of ONLY the candidates
+    (here the sigmoid scorer standing in for a cross-encoder), then
+    top-3 by the model score. The model runs on 50 candidate rows, not
+    the corpus — the whole point of the composition: at 100 TB the
+    rerank stage's cost is O(queries × k), independent of corpus
+    size."""
+    from pyspark.sql import Window
+
+    from pyspark_caffe_spark.model import score_column
+    from pyspark_caffe_spark.queries.ml import SCORER
+
+    emb = _load_emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "q_emb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    cand = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "emb", F.round(dot, 6).alias("cos"))
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= 10)
+        .drop("_rn")
+    )
+    rescored = score_column(cand, SCORER, "emb", "rerank_score", ndigits=6)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("rerank_score"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= 3)
+        .select("query_id", "vec_id", "cos", "rerank_score")
+    )
