@@ -25,8 +25,9 @@ from pyspark_caffe_spark.queries import QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set (16): the BASELINE.md shapes plus one representative per
-# capability layer (relational / window / streaming twin / ML / LLM).
+# Headline set (20): the BASELINE.md shapes plus one representative per
+# capability layer (relational / window / streaming twin / ML / LLM /
+# round-2 training-data ops).
 HEADLINE = [
     "agg_hash_groupby",   # q1 pricing summary        (baseline 1.42 s)
     "join_multiway",      # q5 6-way join chain       (baseline 1.92 s)
@@ -44,6 +45,11 @@ HEADLINE = [
     "join_range_bucketed",  # band join via bucketized equi-join
     "agg_time_rollup",    # hour+day rollup in one scan
     "agg_q6_selective",   # Q6-style pushdown probe
+    # round-2 additions: one per new capability family
+    "sim_knn_batch",      # batch ANN serving shape (broadcast + window)
+    "pipeline_training_snapshot",  # quality→dedup→subsample, one plan
+    "sink_merge_upsert",  # MERGE-style copy-on-write upsert
+    "pack_shards",        # token-budget sequence packing
 ]
 
 
@@ -73,7 +79,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall-clock (16 queries, noop-materialized)",
+                "metric": "headline suite wall-clock (20 queries, noop-materialized)",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,

@@ -44,6 +44,9 @@ CASES = [
     ("ml_centroids", r"HashAggregate(.|\n)*HashAggregate", None, "per-(label,pos) partial agg before shuffle"),
     ("fn_regexp", r"ReadSchema: [^\n]*text", r"ReadSchema: [^\n]*n_chars", "regex pass reads only doc_id+text"),
     ("pipeline_training_snapshot", r"partial_min", r"hashpartitioning(.|\n)*hashpartitioning", "partial agg below the single dedup shuffle; no shuffle pile-up"),
+    ("corpus_mixture", None, r"hashpartitioning|SortMergeJoin", "mixture is a pure map stage — no shuffle"),
+    ("pack_shards", r"Window", r"SinglePartition", "packing windows are per-group, never a single global partition"),
+    ("sim_rerank", r"BroadcastNestedLoopJoin", r"CartesianProduct|SortMergeJoin", "candidate retrieval broadcasts the query block"),
 ]
 
 
