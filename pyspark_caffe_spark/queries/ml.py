@@ -200,3 +200,97 @@ def ml_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("centroid"),
     )
+
+
+@query(
+    "ml_multi_model_apply",
+    oracle=f"""
+    SELECT vec_id,
+           ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[0])}), 6) AS score_m0,
+           ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[1])}), 6) AS score_m1,
+           ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[2])}), 6) AS score_m2,
+           CASE GREATEST(
+                  ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[0])}), 6),
+                  ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[1])}), 6),
+                  ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[2])}), 6))
+             WHEN ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[0])}), 6) THEN 0
+             WHEN ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_FEAT[1])}), 6) THEN 1
+             ELSE 2 END AS best_model
+    FROM embeddings
+    """,
+)
+def ml_multi_model_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-zoo batch inference: THREE scoring heads applied in ONE
+    Arrow pass over the corpus (one mapInPandas, one matmul against
+    the stacked weight matrix) instead of three separate scans — at
+    100 TB, scan count is the cost, so multi-head application must
+    amortize it. best_model = argmax over heads (first-wins on rounded
+    ties, mirrored in the oracle's CASE ordering)."""
+    import pandas as pd
+    from typing import Iterator
+
+    emb = _emb(spark, sf_dir)
+    stacked = W_FEAT[:3]  # 3 heads × 64
+    bc = spark.sparkContext.broadcast(stacked)
+
+    def score3(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            s = np.round(x @ w.T, 6)  # one matmul, all heads
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "score_m0": s[:, 0],
+                    "score_m1": s[:, 1],
+                    "score_m2": s[:, 2],
+                    "best_model": np.argmax(s, axis=1).astype("int32"),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        score3,
+        schema="vec_id long, score_m0 double, score_m1 double, score_m2 double, best_model int",
+    )
+
+
+@query(
+    "ml_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             LIST_MAX(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> ABS(x))) / 127 AS scale
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           ROUND(q.scale, 9) AS scale,
+           CAST(LIST_MAX(LIST_TRANSFORM(CAST(e.embedding AS DOUBLE[]),
+                x -> ABS(ROUND(x / q.scale) * q.scale - x))) <= q.scale / 2 + 1e-12
+                AS BOOLEAN) AS within_half_step
+    FROM embeddings e JOIN q ON e.vec_id = q.vec_id
+    """,
+)
+def ml_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    storage/bandwidth optimization of a 100 TB vector store (4× smaller
+    than float32, 8× than float64; dot products stay SIMD-able). Per
+    vector: scale = max|x|/127, codes = round(x/scale); the query
+    verifies the reconstruction error bound (≤ scale/2 per element) —
+    the invariant that makes quantized retrieval rankings trustworthy.
+    Entirely JVM-side higher-order functions; no Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(d, lambda x: F.abs(x))) / 127
+    err = F.array_max(
+        F.transform(d, lambda x: F.abs(F.round(x / F.col("scale")) * F.col("scale") - x))
+    )
+    return (
+        emb.select("vec_id", d.alias("embedding"), scale.alias("scale"))
+        .select(
+            "vec_id",
+            F.round("scale", 9).alias("scale"),
+            (err <= F.col("scale") / 2 + 1e-12).alias("within_half_step"),
+        )
+    )
