@@ -318,3 +318,41 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").contains("data").alias("has_data"),
         F.col("text").rlike("^[A-Z]").alias("starts_upper"),
     )
+
+
+@query(
+    "fn_higher_order",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(LIST_FILTER(CAST(embedding AS DOUBLE[]), x -> x > 0.2)) > 0 AS BOOLEAN)
+                                                                        AS has_large,
+           CAST(LEN(LIST_FILTER(CAST(embedding AS DOUBLE[]), x -> ABS(x) >= 1)) = 0 AS BOOLEAN)
+                                                                        AS all_small,
+           CAST(LEN(LIST_FILTER(CAST(embedding AS DOUBLE[]), x -> x < 0)) AS INT)
+                                                                        AS n_negative,
+           ROUND(LIST_SUM(LIST_TRANSFORM(LIST_FILTER(CAST(embedding AS DOUBLE[]), x -> x > 0),
+                                         x -> x)), 6)                   AS pos_mass
+    FROM embeddings
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order-function family on array columns: exists /
+    forall / filter+size / filter+aggregate — the declarative array
+    analytics that replace per-row Python loops. All four stay inside
+    whole-stage codegen (lambda expressions compile to JVM
+    bytecode); at 100 TB this family is the difference between a map
+    stage and a Python round-trip per row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.exists(d, lambda x: x > 0.2).alias("has_large"),
+        F.forall(d, lambda x: F.abs(x) < 1).alias("all_small"),
+        F.size(F.filter(d, lambda x: x < 0)).cast("int").alias("n_negative"),
+        F.round(
+            F.aggregate(
+                F.filter(d, lambda x: x > 0), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("pos_mass"),
+    )

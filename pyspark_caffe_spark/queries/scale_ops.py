@@ -367,3 +367,50 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.join(dim, fact.o_orderstatus == dim.k).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "label"
     )
+
+
+@query(
+    "profile_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ), stats AS (
+      SELECT COUNT(*) AS n_keys,
+             MAX(n) AS max_n,
+             ROUND(AVG(n), 6) AS avg_n
+      FROM per_key
+    )
+    SELECT p.o_custkey, p.n,
+           ROUND(p.n / s.avg_n, 6) AS skew_ratio,
+           s.n_keys
+    FROM per_key p, stats s
+    ORDER BY p.n DESC, p.o_custkey
+    LIMIT 10
+    """,
+)
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the pre-flight every big join needs:
+    per-key row counts, the top-10 heaviest keys, and each key's ratio
+    to the mean (the number that decides between a plain shuffle join,
+    AQE skew splitting, and manual salting à la join_skew_salted).
+    One partial-agg shuffle on the key + a scalar-broadcast of the
+    stats row + a 10-row TakeOrdered — diagnosis costs one pass, not
+    a join."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    stats = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.round(F.avg("n"), 6).alias("avg_n"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "o_custkey",
+            "n",
+            F.round(F.col("n") / F.col("avg_n"), 6).alias("skew_ratio"),
+            "n_keys",
+        )
+        .orderBy(F.desc("n"), F.asc("o_custkey"))
+        .limit(10)
+    )
