@@ -485,3 +485,45 @@ def agg_q18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sum_qty", 4).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "events_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type, bucket, n,
+             AVG(n)         OVER (PARTITION BY event_type) AS mean_n,
+             STDDEV_SAMP(n) OVER (PARTITION BY event_type) AS sd_n
+      FROM hourly
+    )
+    SELECT event_type, bucket, n,
+           ROUND((n - mean_n) / sd_n, 6) AS zscore
+    FROM scored
+    WHERE ABS((n - mean_n) / sd_n) > 2
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection — the monitoring pass over an event
+    stream: hourly counts per type, z-score against the type's own
+    distribution, flag |z| > 2. Aggregate first (hourly buckets are
+    tiny), THEN window over the aggregate — the window input is
+    buckets×types rows, never raw events; at 100 TB/day the stats pass
+    costs nothing beyond the rollup the pipeline already computes."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    scored = hourly.select(
+        "event_type",
+        "bucket",
+        "n",
+        ((F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)).alias("_z"),
+    )
+    return scored.filter(F.abs(F.col("_z")) > 2).select(
+        "event_type", "bucket", "n", F.round("_z", 6).alias("zscore")
+    )

@@ -1132,3 +1132,51 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.lit(0).cast("long").alias("copy_idx"))
     )
     return en.unionByName(rest)
+
+
+@query(
+    "dedup_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents WHERE doc_id < 50
+    ), train AS (
+      SELECT doc_id, lang,
+             LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents WHERE doc_id >= 50
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, lang,
+             LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS norm
+      FROM documents WHERE doc_id < 25
+    )
+    SELECT t.doc_id, t.lang FROM train t
+    WHERE t.norm NOT IN (SELECT norm FROM bench)
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the anti-join every serious training
+    set runs: remove training docs whose normalized text appears in
+    the held-out benchmark set. Docs 0-49 stand in for the benchmark;
+    the training side is docs 50+ plus 25 PLANTED contaminated copies
+    of benchmark docs (ids +1,000,000) that the anti-join must drop.
+    One left-anti join on the normalization key; at 100 TB the key
+    becomes the 8-byte fingerprint (text_fingerprint) and the
+    benchmark side — tiny by definition — broadcasts, so
+    decontamination costs one map-side scan of the corpus. (Real
+    decontamination also n-gram-overlaps; that tier is
+    dedup_ngram_jaccard against the benchmark.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = textops.normalized("text")
+    bench = docs.filter(F.col("doc_id") < 50).select(norm.alias("norm"))
+    train = (
+        docs.filter(F.col("doc_id") >= 50)
+        .select("doc_id", "lang", norm.alias("norm"))
+        .unionByName(
+            docs.filter(F.col("doc_id") < 25).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "lang", norm.alias("norm")
+            )
+        )
+    )
+    return train.join(
+        F.broadcast(bench), train.norm == bench.norm, "left_anti"
+    ).select("doc_id", "lang")
