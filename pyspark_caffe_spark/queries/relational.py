@@ -39,9 +39,17 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "lineitem")
 
 
-@query("scan_csv_roundtrip")  # rows-only: csv has no type fidelity for the oracle
+@query(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a lineitem slice to CSV, re-read with an explicit schema.
+    The roundtrip is value-exact (Spark writes doubles at full
+    precision), so the oracle is simply the source slice.
 
     Explicit schema (never inferSchema) — schema inference is a full
     extra pass over 100 TB of text.
@@ -54,9 +62,17 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 
 
-@query("scan_json_roundtrip")  # rows-only
+@query(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_id < 2000
+    """,
+)
 def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write an events slice to JSON-lines, re-read with explicit schema."""
+    """Write an events slice to JSON-lines, re-read with explicit
+    schema — value-exact roundtrip, so the oracle is the source
+    slice."""
     src = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     path = _scratch("json_roundtrip")
     src.write.mode("overwrite").json(path)
@@ -64,10 +80,17 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("event_id", "user_id", "event_type", "value")
 
 
-@query("scan_orc_roundtrip")  # rows-only
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey < 800
+    """,
+)
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a customer slice to ORC, re-read — second columnar format
-    (same pushdown/pruning machinery as parquet)."""
+    (same pushdown/pruning machinery as parquet; lossless, so fully
+    oracled)."""
     src = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 800)
     path = _scratch("orc_roundtrip")
     src.write.mode("overwrite").orc(path)
@@ -75,7 +98,13 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("c_custkey", "c_name", "c_acctbal")
 
 
-@query("sink_partitioned")  # rows-only
+@query(
+    "sink_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write orders partitioned by status; read ONE partition back.
 
