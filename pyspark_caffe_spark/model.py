@@ -94,15 +94,29 @@ def extract_features(df: DataFrame, model: LinearModel, input_col: str, output_c
     return df.withColumn(output_col, _feat(F.col(input_col).cast("array<double>")))
 
 
-def predict_class(df: DataFrame, model: LinearModel, input_col: str, output_col: str = "pred") -> DataFrame:
-    """Append argmax class prediction from a multi-output model."""
+def predict_class(
+    df: DataFrame,
+    model: LinearModel,
+    input_col: str,
+    output_col: str = "pred",
+    ndigits: int | None = None,
+) -> DataFrame:
+    """Append argmax class prediction from a multi-output model.
+
+    With ``ndigits`` the argmax runs over ROUNDED scores (first-max
+    wins, matching a SQL ``CASE GREATEST(...) WHEN ...`` in class
+    order) so near-tie predictions are cross-engine stable — required
+    for oracle-checked keys."""
     bc = df.sparkSession.sparkContext.broadcast(model)
 
     @pandas_udf("int")
     def _pred(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         m = bc.value
         for s in batches:
-            yield pd.Series(np.argmax(m.forward(_batches(s)), axis=1).astype("int32"))
+            out = m.forward(_batches(s))
+            if ndigits is not None:
+                out = round_half_away(out, ndigits)
+            yield pd.Series(np.argmax(out, axis=1).astype("int32"))
 
     return df.withColumn(output_col, _pred(F.col(input_col).cast("array<double>")))
 

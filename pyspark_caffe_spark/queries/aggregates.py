@@ -11,7 +11,7 @@ the comparison exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_caffe_spark.registry import query
@@ -417,4 +417,44 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
         .filter(F.col("n_orders").between(2, 6))
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE rk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent o_orderpriority per
+    order status): count per (group, value), then a row_number window
+    ordered (count DESC, value ASC).  Spark's built-in ``mode()`` is
+    tie-nondeterministic, so the portable count+window form is the one
+    you'd actually ship; the window's input is already the aggregated
+    (|groups|×|values|) frame — tiny, whatever the fact-table size."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
     )

@@ -527,3 +527,37 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.abs(F.col("_z")) > 2).select(
         "event_type", "bucket", "n", F.round("_z", 6).alias("zscore")
     )
+
+
+@query(
+    "events_transition",
+    oracle="""
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def events_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (Markov counts): per-user LEAD
+    window in (ts, event_id) order, then count each observed
+    from→to edge.  One shuffle on user_id for the window, then a
+    partial-aggregated groupBy on a tiny (|types|² ≤ dozens) key
+    space — the second shuffle moves almost nothing.  Deterministic
+    under timestamp ties via the event_id tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )

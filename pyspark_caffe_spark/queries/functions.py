@@ -356,3 +356,43 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pos_mass"),
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    SELECT doc_id,
+           REGEXP_EXTRACT(url, '^[a-z]+://([^/?#]+)', 1)   AS host,
+           REGEXP_EXTRACT(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           REGEXP_EXTRACT(url, '\\?([^#]*)', 1)            AS query,
+           REGEXP_EXTRACT(url, '[?&]page=([^&#]*)', 1)     AS page
+    FROM (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || lang || '/'
+               || CAST(doc_id AS VARCHAR) || '?ref=corpus&page='
+               || CAST(doc_id % 7 AS VARCHAR) || '#frag' AS url
+      FROM documents
+    )
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing with the JVM-side ``parse_url`` expression (host /
+    path / query string / single query parameter) over a URL column
+    synthesized from document metadata.  The oracle mirrors each
+    component with plain REGEXP_EXTRACT — parse_url itself is
+    Spark-only.  All codegen'd; no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?ref=corpus&page="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("#frag"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page"),
+    )

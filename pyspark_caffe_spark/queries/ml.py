@@ -114,12 +114,34 @@ def ml_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_predict_join")  # rows-only: argmax near-ties are not cross-engine stable
+_CLS_SCORE_SQL = [
+    f"ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_CLS[c])}), 6)"
+    for c in range(N_CLASSES)
+]
+_CLS_ARGMAX_SQL = (
+    "CASE GREATEST(" + ", ".join(_CLS_SCORE_SQL) + ") "
+    + " ".join(f"WHEN {s} THEN {c}" for c, s in enumerate(_CLS_SCORE_SQL[:-1]))
+    + f" ELSE {N_CLASSES - 1} END"
+)
+
+
+@query(
+    "ml_predict_join",
+    oracle=f"""
+    SELECT label, {_CLS_ARGMAX_SQL} AS pred, COUNT(*) AS n
+    FROM embeddings
+    GROUP BY label, pred
+    """,
+)
 def ml_predict_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classify embeddings (argmax of the 10×64 model), join prediction
     against the stored label → confusion matrix. The groupBy after
-    model-apply shuffles only (label, pred, count)."""
-    preds = predict_class(_emb(spark, sf_dir), CLASSIFIER, "embedding", "pred")
+    model-apply shuffles only (label, pred, count).
+
+    Oracle-checkable because the argmax runs over ROUNDED scores with
+    first-max-wins ties, mirrored by the oracle's CASE in class order
+    (the ml_multi_model_apply pattern extended to 10 heads)."""
+    preds = predict_class(_emb(spark, sf_dir), CLASSIFIER, "embedding", "pred", ndigits=6)
     return preds.groupBy("label", "pred").agg(F.count("*").alias("n"))
 
 
