@@ -458,3 +458,28 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS w_avg_price,
+           ROUND(SUM(l_quantity), 4) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (quantity-weighted price per return flag) —
+    one hash aggregate with two partial sums; the division happens
+    post-aggregation on the tiny grouped frame. Map-side combine means
+    the shuffle carries |groups|×2 doubles per task, independent of
+    fact-table size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"), 6
+        ).alias("w_avg_price"),
+        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+    )

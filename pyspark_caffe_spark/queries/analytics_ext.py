@@ -561,3 +561,55 @@ def events_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           MIN(ts) AS t_start,
+           MAX(ts) AS t_end
+    FROM (
+      SELECT user_id, ts,
+             CAST(SUM(CASE WHEN prev_ts IS NULL
+                             OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1
+                           ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts after a >30-minute
+    idle gap.  LAG + running SUM of session-break flags over ONE
+    (user_id)-partitioned sort — both windows and the final per-session
+    aggregate reuse the same user_id partitioning, so the whole
+    pipeline is a single shuffle of the event stream (AQE coalesces
+    the rest).  Deterministic under ts ties via event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    brk = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.select("user_id", "ts", F.sum(brk).over(run).alias("session_no"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+        )
+    )

@@ -396,3 +396,33 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(NULL AS DOUBLE) AS missing_val
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INTEGER) % 7 = 0
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the Spark 4 VARIANT type:
+    ``parse_json`` once, then typed ``variant_get`` path extraction and
+    a predicate on the extracted field.  VARIANT's binary encoding
+    (shredded, no re-parse per access) is the scale story vs re-running
+    ``get_json_object`` string parsing per field; ``try_variant_get``
+    on an absent path returns NULL instead of erroring.  The oracle
+    mirrors with plain JSON extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_id",
+            F.variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.missing", "double").alias("missing_val"),
+        )
+        .filter(F.col("k") % 7 == 0)
+    )
