@@ -20,7 +20,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_caffe_spark import textops, vecops
@@ -1180,3 +1180,95 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(
         F.broadcast(bench), train.norm == bench.norm, "left_anti"
     ).select("doc_id", "lang")
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS words,
+             LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 2, 1) + 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+2], ' ')) AS sh
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CAST(LEN(LIST_DISTINCT(words)) AS DOUBLE) / LEN(words), 6)
+             AS uniq_word_ratio,
+           ROUND(1 - CAST(LEN(LIST_DISTINCT(sh)) AS DOUBLE) / LEN(sh), 6)
+             AS dup_3gram_ratio,
+           (1 - CAST(LEN(LIST_DISTINCT(sh)) AS DOUBLE) / LEN(sh)) > 0.5
+             AS flagged
+    FROM w
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the C4/Gopher quality-filter
+    family): unique-word ratio and duplicate-3-gram ratio per document,
+    flagging docs whose text is >50% repeated 3-grams.  Entirely
+    array-native higher-order functions on each row — no explode, no
+    shuffle, no Python: the filter runs at scan speed and composes with
+    any downstream pipeline stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = textops.words_of("text")
+    sh = textops.shingles_of("text", 3)
+    uniq = F.size(F.array_distinct(words)) / F.size(words)
+    dup3 = 1 - F.size(F.array_distinct(sh)) / F.size(sh)
+    return docs.select(
+        "doc_id",
+        F.round(uniq, 6).alias("uniq_word_ratio"),
+        F.round(dup3, 6).alias("dup_3gram_ratio"),
+        (dup3 > 0.5).alias("flagged"),
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS n_t FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, tfidf, rk FROM (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.n_t * LN(CAST(n.n_docs AS DOUBLE) / dfreq), 6) AS tfidf,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf.n_t * LN(CAST(n.n_docs AS DOUBLE) / dfreq), 6) DESC,
+                        tf.token) AS INTEGER) AS rk
+      FROM tf JOIN dfq USING (token) CROSS JOIN n
+    ) WHERE rk <= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF with top-5 terms per document: explode tokens →
+    per-(doc, token) TF → document-frequency table → idf join → rank.
+
+    Shuffle shape at 100 TB: the token explode feeds ONE groupBy on
+    (doc_id, token) (partial-aggregated map-side), the df table is a
+    second small aggregate keyed by token, and the idf join is keyed on
+    token — vocabulary-sized, so AQE broadcasts it for natural-language
+    vocabularies (Zipf: vocab ≪ corpus).  The top-k window partitions
+    by doc_id on the already-(doc,token)-shuffled frame.  Ordering on
+    the ROUNDED score + token tiebreak keeps ranks cross-engine
+    stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(textops.words_of("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("n_t"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    scored = tf.join(dfq, "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("n_t") * F.log(F.lit(float(n_docs)) / F.col("dfreq")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "token", "tfidf", "rk")
+    )
