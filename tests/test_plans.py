@@ -47,6 +47,10 @@ CASES = [
     ("corpus_mixture", None, r"hashpartitioning|SortMergeJoin", "mixture is a pure map stage — no shuffle"),
     ("pack_shards", r"Window", r"SinglePartition", "packing windows are per-group, never a single global partition"),
     ("sim_rerank", r"BroadcastNestedLoopJoin", r"CartesianProduct|SortMergeJoin", "candidate retrieval broadcasts the query block"),
+    ("events_sessionize", r"Exchange", r"hashpartitioning(.|\n)*hashpartitioning", "one shuffle shared by both windows and the session aggregate"),
+    ("text_repetition", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "repetition filter runs at scan speed: no shuffle, no Python"),
+    ("events_transition", r"Window", r"SinglePartition", "per-user LEAD window, never a single global partition"),
+    ("fn_variant", r"ReadSchema: [^\n]*props", r"BatchEvalPython|ArrowEvalPython", "VARIANT path extraction is JVM-side"),
 ]
 
 
