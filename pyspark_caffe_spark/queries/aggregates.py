@@ -483,3 +483,18 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_avg_price"),
         F.round(F.sum("l_quantity"), 4).alias("total_qty"),
     )
+
+
+@query("agg_approx_quantile")  # rows-only: t-digest sketch is engine-specific
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles via ``percentile_approx``
+    (mergeable sketch, accuracy 1/10000).  THE 100 TB quantile path:
+    agg_stats' exact ``percentile`` materializes each group's sorted
+    values, while the sketch shuffles a fixed-size digest per group.
+    Accuracy vs the exact interpolated percentile is asserted in
+    tests (±1% of the group's value range)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+    )

@@ -550,3 +550,17 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_date"),
         F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
     )
+
+
+@query(
+    "scan_count_meta",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+)
+def scan_count_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table COUNT(*) — reads ZERO data columns (plan-locked:
+    ``ReadSchema: struct<>``), so the scan cost is parquet footer +
+    row-group metadata decoding, not column IO.  At 100 TB the
+    difference between counting via metadata and counting via a
+    materialized column is the whole job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count("*").alias("n_rows"))

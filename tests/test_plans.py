@@ -51,6 +51,7 @@ CASES = [
     ("text_repetition", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "repetition filter runs at scan speed: no shuffle, no Python"),
     ("events_transition", r"Window", r"SinglePartition", "per-user LEAD window, never a single global partition"),
     ("fn_variant", r"ReadSchema: [^\n]*props", r"BatchEvalPython|ArrowEvalPython", "VARIANT path extraction is JVM-side"),
+    ("scan_count_meta", r"ReadSchema: struct<>", None, "count(*) reads zero data columns"),
 ]
 
 

@@ -184,3 +184,27 @@ def test_dedup_candidate_verify(spark, sf_dir):
         assert abs(j - exact[pair]) < 1e-9
     recall = len(verified) / len(exact)
     assert recall >= 0.9, f"candidate recall {recall} over {len(exact)} true pairs"
+
+
+def test_agg_approx_quantile(spark, sf_dir):
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"])
+        for r in QUERIES["agg_approx_quantile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"], r["lo"], r["hi"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.9)).alias("p90"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    for et, (p50, p90, lo, hi) in exact.items():
+        tol = 0.01 * (hi - lo)
+        a50, a90 = approx[et]
+        assert abs(a50 - p50) <= tol, (et, a50, p50)
+        assert abs(a90 - p90) <= tol, (et, a90, p90)
