@@ -498,3 +498,24 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50"),
         F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("p90"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with ``grouping_id()`` — the bitmask that lets a consumer
+    tell a real NULL group from a subtotal row (standard SQL encoding,
+    identical in both engines).  Same single Expand + hash-agg pass as
+    agg_cube."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"), F.count("*").alias("n")
+    )

@@ -1272,3 +1272,105 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "token", "tfidf", "rk")
     )
+
+
+@query(
+    "text_chunk",
+    oracle="""
+    WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents),
+    c AS (
+      SELECT doc_id, words,
+             UNNEST(RANGE(0, CAST(CEIL(GREATEST(LEN(words) - 32, 0) / 24.0)
+                                  AS BIGINT) + 1)) AS chunk_id
+      FROM w
+    )
+    SELECT doc_id, chunk_id,
+           ARRAY_TO_STRING(words[chunk_id*24 + 1 : chunk_id*24 + 32], ' ')
+             AS chunk_text,
+           LEN(words[chunk_id*24 + 1 : chunk_id*24 + 32]) AS n_tokens
+    FROM c
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (context-window preparation
+    for embedding/LLM ingestion): 32-token chunks, stride 24 (8-token
+    overlap).  Chunk starts come from an array-native ``sequence`` —
+    the explode happens exactly once, after the per-chunk strings are
+    built, so the only row amplification is the output itself.  A pure
+    map stage: no shuffle, chunking parallelism = scan parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = textops.words_of("text")
+    n_chunks = F.ceil(F.greatest(F.size(words) - 32, F.lit(0)) / 24.0) + 1
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("long") - 1),
+        lambda i: F.array_join(F.slice(words, (i * 24 + 1).cast("int"), 32), " "),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "dedup_source_priority",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text, 'src99' AS source
+      FROM documents WHERE doc_id < 40
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS norm,
+             CAST(SUBSTR(source, 4) AS INTEGER) AS prio
+      FROM aug
+    )
+    SELECT norm_key, keep_id, keep_source, n_copies FROM (
+      SELECT MD5(norm) AS norm_key, doc_id AS keep_id, source AS keep_source,
+             COUNT(*) OVER (PARTITION BY norm) AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY norm
+                                ORDER BY CAST(SUBSTR(source, 4) AS INTEGER),
+                                         doc_id) AS rk
+      FROM ranked
+    ) WHERE rk = 1 AND n_copies > 1
+    """,
+)
+def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source canonical selection: when the same (normalized)
+    text arrives from several sources, keep the copy from the
+    highest-priority source (lowest source number; doc_id tiebreak) —
+    the curated-beats-crawl rule of corpus assembly.  Plants 40
+    low-priority 'src99' duplicates (fixtures have none).  One shuffle
+    on the normalization key; at 100 TB group by xxhash64(norm)
+    (8-byte keys) exactly as dedup_exact documents — here the emitted
+    key is MD5 (available in both engines) so the oracle can hash-match
+    values."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text", "source").unionByName(
+        docs.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            "text",
+            F.lit("src99").alias("source"),
+        )
+    )
+    norm = textops.normalized("text")
+    prio = F.substring("source", 4, 10).cast("int")
+    w = Window.partitionBy(norm).orderBy(prio.asc(), F.col("doc_id").asc())
+    cnt = Window.partitionBy(norm)
+    return (
+        aug.select(
+            F.md5(norm).alias("norm_key"),
+            F.col("doc_id").alias("keep_id"),
+            F.col("source").alias("keep_source"),
+            F.count("*").over(cnt).alias("n_copies"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter((F.col("rk") == 1) & (F.col("n_copies") > 1))
+        .drop("rk")
+    )
