@@ -416,3 +416,74 @@ def join_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("o_custkey").isNotNull().alias("has_big_order"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             (SELECT MAX(c.ts) FROM c
+               WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS bts,
+             (SELECT MIN(c.ts) FROM c
+               WHERE c.user_id = p.user_id AND c.ts >= p.ts) AS fts
+      FROM p
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN bts IS NULL THEN fts
+                WHEN fts IS NULL THEN bts
+                WHEN (ts - bts) <= (fts - ts) THEN bts
+                ELSE fts END AS near_click_ts
+    FROM cand
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof
+    direction='nearest'``): each purchase matched to its temporally
+    closest click per user, ties resolved toward the earlier click.
+
+    Same union+window architecture as join_asof — ONE shuffle on
+    user_id carrying both passes: a backward pass (last click
+    at-or-before, clicks sorting first on ties) and a forward pass
+    (first click at-or-after, clicks sorting after), then an exact
+    microsecond-distance CASE picks the nearer.  Two sorts share the
+    one exchange; no range join, no quadratic candidate set."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("is_p"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id", "ts",
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("is_p"),
+    )
+    unioned = purchases.unionByName(clicks)
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    bts = F.last("click_ts", ignorenulls=True).over(back)
+    fts = F.first("click_ts", ignorenulls=True).over(fwd)
+    annotated = unioned.select(
+        "event_id", "user_id", "ts", "is_p", bts.alias("bts"), fts.alias("fts")
+    ).filter(F.col("is_p") == 1)
+    d_back = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bts"))
+    d_fwd = F.unix_micros(F.col("fts")) - F.unix_micros(F.col("ts"))
+    near = (
+        F.when(F.col("bts").isNull(), F.col("fts"))
+        .when(F.col("fts").isNull(), F.col("bts"))
+        .when(d_back <= d_fwd, F.col("bts"))
+        .otherwise(F.col("fts"))
+    )
+    return annotated.select("event_id", "user_id", "ts", near.alias("near_click_ts"))

@@ -52,6 +52,7 @@ CASES = [
     ("events_transition", r"Window", r"SinglePartition", "per-user LEAD window, never a single global partition"),
     ("fn_variant", r"ReadSchema: [^\n]*props", r"BatchEvalPython|ArrowEvalPython", "VARIANT path extraction is JVM-side"),
     ("scan_count_meta", r"ReadSchema: struct<>", None, "count(*) reads zero data columns"),
+    ("join_asof_nearest", r"Window(.|\n)*Window", r"hashpartitioning(.|\n)*hashpartitioning", "both asof passes share one user_id shuffle"),
 ]
 
 
