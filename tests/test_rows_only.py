@@ -208,3 +208,26 @@ def test_agg_approx_quantile(spark, sf_dir):
         a50, a90 = approx[et]
         assert abs(a50 - p50) <= tol, (et, a50, p50)
         assert abs(a90 - p90) <= tol, (et, a90, p90)
+
+
+def test_text_chunk_reconstruction(spark, sf_dir):
+    """Stride-24/window-32 chunking must tile every document: chunk 0
+    plus the last 8-token-trimmed tail of each later chunk rebuilds the
+    original token stream exactly (oracle checks values; this checks
+    the chunking geometry itself)."""
+    chunks = {}
+    for r in QUERIES["text_chunk"](spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"]
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(chunks) == set(docs)
+    for doc_id, text in docs.items():
+        got = chunks[doc_id]
+        toks = []
+        for i in sorted(got):
+            ctoks = got[i].split(" ")
+            assert len(ctoks) <= 32, (doc_id, i)
+            toks.extend(ctoks if i == 0 else ctoks[8:])
+        assert toks == text.split(" "), doc_id
