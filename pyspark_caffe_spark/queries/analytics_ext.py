@@ -15,6 +15,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_caffe_spark import textops
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.queries.streaming import _drain, _read_events_stream
 from pyspark_caffe_spark.tables import load_table
@@ -612,4 +613,91 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("t_start"),
             F.max("ts").alias("t_end"),
         )
+    )
+
+
+@query(
+    "events_concurrency",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id,
+             MIN(ts) AS t_start,
+             MAX(ts) + INTERVAL 5 MINUTE AS t_end
+      FROM events GROUP BY user_id
+    ),
+    deltas AS (
+      SELECT t_start AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT t_end AS t, -1 AS d FROM sess
+    ),
+    running AS (
+      SELECT t, CAST(SUM(SUM(d)) OVER (ORDER BY t
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+      FROM deltas GROUP BY t
+    )
+    SELECT t, concurrent FROM running
+    ORDER BY concurrent DESC, t LIMIT 20
+    """,
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via interval event-algebra (the classic
+    max-concurrent-sessions query): each user's [first event, last
+    event + 5 min] span becomes a +1 at start and a -1 at end; a
+    running sum over the merged timeline is the live-session count,
+    and the top-20 instants are the answer.
+
+    The deltas are aggregated per timestamp BEFORE the ordered window
+    (map-side combinable groupBy), so the global running sum sees at
+    most |distinct instants| rows; its single-partition window is over
+    that reduced stream only, and the final top-20 is a TakeOrdered.
+    This ducks the naive interval self-join (quadratic) entirely."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t_start"),
+        (F.max("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t_end"),
+    )
+    deltas = sess.select(F.col("t_start").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess.select(F.col("t_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = deltas.groupBy("t").agg(F.sum("d").alias("dsum"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = per_t.select("t", F.sum("dsum").over(w).alias("concurrent"))
+    return running.orderBy(F.desc("concurrent"), F.asc("t")).limit(20)
+
+
+@query(
+    "corpus_balance_report",
+    oracle="""
+    SELECT lang, source, n_docs, total_tokens,
+           ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS doc_share,
+           ROUND(CAST(total_tokens AS DOUBLE)
+                 / SUM(total_tokens) OVER (), 6) AS token_share
+    FROM (
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY lang, source
+    )
+    """,
+)
+def corpus_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: doc and token counts per
+    (lang, source) cell plus each cell's share of the whole corpus —
+    the mixture audit every training-data pipeline runs before
+    sampling (cf. corpus_mixture, which acts on these shares).
+
+    Token counting is an array-size expression folded into the FIRST
+    aggregate, so the shuffle carries |langs×sources| rows; the share
+    windows then run over that tiny aggregated frame (a single
+    partition of dozens of rows — the SinglePartition here is on the
+    report, not the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(textops.words_of("text"))).alias("total_tokens"),
+    )
+    tot = Window.partitionBy()
+    return cells.select(
+        "lang", "source", "n_docs", "total_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(tot), 6).alias("doc_share"),
+        F.round(F.col("total_tokens") / F.sum("total_tokens").over(tot), 6).alias("token_share"),
     )
