@@ -25,7 +25,7 @@ from pyspark_caffe_spark.queries import QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set (20): the BASELINE.md shapes plus one representative per
+# Headline set (22): the BASELINE.md shapes plus one representative per
 # capability layer (relational / window / streaming twin / ML / LLM /
 # round-2 training-data ops).
 HEADLINE = [
@@ -50,6 +50,8 @@ HEADLINE = [
     "pipeline_training_snapshot",  # quality→dedup→subsample, one plan
     "sink_merge_upsert",  # MERGE-style copy-on-write upsert
     "pack_shards",        # token-budget sequence packing
+    "events_sessionize",  # idle-gap sessionization, single shuffle
+    "text_tfidf",         # corpus TF-IDF, top-5 terms per doc
 ]
 
 
@@ -79,7 +81,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall-clock (20 queries, noop-materialized)",
+                "metric": "headline suite wall-clock (22 queries, noop-materialized)",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
