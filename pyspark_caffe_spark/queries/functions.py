@@ -426,3 +426,31 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("k") % 7 == 0)
     )
+
+
+@query(
+    "fn_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(DATE_TRUNC('quarter', o_orderdate) AS TIMESTAMP) AS q_start,
+           MAKE_DATE(CAST(EXTRACT(year FROM o_orderdate) AS INTEGER), 12, 31)
+             AS year_end
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic: add_months (month-end clamping —
+    verified identical across engines: Jan 31 + 1 month = Feb 29),
+    last_day, quarter truncation, make_date.  All codegen'd JVM
+    expressions; the filter keeps the oracle frame small."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus_3m"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").alias("q_start"),
+        F.make_date(F.year("o_orderdate"), F.lit(12), F.lit(31)).alias("year_end"),
+    )

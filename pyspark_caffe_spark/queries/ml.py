@@ -316,3 +316,53 @@ def ml_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             (err <= F.col("scale") / 2 + 1e-12).alias("within_half_step"),
         )
     )
+
+
+_rng_b = np.random.default_rng(43)
+W_CLS_B = np.round(_rng_b.standard_normal((N_CLASSES, DIM)), 6)  # challenger head
+CLASSIFIER_B = LinearModel(W_CLS_B)
+
+_CLS_B_SCORE_SQL = [
+    f"ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), {_sql_vec(W_CLS_B[c])}), 6)"
+    for c in range(N_CLASSES)
+]
+_CLS_B_ARGMAX_SQL = (
+    "CASE GREATEST(" + ", ".join(_CLS_B_SCORE_SQL) + ") "
+    + " ".join(f"WHEN {s} THEN {c}" for c, s in enumerate(_CLS_B_SCORE_SQL[:-1]))
+    + f" ELSE {N_CLASSES - 1} END"
+)
+
+
+@query(
+    "ml_ab_eval",
+    oracle=f"""
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CASE WHEN pred_a = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_a,
+           CAST(SUM(CASE WHEN pred_b = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_b,
+           ROUND(AVG(CASE WHEN pred_a = label THEN 1.0 ELSE 0.0 END), 6) AS acc_a,
+           ROUND(AVG(CASE WHEN pred_b = label THEN 1.0 ELSE 0.0 END), 6) AS acc_b
+    FROM (
+      SELECT label, {_CLS_ARGMAX_SQL} AS pred_a, {_CLS_B_ARGMAX_SQL} AS pred_b
+      FROM embeddings
+    )
+    """,
+)
+def ml_ab_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion/challenger evaluation: TWO classifier heads applied and
+    scored against the stored labels in ONE corpus pass (both argmax
+    columns come off the same scan; the final aggregate reduces to a
+    single row).  The at-scale point: model comparisons should never
+    re-scan the corpus per model — score all heads per batch, aggregate
+    once.  Rounded-argmax keeps both predictions oracle-stable."""
+    emb = _emb(spark, sf_dir)
+    preds = predict_class(emb, CLASSIFIER, "embedding", "pred_a", ndigits=6)
+    preds = predict_class(preds, CLASSIFIER_B, "embedding", "pred_b", ndigits=6)
+    a_ok = F.when(F.col("pred_a") == F.col("label"), 1).otherwise(0)
+    b_ok = F.when(F.col("pred_b") == F.col("label"), 1).otherwise(0)
+    return preds.agg(
+        F.count("*").alias("n"),
+        F.sum(a_ok).cast("long").alias("n_correct_a"),
+        F.sum(b_ok).cast("long").alias("n_correct_b"),
+        F.round(F.avg(a_ok), 6).alias("acc_a"),
+        F.round(F.avg(b_ok), 6).alias("acc_b"),
+    )
