@@ -564,3 +564,86 @@ def scan_count_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized column is the whole job."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "scan_corrupt_tolerant",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(25 AS BIGINT) AS n_corrupt
+    FROM events WHERE event_id < 1000
+    """,
+)
+def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant ingestion: a JSONL file with 25 planted corrupt
+    lines read in PERMISSIVE mode with a ``_corrupt_record`` column —
+    malformed rows become NULL-fielded rows carrying the raw line, and
+    the query reports good vs corrupt counts.  At 100 TB dirty input
+    is a certainty; the alternative (FAILFAST) kills the job on row
+    one of bad data.  The oracle counts the clean slice (the planted
+    corrupt total is fixture-constant by construction)."""
+    src = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    path = _scratch("corrupt_jsonl")
+    src.select("event_id", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).json(path)
+    corrupt = spark.createDataFrame(
+        [(f'{{"event_id": broken json line {i}',) for i in range(25)], "line string"
+    )
+    corrupt.coalesce(1).write.mode("append").text(path)
+    schema = "event_id long, user_id long, event_type string, value double, _corrupt_record string"
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    back = back.cache()  # single read; good/corrupt split from one pass
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+    )
+
+
+@query(
+    "sink_overwrite_dynamic",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    FROM (
+      SELECT * FROM orders WHERE o_orderstatus <> 'F'
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (INSERT OVERWRITE semantics): write
+    the full status-partitioned table, then overwrite ONLY the 'F'
+    partition with a filtered recompute — with
+    ``partitionOverwriteMode=dynamic`` the other partitions are
+    untouched (static mode would silently truncate them: the classic
+    warehouse data-loss trap).  Read-back aggregates prove 'F' was
+    replaced and the rest survived."""
+    src = load_table(spark, sf_dir, "orders")
+    path = _scratch("sink_overwrite_dynamic")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            src.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000))
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+    )
