@@ -53,6 +53,7 @@ CASES = [
     ("fn_variant", r"ReadSchema: [^\n]*props", r"BatchEvalPython|ArrowEvalPython", "VARIANT path extraction is JVM-side"),
     ("scan_count_meta", r"ReadSchema: struct<>", None, "count(*) reads zero data columns"),
     ("join_asof_nearest", r"Window(.|\n)*Window", r"hashpartitioning(.|\n)*hashpartitioning", "both asof passes share one user_id shuffle"),
+    ("text_chunk", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "chunking is a pure map stage: no shuffle, no Python"),
 ]
 
 
