@@ -701,3 +701,34 @@ def corpus_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_docs") / F.sum("n_docs").over(tot), 6).alias("doc_share"),
         F.round(F.col("total_tokens") / F.sum("total_tokens").over(tot), 6).alias("token_share"),
     )
+
+
+@query(
+    "events_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+)
+def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior co-occurrence ("users who did A also did B"): distinct
+    (user, type) pairs self-joined per user, counting users per
+    unordered type pair — the building block of item-item
+    recommendation.  The distinct pass shrinks the stream to ≤|users|×
+    |types| rows BEFORE the self-join, and per-user join fan-out is
+    bounded by |types|² (≤25 here) — never |events|².  One user_id
+    shuffle feeds both the distinct and the join."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -366,3 +366,36 @@ def ml_ab_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(a_ok), 6).alias("acc_a"),
         F.round(F.avg(b_ok), 6).alias("acc_b"),
     )
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(AVG(score), 6) AS mean_score,
+           ROUND(AVG(CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END), 6)
+             AS frac_positive
+    FROM (
+      SELECT label,
+             ROUND(1 / (1 + EXP(-LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+                                                  {_sql_vec(W_SCORE)}))), 6) AS score
+      FROM embeddings
+    )
+    GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibration curve: sigmoid scores bucketed into 10
+    equal-width bins; per bin, the mean score vs the observed positive
+    rate (label ≥ 5 as the binary target).  One model pass + one tiny
+    groupBy — calibration at 100 TB costs no more than inference.
+    score=1.0 clamps into bin 9 (LEAST), mirrored in the oracle."""
+    scored = score_column(_emb(spark, sf_dir), SCORER, "embedding", "score", ndigits=6)
+    bin_ = F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long")
+    pos = F.when(F.col("label") >= 5, 1.0).otherwise(0.0)
+    return scored.groupBy(bin_.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.avg(pos), 6).alias("frac_positive"),
+    )
