@@ -487,3 +487,61 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("fts"))
     )
     return annotated.select("event_id", "user_id", "ts", near.alias("near_click_ts"))
+
+
+@query(
+    "join_scd2",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment || '/v1' AS segment_version,
+             TIMESTAMP '1992-01-01' AS valid_from,
+             TIMESTAMP '1996-12-31 23:59:59' AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '/v2' AS segment_version,
+             TIMESTAMP '1997-01-01' AS valid_from,
+             TIMESTAMP '9999-12-31' AS valid_to
+      FROM customer
+    )
+    SELECT segment_version, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders JOIN dim
+      ON o_custkey = c_custkey
+     AND o_orderdate BETWEEN valid_from AND valid_to
+    GROUP BY segment_version
+    """,
+)
+def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 join: each fact row joins the
+    dim VERSION valid at its event date (equi-join on the business key
+    + BETWEEN on the validity window).  The dim is synthesized as two
+    versions split at 1997-01-01.
+
+    Plan shape is the one that matters at 100 TB: the equi-key carries
+    the join (hash/broadcast), the validity BETWEEN is a post-join
+    filter — never a range join.  SCD2 dims stay dim-sized (versions ×
+    keys), so the broadcast path survives scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("/v1")).alias("segment_version"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("1996-12-31 23:59:59").cast("timestamp").alias("valid_to"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("/v2")).alias("segment_version"),
+        F.lit("1997-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("9999-12-31").cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    joined = orders.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & F.col("o_orderdate").between(F.col("valid_from"), F.col("valid_to")),
+    )
+    return joined.groupBy("segment_version").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

@@ -399,3 +399,44 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("score"), 6).alias("mean_score"),
         F.round(F.avg(pos), 6).alias("frac_positive"),
     )
+
+
+@query(
+    "ml_embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(l2), 6) AS mean_norm,
+           ROUND(STDDEV_SAMP(l2), 6) AS sd_norm,
+           ROUND(MIN(l2), 6) AS min_norm,
+           ROUND(MAX(l2), 6) AS max_norm
+    FROM (
+      SELECT label,
+             SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS l2
+      FROM embeddings
+    )
+    GROUP BY label
+    """,
+)
+def ml_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm distribution of the embedding column — the
+    embedding-health audit (collapsed or exploding norms are the first
+    symptom of a bad encoder run).  The norm is a codegen'd JVM
+    higher-order ``aggregate`` over the array — NO Python, and the
+    shuffle carries |labels| rows of scalar partial aggregates, never
+    a vector."""
+    emb = _emb(spark, sf_dir)
+    d = F.col("embedding").cast("array<double>")
+    l2 = F.sqrt(F.aggregate(F.zip_with(d, d, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x))
+    return (
+        emb.select("label", l2.alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("l2"), 6).alias("mean_norm"),
+            F.round(F.stddev_samp("l2"), 6).alias("sd_norm"),
+            F.round(F.min("l2"), 6).alias("min_norm"),
+            F.round(F.max("l2"), 6).alias("max_norm"),
+        )
+    )

@@ -54,6 +54,8 @@ CASES = [
     ("scan_count_meta", r"ReadSchema: struct<>", None, "count(*) reads zero data columns"),
     ("join_asof_nearest", r"Window(.|\n)*Window", r"hashpartitioning(.|\n)*hashpartitioning", "both asof passes share one user_id shuffle"),
     ("text_chunk", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "chunking is a pure map stage: no shuffle, no Python"),
+    ("join_scd2", r"BroadcastHashJoin", r"BroadcastNestedLoopJoin|CartesianProduct", "SCD2 validity window rides the equi-key hash join"),
+    ("ml_embedding_norm_stats", None, r"BatchEvalPython|ArrowEvalPython", "vector norm stats stay JVM-side"),
 ]
 
 
