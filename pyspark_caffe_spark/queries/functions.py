@@ -454,3 +454,28 @@ def fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("quarter", "o_orderdate").alias("q_start"),
         F.make_date(F.year("o_orderdate"), F.lit(12), F.lit(31)).alias("year_end"),
     )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           MD5(text) AS md5_hex,
+           SHA256(text) AS sha256_hex,
+           SUBSTR(MD5(text), 1, 8) AS shard_prefix
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content hashing (md5 / sha2-256) — the
+    cross-system content-address used for manifest diffing and media
+    dedup (identical hex in every engine, unlike xxhash64 which is the
+    in-engine shuffle key — see text_fingerprint for that tier).  The
+    8-hex-char prefix is the standard shard-routing key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.substring(F.md5("text"), 1, 8).alias("shard_prefix"),
+    )

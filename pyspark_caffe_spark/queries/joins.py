@@ -545,3 +545,71 @@ def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
+
+
+@query(
+    "join_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_totalprice FROM orders),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN ROUND(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 31 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS o_orderkey, 42.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 53 = 0
+    )
+    SELECT status, COUNT(*) AS n FROM (
+      SELECT CASE
+               WHEN old.o_orderkey IS NULL THEN 'added'
+               WHEN new.o_orderkey IS NULL THEN 'removed'
+               WHEN old.o_totalprice <> new.o_totalprice THEN 'changed'
+               ELSE 'same' END AS status
+      FROM old FULL OUTER JOIN new USING (o_orderkey)
+    )
+    GROUP BY status
+    """,
+)
+def join_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation audit: FULL OUTER join of two table
+    versions on the key, classifying every row added / removed /
+    changed / same — the pre-merge diff report every CDC or backfill
+    pipeline runs before applying changes (sink_merge_upsert is the
+    APPLY side of this audit).  The 'new' snapshot is synthesized
+    deterministically (drop every 31st key, reprice every 97th, add
+    every 53rd under a shifted key).  One co-partitioned shuffle on
+    the key; the classification is a map over the joined stream and
+    the report is |statuses| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice")
+    new = (
+        orders.filter(F.col("o_orderkey") % 31 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 53 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit(42.0).alias("o_totalprice"),
+            )
+        )
+    )
+    j = old.alias("old").join(
+        new.alias("new"), on="o_orderkey", how="full_outer"
+    )
+    status = (
+        F.when(F.col("old.o_totalprice").isNull(), "added")
+        .when(F.col("new.o_totalprice").isNull(), "removed")
+        .when(F.col("old.o_totalprice") != F.col("new.o_totalprice"), "changed")
+        .otherwise("same")
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n")
+    )
