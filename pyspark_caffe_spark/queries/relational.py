@@ -647,3 +647,37 @@ def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
     )
+
+
+@query(
+    "scan_recursive_glob",
+    oracle="""
+    SELECT n_nation, n_region FROM (
+      SELECT COUNT(*) AS n_nation FROM nation
+    ), (
+      SELECT COUNT(*) AS n_region FROM region
+    )
+    """,
+)
+def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested data-lake layout: tables written under team/date-style
+    subdirectories (depth 2, NON-partition dir names) and read with
+    ``recursiveFileLookup`` — the ingestion shape for lakes organized
+    by convention rather than Hive partitioning.  Returns per-table
+    counts proving both nesting levels were discovered."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = _scratch("recursive_glob")
+    nation.write.mode("overwrite").parquet(f"{base}/teamA/d20240101/nation")
+    region.write.mode("overwrite").parquet(f"{base}/teamB/d20240102/region")
+    n = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{base}/teamA")
+        .count()
+    )
+    r = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{base}/teamB")
+        .count()
+    )
+    return spark.createDataFrame([(n, r)], "n_nation long, n_region long")
