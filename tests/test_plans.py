@@ -106,3 +106,55 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+_SKEW_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+}
+
+
+def test_aqe_skew_join_split(spark, sf_dir):
+    """AQE skew-join split — runtime evidence (the round-1 experiment
+    measured AQE *declining* below thresholds; this drives the split).
+
+    50% of fact rows land on one key; with thresholds lowered to local
+    fixture sizes the final adaptive plan shows SortMergeJoin(skew=true)
+    over an 'AQEShuffleRead coalesced and skewed' scan.  The fact side
+    is pre-repartitioned to 16 map tasks because the split granularity
+    is MAP-OUTPUT ranges: a single-mapper shuffle (normal for a small
+    local file) leaves nothing to split — at cluster scale map counts
+    are in the thousands, so the split is always available there."""
+    from pyspark.sql import functions as F
+
+    from pyspark_caffe_spark.tables import load_table
+
+    saved = {k: spark.conf.get(k, None) for k in _SKEW_CONFS}
+    try:
+        for k, v in _SKEW_CONFS.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem").repartition(16).select(
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit(1))
+            .otherwise(F.col("l_orderkey"))
+            .alias("k"),
+            "l_extendedprice",
+        )
+        keys = (
+            load_table(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").alias("k"), "o_totalprice")
+            .distinct()
+        )
+        j = li.join(keys, "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed join partition"
+        assert "skewed" in plan, "no skewed AQEShuffleRead in the final plan"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
