@@ -1374,3 +1374,46 @@ def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rk") == 1) & (F.col("n_copies") > 1))
         .drop("rk")
     )
+
+
+@query(
+    "text_common_spans",
+    oracle="""
+    WITH sp AS (
+      SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 15, 1) + 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+15], ' '))) AS span
+      FROM documents
+    )
+    SELECT span, COUNT(*) AS n_docs
+    FROM sp
+    GROUP BY span
+    HAVING COUNT(*) >= 3
+    ORDER BY n_docs DESC, span
+    LIMIT 50
+    """,
+)
+def text_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span mining (the building block of
+    substring-level training-data dedup, cf. "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499): every
+    16-token span, deduped within doc, grouped across the corpus;
+    spans appearing in ≥3 documents are boilerplate/contamination
+    candidates, top-50 by document frequency.
+
+    Spans stay array-native until ONE explode; the groupBy is
+    partial-aggregated.  At 100 TB the group key must be
+    xxhash64(span) (8-byte shuffle keys, hash-grouped then one
+    exemplar span joined back) — the string-keyed form here is the
+    oracle-checkable twin, exactly the text_fingerprint/dedup_exact
+    split."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = F.array_distinct(textops.shingles_of("text", 16))
+    exploded = docs.select("doc_id", F.explode(spans).alias("span"))
+    return (
+        exploded.groupBy("span")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), F.asc("span"))
+        .limit(50)
+    )
