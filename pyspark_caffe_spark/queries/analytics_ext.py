@@ -732,3 +732,48 @@ def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "events_gap_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           ROUND(AVG(gap_s), 4) AS avg_gap_s,
+           ROUND(QUANTILE_CONT(gap_s, 0.5), 4) AS p50_gap_s,
+           ROUND(QUANTILE_CONT(gap_s, 0.9), 4) AS p90_gap_s
+    FROM (
+      SELECT event_type,
+             CAST(EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)) AS DOUBLE) / 1e6 AS gap_s
+      FROM events
+    )
+    WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per event type: LAG over
+    (user, type) streams, microsecond-exact gaps in seconds, then
+    count/mean/median/p90 per type.  One (user_id, event_type)
+    window shuffle; the exact percentile runs per TYPE (5 groups) —
+    at 100 TB swap in percentile_approx (agg_approx_quantile's
+    sketch) for the same report at sketch cost."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = (
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).cast("double")
+        / 1e6
+    )
+    return (
+        ev.select("event_type", gap.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+            F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_gap_s"),
+            F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_gap_s"),
+        )
+    )
