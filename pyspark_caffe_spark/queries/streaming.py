@@ -489,3 +489,37 @@ def stream_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     _raw(ev.filter(~half)).coalesce(1).write.mode("append").parquet(src)
     run_once()  # restart from checkpoint: processes ONLY file 2
     return spark.read.parquet(sink)
+
+
+@query(
+    "stream_union",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM (
+      SELECT event_type, value FROM events WHERE user_id % 2 = 0
+      UNION ALL
+      SELECT event_type, value FROM events WHERE user_id % 2 = 1
+    )
+    GROUP BY event_type
+    """,
+)
+def stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source stream union (the multi-region/multi-topic
+    ingestion shape): two file streams — partitioned halves of the
+    event feed — unioned into ONE streaming aggregation.  Spark
+    tracks progress per source; the union costs no state of its own,
+    and the aggregate's state is identical to the single-source case.
+    Complete-mode drain equals the batch union twin (the oracle)."""
+    a = _read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") % 2 == 0
+    )
+    b = _read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") % 2 == 1
+    )
+    unioned = a.select("event_type", "value").unionByName(
+        b.select("event_type", "value")
+    )
+    agg = unioned.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    return _drain(agg, f"mem_sunion_{uuid.uuid4().hex[:8]}", "complete")
