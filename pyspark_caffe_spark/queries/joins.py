@@ -613,3 +613,70 @@ def join_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(status.alias("status")).groupBy("status").agg(
         F.count("*").alias("n")
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             MIN(ts) AS t_start,
+             MIN(ts) + INTERVAL 1 HOUR * (user_id % 7 + 1) AS t_end
+      FROM events WHERE user_id < 500
+      GROUP BY user_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id
+     AND a.t_start <= b.t_end AND b.t_start <= a.t_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided interval-overlap self-join, bucket-blocked: each
+    user's [first event, first event + 1-7 h] interval is exploded to
+    its covered DAY buckets; candidate pairs meet only inside a shared
+    bucket (equi-join on the bucket — a hash join, never a
+    BroadcastNestedLoopJoin) and are verified with the exact overlap
+    predicate.  The first-shared-bucket trick (keep a pair only in
+    bucket = max of the two start buckets) dedups WITHOUT a distinct
+    shuffle.  The oracle is the direct theta self-join — quadratic,
+    fine for DuckDB at fixture scale; the bucketed plan is the one
+    that survives 100 TB (candidates ∝ pairs per bucket, not N²)."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.filter(F.col("user_id") < 500)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_start"))
+        .select(
+            "user_id",
+            "t_start",
+            (
+                F.col("t_start")
+                + F.make_interval(hours=(F.col("user_id") % 7 + 1).cast("int"))
+            ).alias("t_end"),
+        )
+    )
+    day = lambda c: F.floor(F.unix_micros(c) / F.lit(86400 * 1_000_000))
+    bucketed = iv.select(
+        "user_id", "t_start", "t_end",
+        F.explode(F.sequence(day(F.col("t_start")), day(F.col("t_end")))).alias("bkt"),
+        day(F.col("t_start")).alias("sbkt"),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("user_a"), F.col("t_start").alias("sa"),
+        F.col("t_end").alias("ea"), "bkt", F.col("sbkt").alias("sbkt_a"),
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("user_b"), F.col("t_start").alias("sb"),
+        F.col("t_end").alias("eb"), "bkt", F.col("sbkt").alias("sbkt_b"),
+    )
+    return (
+        a.join(b, "bkt")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+            & (F.col("bkt") == F.greatest("sbkt_a", "sbkt_b"))
+        )
+        .select("user_a", "user_b")
+    )

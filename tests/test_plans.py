@@ -56,6 +56,7 @@ CASES = [
     ("text_chunk", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "chunking is a pure map stage: no shuffle, no Python"),
     ("join_scd2", r"BroadcastHashJoin", r"BroadcastNestedLoopJoin|CartesianProduct", "SCD2 validity window rides the equi-key hash join"),
     ("ml_embedding_norm_stats", None, r"BatchEvalPython|ArrowEvalPython", "vector norm stats stay JVM-side"),
+    ("join_interval_overlap", None, r"BroadcastNestedLoopJoin|CartesianProduct", "interval overlap rides the bucket equi-join"),
 ]
 
 
