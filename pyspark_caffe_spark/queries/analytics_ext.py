@@ -777,3 +777,52 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_gap_s"),
         )
     )
+
+
+@query(
+    "pipeline_cached_reuse",
+    oracle="""
+    WITH base AS (
+      SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    ),
+    by_flag AS (
+      SELECT COUNT(*) AS n_rows,
+             ROUND(SUM(l_extendedprice), 4) AS sum_price
+      FROM base
+    ),
+    by_supp AS (
+      SELECT COUNT(DISTINCT l_suppkey) AS n_supp,
+             ROUND(AVG(l_discount), 6) AS avg_disc
+      FROM base
+    )
+    SELECT n_rows, sum_price, n_supp, avg_disc FROM by_flag, by_supp
+    """,
+)
+def pipeline_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize-once / consume-twice: an expensive filtered slice is
+    ``persist(MEMORY_AND_DISK)``-ed and feeds two different aggregates
+    that join into one report row.  At 100 TB re-scanning the base for
+    every downstream consumer is the cost driver; explicit persistence
+    (or a staged parquet write) amortizes it.  MEMORY_AND_DISK, never
+    MEMORY_ONLY: silent recomputation under memory pressure is worse
+    than spill.  The cache is released before returning — the plan
+    itself (joined one-row aggregates) is the oracle-checked output."""
+    from pyspark import StorageLevel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        a = base.agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+        b = base.agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+        out = a.crossJoin(b)
+        out = spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        base.unpersist()
+    return out
