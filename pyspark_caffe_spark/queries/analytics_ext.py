@@ -826,3 +826,44 @@ def pipeline_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         base.unpersist()
     return out
+
+
+@query(
+    "events_dau_mau",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ),
+    mau AS (
+      SELECT CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS month,
+             COUNT(DISTINCT user_id) AS mau
+      FROM events GROUP BY 1
+    )
+    SELECT day, dau, mau,
+           ROUND(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+    FROM dau JOIN mau ON CAST(DATE_TRUNC('month', day) AS TIMESTAMP) = month
+    """,
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU / stickiness (the product-analytics staple): distinct
+    users per day joined to distinct users per month of that day.
+    Exact countDistinct here for the oracle; at 100 TB both levels
+    come from ONE approx_count_distinct sketch pass per user-day with
+    HLL merge up to months (agg_hll_rollup is that mergeable tier).
+    The month side is ≤12 rows/year — broadcast by AQE."""
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(mau, F.date_trunc("month", "day") == F.col("month"))
+        .select(
+            "day", "dau", "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )
