@@ -681,3 +681,37 @@ def scan_recursive_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     return spark.createDataFrame([(n, r)], "n_nation long, n_region long")
+
+
+@query(
+    "sink_sorted_stats",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+    """,
+)
+def sink_sorted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-friendly layout: the table is written
+    ``sortWithinPartitions(l_shipdate)`` so each parquet row group
+    covers a narrow l_shipdate range; the selective read-back filter
+    then skips most row groups on min/max statistics alone.  This is
+    the layout lever for NON-partition columns at 100 TB (clustering /
+    z-order-lite): partitioning handles one coarse key, sorted row
+    groups handle the rest.  Lossless write ⇒ the oracle is the source
+    filter."""
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    path = _scratch("sink_sorted_stats")
+    (
+        src.repartition(4)
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 262144)  # small row groups: make skipping visible at fixture scale
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp")
+    )
+    return back.select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")

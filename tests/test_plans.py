@@ -57,6 +57,7 @@ CASES = [
     ("join_scd2", r"BroadcastHashJoin", r"BroadcastNestedLoopJoin|CartesianProduct", "SCD2 validity window rides the equi-key hash join"),
     ("ml_embedding_norm_stats", None, r"BatchEvalPython|ArrowEvalPython", "vector norm stats stay JVM-side"),
     ("join_interval_overlap", None, r"BroadcastNestedLoopJoin|CartesianProduct", "interval overlap rides the bucket equi-join"),
+    ("sink_sorted_stats", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", None, "read-back filter reaches the sorted parquet row groups"),
 ]
 
 
