@@ -479,3 +479,34 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("sha256_hex"),
         F.substring(F.md5("text"), 1, 8).alias("shard_prefix"),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT p_name FROM part
+      UNION ALL
+      SELECT UPPER(p_name) AS p_name FROM part WHERE p_partkey < 100
+    )
+    SELECT COUNT(DISTINCT p_name) AS n_case_sensitive,
+           COUNT(DISTINCT LOWER(p_name)) AS n_case_insensitive
+    FROM mixed
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: distinct counts under the binary
+    (case-sensitive) collation vs UTF8_LCASE — the engine-level
+    case-insensitive comparison that replaces LOWER()-wrapping every
+    predicate (and keeps stats/pushdown usable on the original
+    column).  The oracle mirrors UTF8_LCASE with LOWER(), exact for
+    this ASCII fixture.  Uppercased duplicates are planted (fixtures
+    are single-case)."""
+    part = load_table(spark, sf_dir, "part")
+    mixed = part.select("p_name").unionByName(
+        part.filter(F.col("p_partkey") < 100).select(F.upper("p_name").alias("p_name"))
+    )
+    return mixed.agg(
+        F.countDistinct("p_name").alias("n_case_sensitive"),
+        F.countDistinct(F.collate("p_name", "UTF8_LCASE")).alias("n_case_insensitive"),
+    )

@@ -715,3 +715,24 @@ def sink_sorted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp")
     )
     return back.select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+
+
+@query(
+    "scan_metadata_cols",
+    oracle="""
+    SELECT 'lineitem.parquet' AS fname, COUNT(*) AS n FROM lineitem
+    """,
+)
+def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` file columns (file_name / file_path /
+    row_index) — per-file lineage without a custom reader: the
+    provenance tool for quarantining a bad upstream file out of a
+    100 TB lake (filter on _metadata.file_name touches only that
+    file).  Grouping by file_name here proves the column is read
+    alongside the data in one scan."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        df.select(F.col("_metadata.file_name").alias("fname"))
+        .groupBy("fname")
+        .agg(F.count("*").alias("n"))
+    )
