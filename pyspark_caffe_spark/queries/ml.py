@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_caffe_spark.model import (
@@ -31,7 +31,7 @@ from pyspark_caffe_spark.model import (
     train_parameter_averaging,
 )
 from pyspark_caffe_spark.registry import query
-from pyspark_caffe_spark.tables import load_table
+from pyspark_caffe_spark.tables import emb_double, load_table
 
 DIM = 64
 N_CLASSES = 10
@@ -439,4 +439,76 @@ def ml_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("l2"), 6).alias("min_norm"),
             F.round(F.max("l2"), 6).alias("max_norm"),
         )
+    )
+
+
+@query(
+    "ml_knn_classifier",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, q.label AS true_label, c.label AS nlabel,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(LIST_DOT_PRODUCT(q.e, c.e), 6) DESC, c.vec_id
+             ) AS rk
+      FROM q JOIN c ON q.vec_id <> c.vec_id
+    ),
+    votes AS (
+      SELECT qid, true_label, nlabel, COUNT(*) AS n_votes
+      FROM scored WHERE rk <= 5
+      GROUP BY qid, true_label, nlabel
+    )
+    SELECT qid, true_label, nlabel AS pred_label, n_votes FROM (
+      SELECT qid, true_label, nlabel, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY n_votes DESC, nlabel) AS vrk
+      FROM votes
+    ) WHERE vrk = 1
+    """,
+)
+def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification (k=5, cosine-by-dot, majority vote with
+    smallest-label tiebreak): the query block (every 50th vector)
+    broadcasts onto the corpus — sim_knn_batch's serving shape — then
+    two tiny windows (rank neighbours, rank votes) pick the
+    prediction.  The corpus never shuffles: scoring is
+    broadcast×scan, and everything after the top-k cut is
+    queries×k rows.  Rounded scores + id/label tiebreaks keep the
+    vote oracle-stable."""
+    emb = emb_double(_emb(spark, sf_dir))
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    pairs = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+        F.col("label").alias("nlabel"),
+    ).join(F.broadcast(q), F.col("qid") != F.col("cid"))
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.round(dot, 6).desc(), F.col("cid").asc()
+    )
+    top = pairs.withColumn("rk", F.row_number().over(w_rank)).filter(F.col("rk") <= 5)
+    votes = top.groupBy("qid", "true_label", "nlabel").agg(
+        F.count("*").alias("n_votes")
+    )
+    w_vote = Window.partitionBy("qid").orderBy(
+        F.desc("n_votes"), F.asc("nlabel")
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(w_vote))
+        .filter(F.col("vrk") == 1)
+        .select("qid", "true_label", F.col("nlabel").alias("pred_label"), "n_votes")
     )
