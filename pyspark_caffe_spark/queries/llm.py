@@ -1417,3 +1417,57 @@ def text_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("span"))
         .limit(50)
     )
+
+
+@query(
+    "corpus_ngram_lm",
+    oracle="""
+    WITH big AS (
+      SELECT UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 1, 1) + 1),
+               i -> STRING_SPLIT(text,' ')[i])) AS w1,
+             UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 1, 1) + 1),
+               i -> STRING_SPLIT(text,' ')[i+1])) AS w2
+      FROM documents
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(n12) AS n1 FROM c12 GROUP BY w1)
+    SELECT w1, w2, n12,
+           ROUND(CAST(n12 AS DOUBLE) / n1, 6) AS p_cond
+    FROM c12 JOIN c1 USING (w1)
+    WHERE n12 >= 25
+    """,
+)
+def corpus_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM statistics: corpus bigram counts and the
+    conditional probability P(w2|w1) = c(w1,w2)/c(w1·) for every pair
+    seen ≥25 times — the table behind n-gram perplexity scoring and
+    classic LM-based quality filters.
+
+    Bigrams are built array-native (zip of the token array with its
+    shift) and exploded ONCE; c(w1·) comes from re-aggregating the
+    bigram counts (vocabulary-sized, NOT a second corpus pass), and
+    the normalizing join is on w1 — vocabulary-sized, AQE-broadcast.
+    At 100 TB the n12 table is the only big intermediate and it is
+    partial-aggregated map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = textops.words_of("text")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(1))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    exploded = docs.select(F.explode(bigrams).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    c12 = exploded.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    return (
+        c12.join(c1, "w1")
+        .filter(F.col("n12") >= 25)
+        .select(
+            "w1", "w2", "n12",
+            F.round(F.col("n12") / F.col("n1"), 6).alias("p_cond"),
+        )
+    )
