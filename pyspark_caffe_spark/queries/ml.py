@@ -512,3 +512,51 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vrk") == 1)
         .select("qid", "true_label", F.col("nlabel").alias("pred_label"), "n_votes")
     )
+
+
+@query(
+    "ml_threshold_sweep",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+             ROUND(1 / (1 + EXP(-LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+                                                  {_sql_vec(W_SCORE)}))), 6) AS score
+      FROM embeddings
+    ),
+    th AS (SELECT UNNEST(CAST([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9] AS DOUBLE[])) AS threshold)
+    SELECT threshold,
+           CAST(SUM(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN score >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN score < threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           ROUND(CAST(SUM(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(CASE WHEN score >= threshold THEN 1 ELSE 0 END), 0), 6) AS precision,
+           ROUND(CAST(SUM(CASE WHEN score >= threshold AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / NULLIF(SUM(y), 0), 6) AS recall
+    FROM scored CROSS JOIN th
+    GROUP BY threshold
+    """,
+)
+def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold sweep (the PR-curve table): ONE model pass,
+    then the (score, y) pairs — two tiny columns, not the corpus —
+    cross the 9-threshold literal array and aggregate tp/fp/fn/
+    precision/recall per threshold.  The explode multiplies only the
+    scored projection; at 100 TB that is 9×16 bytes per row inside a
+    map-side-combined aggregate, not 9 corpus scans (and not 9 jobs —
+    the whole curve is one shuffle of 9 groups)."""
+    scored = score_column(_emb(spark, sf_dir), SCORER, "embedding", "score", ndigits=6)
+    y = F.when(F.col("label") >= 5, 1).otherwise(0)
+    base = scored.select(y.alias("y"), "score")
+    th = F.explode(F.array(*[F.lit(t / 10.0) for t in range(1, 10)])).alias("threshold")
+    crossed = base.select("y", "score", th)
+    pred = (F.col("score") >= F.col("threshold")).cast("int")
+    tp = F.sum(pred * F.col("y"))
+    fp = F.sum(pred * (1 - F.col("y")))
+    fn = F.sum((1 - pred) * F.col("y"))
+    return crossed.groupBy("threshold").agg(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(tp / F.nullif(F.sum(pred), F.lit(0)), 6).alias("precision"),
+        F.round(tp / F.nullif(F.sum("y"), F.lit(0)), 6).alias("recall"),
+    )
