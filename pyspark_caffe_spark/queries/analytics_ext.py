@@ -867,3 +867,76 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
         )
     )
+
+
+@query(
+    "events_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS n_events, ROUND(AVG(value), 4) AS day_avg
+      FROM events WHERE user_id < 50 GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    )
+    SELECT s.user_id, s.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           LAST_VALUE(d.day_avg IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg,
+           CASE WHEN d.n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM spine s LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill: densify each user's daily
+    activity onto a complete day spine (``sequence`` + ``explode``
+    between the user's first and last active day), then carry the last
+    observed daily average forward across the gaps with
+    ``last(..., ignorenulls=True)`` over an UNBOUNDED PRECEDING frame —
+    the standard regularization step before feeding irregular event
+    data to window features or a forecast model.
+
+    Scale shape: the spine is generated per-user (no global calendar
+    cross join — output is |active days| + |gaps|, not |users| x
+    |calendar|). The measured plan has exactly two data shuffles: the
+    spine side is hash-partitioned by ``user_id`` once (for the bounds
+    agg) and the forward-fill Window REUSES that partitioning with no
+    extra exchange; the pre-aggregated daily side (|users| x |active
+    days|, tiny vs raw events) broadcasts into the densify join. The
+    first spine day is always an active day, so the forward fill never
+    emits NULL. Restricted to user_id < 50 to keep the checked output
+    compact; the plan is user-count-invariant.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("day_avg"),
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+    )
+    filled = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("day_avg", ignorenulls=True).over(w).alias("filled_avg"),
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_gap"),
+    )

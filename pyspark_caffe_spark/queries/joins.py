@@ -680,3 +680,46 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_a", "user_b")
     )
+
+
+@query(
+    "join_q13_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def join_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer distribution by order count — left outer
+    join with a join-side residual predicate, then TWO stacked
+    aggregations (per-customer count, then histogram of those counts;
+    zero-order customers must survive as c_count = 0, which is why the
+    filter lives in the join condition, not a WHERE).
+
+    Scale shape: the priority filter is pushed to the orders parquet
+    scan (verified ``PushedFilters: [Not(EqualTo(o_orderpriority,
+    5-LOW))]``); at test SF orders broadcasts, so customer flows scan →
+    join → partial agg with ZERO shuffles before the single c_custkey
+    exchange. At 100 TB the join falls back to sort-merge shuffling
+    both sides on the customer key — which the per-customer groupBy
+    then reuses (same key, no second shuffle of the big side); the
+    final histogram reduces |customers| rows to a handful of buckets
+    with map-side partials.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )

@@ -736,3 +736,105 @@ def scan_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fname")
         .agg(F.count("*").alias("n"))
     )
+
+
+def _fk_audit(fact: DataFrame, fkey: str, dim: DataFrame, dkey: str, name: str) -> DataFrame:
+    """One FK relationship check: LEFT JOIN the fact's key column
+    against the dim's DISTINCT key set (distinct ⇒ no fanout, row count
+    preserved) and count unmatched rows. Column-pruned to one column
+    per side, so the scan reads nothing else."""
+    dim_keys = dim.select(F.col(dkey).alias("__dk")).distinct()
+    joined = fact.select(F.col(fkey).alias("__fk")).join(
+        dim_keys, F.col("__fk") == F.col("__dk"), "left"
+    )
+    return joined.agg(
+        F.count("*").alias("checked_rows"),
+        F.sum(F.when(F.col("__dk").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("orphan_rows"),
+    ).select(F.lit(name).alias("relationship"), "checked_rows", "orphan_rows")
+
+
+@query(
+    "profile_referential",
+    oracle="""
+    WITH rel AS (
+      SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS relationship,
+             COUNT(*) AS checked_rows,
+             CAST(SUM(CASE WHEN d.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows
+      FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) d
+        ON l_orderkey = d.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey -> part.p_partkey',
+             COUNT(*),
+             CAST(SUM(CASE WHEN d.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part) d
+        ON l_partkey = d.p_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey -> supplier.s_suppkey',
+             COUNT(*),
+             CAST(SUM(CASE WHEN d.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) d
+        ON l_suppkey = d.s_suppkey
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer.c_custkey',
+             COUNT(*),
+             CAST(SUM(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) d
+        ON o_custkey = d.c_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation.n_nationkey',
+             COUNT(*),
+             CAST(SUM(CASE WHEN d.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM customer LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) d
+        ON c_nationkey = d.n_nationkey
+      UNION ALL
+      SELECT 'nation.n_regionkey -> region.r_regionkey',
+             COUNT(*),
+             CAST(SUM(CASE WHEN d.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM nation LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) d
+        ON n_regionkey = d.r_regionkey
+    )
+    SELECT relationship, checked_rows, orphan_rows FROM rel
+    """,
+)
+def profile_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan-row counts for every FK
+    relationship in the star schema, one result row per relationship —
+    the pre-flight a pipeline runs before joining a new data drop
+    (orphans silently vanish from inner joins, skewing every metric
+    downstream).
+
+    Scale shape: each check is a column-pruned LEFT JOIN against a
+    deduplicated key set — small dims broadcast (nation/region/
+    supplier/customer); the fact-to-fact check (lineitem -> orders)
+    shuffles only the two key columns, and each branch reduces to a
+    single tuple map-side before the final tiny union. At 100 TB the
+    exact distinct on the dim side can swap to a bloom filter for a
+    one-sided, no-shuffle probe with a bounded false-negative audit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    checks = [
+        _fk_audit(li, "l_orderkey", orders, "o_orderkey",
+                  "lineitem.l_orderkey -> orders.o_orderkey"),
+        _fk_audit(li, "l_partkey", part, "p_partkey",
+                  "lineitem.l_partkey -> part.p_partkey"),
+        _fk_audit(li, "l_suppkey", supp, "s_suppkey",
+                  "lineitem.l_suppkey -> supplier.s_suppkey"),
+        _fk_audit(orders, "o_custkey", cust, "c_custkey",
+                  "orders.o_custkey -> customer.c_custkey"),
+        _fk_audit(cust, "c_nationkey", nation, "n_nationkey",
+                  "customer.c_nationkey -> nation.n_nationkey"),
+        _fk_audit(nation, "n_regionkey", region, "r_regionkey",
+                  "nation.n_regionkey -> region.r_regionkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out

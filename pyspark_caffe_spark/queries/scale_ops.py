@@ -414,3 +414,80 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("o_custkey"))
         .limit(10)
     )
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    edges AS (
+      SELECT l_partkey AS src, 1000000 + l_suppkey AS dst FROM pairs
+      UNION ALL
+      SELECT 1000000 + l_suppkey AS src, l_partkey AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    pr(iter, node, rank) AS (
+      SELECT 0, src, CAST(1.0 AS DOUBLE) FROM deg
+      UNION ALL
+      SELECT p.iter + 1, e.dst,
+             CAST(0.15 + 0.85 * SUM(p.rank / d.outdeg) AS DOUBLE)
+      FROM pr p
+      JOIN edges e ON e.src = p.node
+      JOIN deg d ON d.src = p.node
+      WHERE p.iter < 5
+      GROUP BY p.iter + 1, e.dst
+    )
+    SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 4) AS pagerank
+    FROM pr WHERE iter = 5
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 synchronous iterations) over the
+    part<->supplier co-purchase graph derived from lineitem — the
+    iterative-graph-algorithm pattern on plain DataFrames: per
+    iteration, JOIN ranks to edges on src, GROUP BY dst to sum
+    contributions.  Oracled by a DuckDB recursive CTE running the
+    identical recurrence (rounding to 4 digits absorbs cross-engine
+    summation-order drift).
+
+    Scale shape: edges are cached and hash-partitioned by ``src`` ONCE;
+    every iteration's join then reuses that partitioning and only the
+    (node, rank) pairs — two narrow columns — shuffle per hop.
+    ``localCheckpoint`` per iteration truncates the lineage so the plan
+    does not grow exponentially (same pattern as dedup_clusters'
+    label propagation).  Both directions of each edge are materialized,
+    so the bipartite graph has no dangling nodes and rank mass is
+    conserved (sum ranks = |nodes|, asserted in tests).  At 100 TB
+    scale: Pregel-style vertex partitioning is exactly this plan with
+    the edge table bucketed by src on disk.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    part_node = F.col("l_partkey").cast("long")
+    supp_node = (F.lit(1000000) + F.col("l_suppkey")).cast("long")
+    edges = (
+        pairs.select(part_node.alias("src"), supp_node.alias("dst"))
+        .unionAll(pairs.select(supp_node.alias("src"), part_node.alias("dst")))
+        .repartition(32, "src")
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = deg.select("src", F.lit(1.0).alias("rank"))
+    weighted = edges.join(deg, "src").select(
+        "src", "dst", (F.lit(0.85) / F.col("outdeg")).alias("w")
+    ).cache()
+    for _ in range(5):
+        contrib = (
+            weighted.join(ranks, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("in_mass"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("src"),
+            (F.lit(0.15) + F.col("in_mass")).alias("rank"),
+        ).localCheckpoint(eager=False)
+    return ranks.select(
+        F.col("src").alias("node"), F.round("rank", 4).alias("pagerank")
+    )
