@@ -940,3 +940,103 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("day_avg", ignorenulls=True).over(w).alias("filled_avg"),
         F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_gap"),
     )
+
+
+@query(
+    "agg_q22_customers",
+    oracle="""
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def agg_q22_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (phone prefix swapped for nationkey — FIXTURES
+    has no c_phone; "inactive" = no order since 2000-01-01, because in
+    these fixtures virtually every customer has SOME order and the
+    unqualified NOT EXISTS would be vacuously empty). Rich-but-churned
+    customers per country: combines an UNCORRELATED scalar subquery
+    (global positive-balance average — computed once, broadcast as a
+    literal into every partition's filter) with a NOT EXISTS that
+    Catalyst decorrelates into a LEFT ANTI join against recent orders,
+    then a one-key aggregation.
+
+    Scale shape: the scalar subquery is a single-tuple aggregate (no
+    per-row re-execution); the anti join needs only orders'
+    ``o_custkey`` column (column-pruned probe — at 100 TB a bloom
+    filter on the distinct custkeys makes it shuffle-free); the final
+    groupBy reduces to ≤25 nation rows map-side. Written in SQL to
+    exercise both decorrelation paths end-to-end.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView(cv := f"_q22_cust_{uuid.uuid4().hex[:8]}")
+    orders.createOrReplaceTempView(ov := f"_q22_ord_{uuid.uuid4().hex[:8]}")
+    df = spark.sql(f"""
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 4) AS totacctbal
+        FROM {cv} c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM {cv} WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM {ov} o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+    """)
+    spark.catalog.dropTempView(cv)
+    spark.catalog.dropTempView(ov)
+    return df
+
+
+@query(
+    "agg_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def agg_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top-revenue supplier for a quarter — the same
+    derived aggregate (``rev``) is consumed TWICE, once as the join
+    input and once inside the MAX scalar subquery.  Revenue is rounded
+    to 4 digits BEFORE the max comparison so tie behavior is identical
+    across engines (rounded equality, not float last-bit equality).
+
+    Scale shape: Spark plans the second consumption as a
+    ReusedExchange of the first groupBy's shuffle output — the quarter
+    filter is pushed to the parquet scan once and the |suppliers|-row
+    aggregate is never recomputed; the MAX side reduces it to one
+    scalar. The supplier dim joins broadcast. Written in SQL so the
+    optimizer (not a manual ``.cache()``) performs the reuse.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    li.createOrReplaceTempView(lv := f"_q15_li_{uuid.uuid4().hex[:8]}")
+    supp.createOrReplaceTempView(sv := f"_q15_supp_{uuid.uuid4().hex[:8]}")
+    df = spark.sql(f"""
+        WITH rev AS (
+          SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+          FROM {lv}
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev
+        FROM {sv} JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """)
+    spark.catalog.dropTempView(lv)
+    spark.catalog.dropTempView(sv)
+    return df

@@ -491,3 +491,38 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("src").alias("node"), F.round("rank", 4).alias("pagerank")
     )
+
+
+@query("sink_compact", oracle="SELECT * FROM orders")
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (the OPTIMIZE maintenance job): a
+    fragmented table — here orders deliberately shattered into 64 tiny
+    part-files — is read back and rewritten into size-targeted files:
+    output file count = ceil(input_bytes / 16 MiB), computed from the
+    actual on-disk footprint, so the layout tracks data volume rather
+    than a hard-coded partition count. Content is oracle-checked to
+    survive the rewrite byte-for-byte; tests assert the file count
+    actually collapsed (64 → ceil-target).
+
+    Scale shape: compaction is a pure map-side rewrite when the target
+    count comes from ``coalesce`` (no shuffle — each output task
+    concatenates whole input files); this implementation uses coalesce
+    for exactly that reason. At 100 TB you run it per partition
+    directory, pruning to partitions whose avg file size is below
+    threshold — the metadata-only file listing here is that check.
+    """
+    import math
+
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    orders = load_table(spark, sf_dir, "orders")
+    frag = _scratch("compact_in_" + os.path.basename(sf_dir.rstrip("/")))
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    part_files = [
+        os.path.join(frag, f) for f in os.listdir(frag) if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in part_files)
+    n_out = max(1, math.ceil(total_bytes / (16 << 20)))
+    out = _scratch("compact_out_" + os.path.basename(sf_dir.rstrip("/")))
+    spark.read.parquet(frag).coalesce(n_out).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

@@ -71,3 +71,32 @@ def test_sample_stratified(spark, sf_dir):
     assert 0.1 * full["click"] < counts["click"] < 0.3 * full["click"]
     out2 = QUERIES["sample_stratified"](spark, sf_dir)
     assert out.count() == out2.count()  # seeded determinism
+
+
+def test_sink_compact_collapses_files(spark, sf_dir):
+    import os
+
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    n = QUERIES["sink_compact"](spark, sf_dir).count()
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    count_parts = lambda p: sum(
+        1 for f in os.listdir(p) if f.endswith(".parquet")
+    )
+    n_in = count_parts(_scratch(f"compact_in_{tag}"))
+    n_out = count_parts(_scratch(f"compact_out_{tag}"))
+    assert n_in == 64
+    # sf0.01 orders is ~hundreds of KB: everything fits one 16 MiB target
+    assert n_out < n_in and n_out <= 4, (n_in, n_out)
+    assert n > 0
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    df = QUERIES["graph_pagerank"](spark, sf_dir)
+    row = df.agg(
+        F.count("*").alias("n"), F.sum("pagerank").alias("mass")
+    ).collect()[0]
+    # both edge directions exist => no dangling nodes => sum(rank) == N
+    assert abs(row["mass"] - row["n"]) / row["n"] < 1e-3, row
