@@ -178,19 +178,45 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", pred.alias("pred_lang"))
 
 
-@query("text_ngram_hash")  # rows-only: hash functions differ across engines
+@query(
+    "text_ngram_hash",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id,
+             list_transform(range(0, GREATEST(len(w) - 5, 0) + 1),
+                            i -> array_to_string(list_slice(w, i + 1, i + 5), ' ')) AS sh
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(sh) AS BIGINT) AS n_shingles,
+           CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+           list_aggregate(sh, 'min') AS min_shingle,
+           list_aggregate(sh, 'max') AS max_shingle
+    FROM s
+    """,
+)
 def text_ngram_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-gram shingling + 64-bit hashing — the dedup building block.
     shingles = sliding windows over the token array, built with
-    sequence+transform+slice (no explode, no Python)."""
+    sequence+transform+slice (no explode, no Python).
+
+    Oracle-checkable formulation: the raw xxhash64 values are engine-
+    specific, so the checked columns are the shingle STRINGS' count /
+    lexicographic extremes, plus the distinct count computed THROUGH
+    the 64-bit hashes (collision-free at any realistic corpus size, so
+    it equals the oracle's distinct-shingle count — this keeps the
+    hash path in the tested data flow)."""
     docs = load_table(spark, sf_dir, "documents")
     shingles = textops.shingles_of("text", 5)
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     return docs.select(
         "doc_id",
         F.size(shingles).cast("long").alias("n_shingles"),
-        F.array_min(hashes).alias("min_hash"),
-        F.array_max(hashes).alias("max_hash"),
+        F.size(F.array_distinct(hashes)).cast("long").alias("n_distinct"),
+        F.array_min(shingles).alias("min_shingle"),
+        F.array_max(shingles).alias("max_shingle"),
     )
 
 

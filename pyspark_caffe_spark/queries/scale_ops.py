@@ -143,14 +143,32 @@ def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_sized")  # rows-only: physical layout, not row semantics
+@query(
+    "sink_sized",
+    oracle="""
+    WITH hi AS (SELECT MAX(l_orderkey) + 1 AS m FROM lineitem),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(l_orderkey * 4.0 / m) AS BIGINT), 3) AS pb
+      FROM lineitem, hi
+    )
+    SELECT pb,
+           CAST(CEIL(COUNT(*) / 100000.0) AS BIGINT) AS n_files,
+           COUNT(*) AS n_rows
+    FROM b GROUP BY pb
+    """,
+)
 def sink_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write with controlled file sizing: repartitionByRange on the
     sort key + maxRecordsPerFile. The two knobs that prevent the
     small-files problem (and its opposite, unsplittable monster files)
     at 100 TB: range partitioning gives min/max-pruned, sorted files;
     maxRecordsPerFile caps each at a target size. Returns per-file row
-    counts read back (tests assert the cap held and rows survived)."""
+    counts read back (tests assert the cap held and rows survived).
+
+    Oracle-checkable because the layout is DETERMINISTIC: fixed
+    quartile boundaries (not repartitionByRange's sampled ones) and a
+    single writer task per bucket make the file count exactly
+    ceil(rows/100000), which the oracle recomputes from the raw table."""
     from pyspark_caffe_spark.queries.relational import _scratch
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -177,7 +195,9 @@ def sink_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pb")
         .agg(F.count("*").alias("n_files"), F.sum("n_rows").alias("n_rows"))
         .orderBy("pb")
-        .select("pb", "n_files", "n_rows")
+        # partition-dir read-back infers pb as INT — restore the long
+        # the bucketing expression produced so the oracle schema matches
+        .select(F.col("pb").cast("long").alias("pb"), "n_files", "n_rows")
     )
 
 

@@ -144,12 +144,19 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "win_range_frame",
     oracle="""
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             EPOCH(o_orderdate) AS ep
+      FROM orders
+    )
     SELECT o_orderkey, o_orderpriority, o_orderdate,
-           ROUND(AVG(o_totalprice) OVER (
-             PARTITION BY o_orderpriority
-             ORDER BY EPOCH(o_orderdate)
-             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 4) AS trailing_avg
-    FROM orders
+           CAST((2 * CAST(SUM(cents) OVER w AS BIGINT) * 100 + COUNT(*) OVER w)
+                // (2 * COUNT(*) OVER w) AS DOUBLE) / 10000.0 AS trailing_avg
+    FROM c
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY ep
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
     """,
 )
 def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,18 +165,39 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's rangeBetween needs a numeric order key — cast the timestamp
     to long (seconds); 604800 = 7 days. The oracle uses EPOCH() for the
     identical frame arithmetic.
+
+    AVG(double) over a sliding frame is summation-order sensitive (Spark
+    re-accumulates the frame; DuckDB uses a segment tree), and even with
+    an exact decimal SUM the two engines' ROUND(double, 4) disagree on
+    decimal-halfway quotients (x.62875 → .6288 vs .6287).  So the whole
+    "average rounded to 4 decimals" is computed in INTEGER arithmetic:
+    cents = exact price*100; round-half-up(sum_cents*100 / cnt) =
+    (2*sum_cents*100 + cnt) div (2*cnt); one final division of the same
+    integer by the same constant is bit-identical on both engines.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    )
     w = (
         Window.partitionBy("o_orderpriority")
         .orderBy(F.col("o_orderdate").cast("timestamp_ltz").cast("long"))
         .rangeBetween(-604800, 0)
     )
-    return orders.select(
+    framed = orders.select(
         "o_orderkey",
         "o_orderpriority",
         "o_orderdate",
-        F.round(F.avg("o_totalprice").over(w), 4).alias("trailing_avg"),
+        F.sum("cents").over(w).alias("_sum_c"),
+        F.count(F.lit(1)).over(w).alias("_cnt"),
+    )
+    return framed.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        (
+            F.expr("(2 * _sum_c * 100 + _cnt) DIV (2 * _cnt)").cast("double")
+            / F.lit(10000.0)
+        ).alias("trailing_avg"),
     )
 
 

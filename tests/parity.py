@@ -3,7 +3,11 @@ oracle check (SURVEY.md §5.1).
 
 Normalization before hashing/comparison:
   * columns sorted by name (the driver does the same);
-  * floats rounded to 9 significant digits (summation-order ULP noise);
+  * floats compared EXACTLY (strict mode, the default) — the driver's
+    value hash does not round, so any summation-order drift must be
+    fixed in the query (decimal arithmetic / ULP-safe rounding), never
+    masked here.  Set SPARK_GRAFT_LOOSE_PARITY=1 to fall back to
+    9-significant-digit rounding while debugging a drift source;
   * timestamps truncated to microseconds, naive;
   * arrays compared element-wise with the same rules;
   * row multisets compared order-insensitively.
@@ -12,10 +16,13 @@ Normalization before hashing/comparison:
 from __future__ import annotations
 
 import math
+import os
 from datetime import date, datetime
 from decimal import Decimal
 
 import numpy as np
+
+STRICT_FLOATS = os.environ.get("SPARK_GRAFT_LOOSE_PARITY", "") != "1"
 
 
 def norm_value(v):
@@ -33,7 +40,7 @@ def norm_value(v):
             return "NaN"
         if f == 0.0:
             return 0.0
-        return float(f"{f:.9g}")
+        return f if STRICT_FLOATS else float(f"{f:.9g}")
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, date):
