@@ -56,12 +56,71 @@ _EXPENSIVE_LAST = [
 ]
 
 
+def _driver_rows() -> dict[str, dict]:
+    """Latest CORRECTNESS_r*.json row per key (accumulated over rounds)."""
+    import glob
+    import json
+
+    rows: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            for key, row in data.items():
+                if isinstance(row, dict):
+                    rows[key] = row
+    return rows
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2,
-    cheapest-first (see _EXPENSIVE_LAST)."""
-    ordered = {k: fn for k, fn in QUERIES.items() if k not in _EXPENSIVE_LAST}
-    ordered.update({k: QUERIES[k] for k in _EXPENSIVE_LAST if k in QUERIES})
-    return ordered
+    """One entry per implemented operator from SURVEY.md §2.
+
+    The driver's correctness sweep is budget-limited (~50 keys/round, in
+    this dict's order), so the order is chosen to maximize NEW evidence
+    each round:
+      group 0 — keys whose latest driver row is red (err / row / schema /
+                hash mismatch): fixes must convert to green rows first;
+      group 1 — keys with no driver row yet, plus rows-only rows whose
+                key has since graduated to a full hash oracle;
+      group 2 — keys already driver-green.
+    Within each group, registry order, except _EXPENSIVE_LAST keys
+    (streaming drains, iterative ML, LSH/cluster dedup, ≥ ~1.5 s at
+    sf0.01) sink to the end of their group so a wall-clock-budgeted
+    harness checks the maximum number of keys before any cutoff.
+    """
+    rows = _driver_rows()
+
+    def group(key: str) -> int:
+        row = rows.get(key)
+        if row is None:
+            return 1
+        err = row.get("err")
+        if err == "no_oracle":
+            # rows-only sweep that ran clean: red only if the key has
+            # since graduated to a full hash oracle (re-sweep it), else
+            # nothing new to learn — treat as green.
+            return 1 if key in ORACLES else 2
+        red = (
+            err is not None
+            or row.get("rows_match") is False
+            or row.get("schema_match") is False
+            or row.get("hash_match") is False
+        )
+        if red:
+            return 0
+        if row.get("hash_match") is None and key in ORACLES:
+            return 1  # swept rows-only, but now has a hash oracle: re-sweep
+        return 2
+
+    order = list(QUERIES)
+    ranked = sorted(
+        order,
+        key=lambda k: (group(k), k in _EXPENSIVE_LAST, order.index(k)),
+    )
+    return {k: QUERIES[k] for k in ranked}
 
 
 def oracle_sql() -> dict[str, str]:
