@@ -61,8 +61,16 @@ def _driver_rows() -> dict[str, dict]:
     import glob
     import json
 
+    def round_num(path: str) -> int:
+        import re
+
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
     rows: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+    # numeric sort so r10 doesn't land between r1 and r2 and let a
+    # stale row shadow a newer one (latest round wins)
+    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")), key=round_num):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -113,12 +121,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 0
         if row.get("hash_match") is None and key in ORACLES:
             return 1  # swept rows-only, but now has a hash oracle: re-sweep
+        if row.get("rows_match") is None:
+            return 1  # err-free but never actually verified: treat as unswept
         return 2
 
     order = list(QUERIES)
+    idx = {k: i for i, k in enumerate(order)}
     ranked = sorted(
         order,
-        key=lambda k: (group(k), k in _EXPENSIVE_LAST, order.index(k)),
+        key=lambda k: (group(k), k in _EXPENSIVE_LAST, idx[k]),
     )
     return {k: QUERIES[k] for k in ranked}
 

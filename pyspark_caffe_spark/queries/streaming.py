@@ -37,8 +37,10 @@ from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.queries.relational import _scratch
 from pyspark_caffe_spark.tables import load_table
 
-# Physical schema of events.parquet as the streaming reader sees it
-# (ts arrives as INT64 nanos under nanosAsLong — SURVEY §1.3.1).
+# Physical schema used for the self-generated replay fixtures (the
+# replay writers serialize ts as INT64 nanos explicitly, so their
+# readStream side always sees LongType regardless of what the fixture
+# generator shipped on disk).
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -74,8 +76,18 @@ def _read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         if not os.path.lexists(link):
             os.symlink(path, link)
         path = d
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The fixture's ts column has shipped as either INT64 nanos or
+    # parquet timestamp[us]; steal the batch reader's inferred schema
+    # (cheap footer-only read) so the stream schema always matches the
+    # files on disk, then normalise exactly as tables.load_table does.
+    raw_schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(raw_schema).parquet(path)
+    ts_type = raw_schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _drain(df: DataFrame, name: str, output_mode: str, partitions: int = 8) -> DataFrame:

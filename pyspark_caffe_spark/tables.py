@@ -51,11 +51,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is read as LongType nanoseconds (nanosAsLong=true);
-        # truncate to micros to match DuckDB's timestamp view of the
-        # same column (SURVEY.md §1.3.1). INTEGER division — `/ 1000`
-        # goes through double and loses micros at 1.7e18 nanos.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The fixture generator has shipped events.ts as either INT64
+        # nanoseconds (read as LongType via nanosAsLong=true) or as a
+        # parquet timestamp[us] (read as TIMESTAMP_NTZ).  Adapt to
+        # whichever layout is on disk so every query — and the DuckDB
+        # oracle, which sees TIMESTAMP either way — gets a session-UTC
+        # TimestampType at microsecond precision.
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            # INTEGER division — `/ 1000` goes through double and
+            # loses micros at 1.7e18 nanos.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # NTZ wall-clock == UTC instant under session timeZone=UTC.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
