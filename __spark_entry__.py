@@ -69,8 +69,10 @@ def _driver_rows() -> dict[str, dict]:
 
     rows: dict[str, dict] = {}
     # numeric sort so r10 doesn't land between r1 and r2 and let a
-    # stale row shadow a newer one (latest round wins)
-    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")), key=round_num):
+    # stale row shadow a newer one (latest round wins); path tiebreak
+    # keeps same-round / non-matching names deterministic
+    paths = glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))
+    for path in sorted(paths, key=lambda p: (round_num(p), p)):
         try:
             with open(path) as f:
                 data = json.load(f)

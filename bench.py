@@ -62,18 +62,25 @@ def main() -> None:
     # are warm-process ("single warm-process runs"), so match that.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     QUERIES["agg_hash_groupby"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    # Two passes per query, report the min: one run is exposed to
-    # box-level contention noise (measured ±20-40% on this suite); the
-    # min of two is a far steadier estimate of the plan's real cost.
+    # Three passes per query, report the MEDIAN: single warm runs on
+    # this suite swing ±20-40% under box-level contention (r02→r04
+    # showed ±30% per-query deltas with zero plan changes), so one
+    # sample can't distinguish a regression from noise. Median-of-3 is
+    # robust to one outlier either way; the min is kept as a
+    # side-channel ("best-case plan cost") for round-over-round
+    # comparison.
     timings: dict[str, float] = {}
+    best_case: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        samples: list[float] = []
+        for _ in range(3):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[1], 3)
+        best_case[name] = round(samples[0], 3)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -81,10 +88,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall-clock (22 queries, noop-materialized)",
+                "metric": "headline suite wall-clock (22 queries, noop-materialized, median of 3)",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": best_case,
                 "sf": sf,
             }
         )

@@ -1034,7 +1034,14 @@ def pipeline_training_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.filter(F.pmod(h, F.lit(2)) == 0).select("doc_id", "lang", "n_words")
 
 
-@query("dedup_candidate_verify")  # rows-only: candidates are LSH-impl-specific
+@query(
+    "dedup_candidate_verify",
+    oracle=f"""
+    WITH aug AS ({_PERTURB_SQL}),
+    {_JACCARD_EDGES_SQL}
+    SELECT id_a, id_b, jaccard FROM edges
+    """,
+)
 def dedup_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION near-dup pipeline: MinHash-LSH candidate
     generation followed by exact-Jaccard VERIFICATION of only the
@@ -1043,9 +1050,15 @@ def dedup_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard alone is quadratic; candidates∩verify is both sound
     and near-linear). The verify join touches |candidates| pairs, not
     Σ|block|²: shingle sets are re-derived per side and intersected
-    with a broadcast-joined candidate list. Tests assert the verified
-    set equals the exact jaccard_pairs result restricted to LSH
-    candidates, with recall ≥ 0.9 of all true pairs."""
+    with a broadcast-joined candidate list.
+
+    Oracled against the exact 4-gram Jaccard edge set
+    (_JACCARD_EDGES_SQL, shared with dedup_ngram_jaccard): sound by
+    construction (every verified pair passes exact J ≥ 0.5), and
+    complete on these fixtures because every true edge is a perturbed
+    near-dup with J ≳ 0.9, where 16-band/2-row LSH miss probability is
+    (1-J²)^16 < 1e-13 — verified equal at sf0.001 and sf0.01
+    (tests/test_llm.py also asserts verified == exact∩candidates)."""
     docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
     cands = textops.minhash_dedup_pairs(docs, "text", "doc_id", num_hashes=32, bands=16)
     sh = docs.select(

@@ -18,6 +18,8 @@ loading "the whole table" here costs nothing until an action runs.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,15 +37,28 @@ TABLE_NAMES = [
 ]
 
 
+# Sessions already configured — ensure_session_confs runs on EVERY
+# load_table call, and each conf.set is a py4j round trip; memoizing on
+# the live session object drops it to one pair of calls per session.
+# WeakSet so a stopped/collected session can't pin memory or collide
+# with a new session reusing the same address.
+_CONFIGURED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Set the correctness-critical runtime confs on ANY session.
 
     The grading driver may hand us its own SparkSession built without
     our factory; both confs are runtime-settable, so defend here (the
-    single chokepoint every query loads tables through). Idempotent.
+    single chokepoint every query loads tables through). Idempotent,
+    and memoized per session so repeated table loads don't pay py4j
+    round trips.
     """
+    if spark in _CONFIGURED_SESSIONS:
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _CONFIGURED_SESSIONS.add(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

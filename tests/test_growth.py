@@ -1,0 +1,74 @@
+"""Scale-growth smoke: the near-dup pipeline must stay sub-quadratic.
+
+The 100 TB claim for dedup_minhash rests on candidate generation being
+banded/bucketed (O(candidates)), never all-pairs (O(n²)).  This test
+stresses that one notch past the fixtures: replicate the perturbed
+documents corpus 8× with disjoint shingle spaces (every word gets a
+per-replica prefix, so replicas can't pair with each other) and assert
+
+  * candidate pairs grow EXACTLY linearly (8× corpus ⇒ 8× pairs —
+    an all-pairs or cross-replica-bucketing bug would break this
+    noise-free invariant), and
+  * wall-clock grows ~linearly (8× corpus ⇒ ≤ 20× time, far under
+    the ≥ 64× a quadratic plan would show; the slack absorbs fixed
+    per-job overhead and box contention).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from pyspark_caffe_spark import textops
+from pyspark_caffe_spark.queries.llm import _perturbed_docs
+from pyspark_caffe_spark.tables import load_table
+
+SCALE = 8
+
+
+def _replicated(docs, k: int):
+    """k disjoint copies: ids offset, every word replica-prefixed so
+    shingle sets never collide across replicas."""
+    parts = []
+    for i in range(k):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.regexp_replace("text", r"(\w+)", f"r{i}_$1").alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _timed_pairs(docs) -> tuple[int, float]:
+    t0 = time.perf_counter()
+    n = textops.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8, shingle_k=5
+    ).count()
+    return n, time.perf_counter() - t0
+
+
+def test_minhash_growth_is_linear(spark, sf_dir):
+    base = _perturbed_docs(load_table(spark, sf_dir, "documents"))
+    small = _replicated(base, 1)
+    big = _replicated(base, SCALE)
+
+    _timed_pairs(small)  # warm-up: JIT/codegen/broadcast machinery
+    n1, t1 = _timed_pairs(small)
+    nk, tk = _timed_pairs(big)
+
+    # pairs: exactly linear — replicas are shingle-disjoint by
+    # construction, so every candidate pair lives inside one replica
+    assert nk == SCALE * n1, f"pairs {n1}->{nk}, expected exactly {SCALE}x"
+
+    # wall-clock: linear-ish.  Quadratic candidate generation would be
+    # >= SCALE² = 64×; allow generous 2.5× headroom over linear for
+    # fixed overhead + contention on a shared box.
+    assert tk <= max(2.5 * SCALE * t1, t1 + 20.0), (
+        f"wall-clock grew {tk / t1:.1f}x for {SCALE}x data "
+        f"({t1:.2f}s -> {tk:.2f}s) — sub-quadratic bound violated"
+    )

@@ -1,0 +1,138 @@
+"""Guards on the driver-contract harness itself (__spark_entry__).
+
+The sweep-order logic decides WHICH keys get driver evidence each
+round (the driver checks ~50 keys/round in ``queries()`` order), so a
+silent ordering regression strands keys without CORRECTNESS rows for
+rounds at a time — exactly what happened to ml_kmeans/ml_train_mllib
+in r01–r04.  These tests pin the ordering contract against synthetic
+CORRECTNESS fixtures so it can't drift.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+from unittest import mock
+
+
+import __spark_entry__ as entry
+from pyspark_caffe_spark import tables
+from pyspark_caffe_spark.queries import ORACLES, QUERIES
+
+
+def _order_with_rows(monkeypatch, rows: dict) -> list[str]:
+    monkeypatch.setattr(entry, "_driver_rows", lambda: rows)
+    return list(entry.queries())
+
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+RED_HASH = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+ROWS_ONLY = {"rows_match": None, "schema_match": None, "hash_match": None, "err": "no_oracle"}
+
+
+def test_sweep_order_red_then_unswept_then_green(monkeypatch):
+    """Red keys first, never-swept second, green last."""
+    keys = list(QUERIES)
+    red_key, green_key = keys[0], keys[1]
+    unswept_key = keys[2]
+    rows = {k: dict(GREEN) for k in keys}
+    rows[red_key] = dict(RED_HASH)
+    del rows[unswept_key]
+    order = _order_with_rows(monkeypatch, rows)
+    assert order[0] == red_key
+    assert order[1] == unswept_key
+    assert set(order[2:]) == set(keys) - {red_key, unswept_key}
+
+
+def test_sweep_order_never_swept_before_green(monkeypatch):
+    """A key with NO driver row in any round must precede every green
+    key — this is the exact regression that left ml_kmeans unswept."""
+    keys = list(QUERIES)
+    rows = {k: dict(GREEN) for k in keys}
+    for never_swept in ("ml_kmeans", "ml_train_mllib"):
+        rows.pop(never_swept, None)
+    order = _order_with_rows(monkeypatch, rows)
+    first_green = next(i for i, k in enumerate(order) if rows.get(k))
+    for never_swept in ("ml_kmeans", "ml_train_mllib"):
+        assert order.index(never_swept) < first_green
+
+
+def test_sweep_order_graduated_rows_only_resweeps(monkeypatch):
+    """A rows-only row whose key HAS a hash oracle now (graduated, like
+    dedup_candidate_verify this round) must re-sweep (group 1); a
+    rows-only row with no oracle stays green (group 2)."""
+    oracled = next(k for k in QUERIES if k in ORACLES)
+    unoracled = next(k for k in QUERIES if k not in ORACLES)
+    rows = {k: dict(GREEN) for k in QUERIES}
+    rows[oracled] = dict(ROWS_ONLY)
+    rows[unoracled] = dict(ROWS_ONLY)
+    order = _order_with_rows(monkeypatch, rows)
+    greens = [k for k in QUERIES if k not in (oracled, unoracled)]
+    assert order.index(oracled) < min(order.index(k) for k in greens)
+    # unoracled rows-only that ran clean: nothing new to learn
+    assert order.index(unoracled) > order.index(oracled)
+
+
+def test_sweep_order_expensive_sinks_within_group(monkeypatch):
+    """_EXPENSIVE_LAST keys sort after cheap keys of the same group so
+    a wall-clock-budgeted sweep maximizes keys checked before cutoff."""
+    rows: dict = {}  # nothing swept: everything is group 1
+    order = _order_with_rows(monkeypatch, rows)
+    cheap_max = max(
+        order.index(k) for k in QUERIES if k not in entry._EXPENSIVE_LAST
+    )
+    exp_min = min(
+        order.index(k) for k in entry._EXPENSIVE_LAST if k in QUERIES
+    )
+    assert cheap_max < exp_min
+
+
+def test_driver_rows_latest_round_wins_with_deterministic_tiebreak(
+    monkeypatch, tmp_path
+):
+    """r10 must beat r2 (numeric, not lexicographic order), and two
+    files with the SAME round number (r4 vs r04) resolve by path so the
+    winner is deterministic regardless of glob order."""
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"k": {"v": "r2"}}))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({"k": {"v": "r10"}}))
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps({"t": {"v": "zero-padded"}}))
+    (tmp_path / "CORRECTNESS_r4.json").write_text(json.dumps({"t": {"v": "bare"}}))
+    monkeypatch.setattr(entry, "_REPO_DIR", str(tmp_path))
+    rows = entry._driver_rows()
+    assert rows["k"] == {"v": "r10"}
+    # same round number: lexicographically later path wins — the value
+    # matters less than that it NEVER flips between runs
+    assert rows["t"] == {"v": "bare"}
+
+
+def test_stream_tws_gate_matches_dependency():
+    """stream_tws registers iff google.protobuf is importable — the
+    gate is feature-detection, not dead code.  In this container the
+    dependency is absent, so the key must be absent too (and
+    stream_stateful covers the stateful-streaming capability)."""
+    from pyspark_caffe_spark.queries import streaming as streaming_mod
+
+    has_pb = importlib.util.find_spec("google") is not None and (
+        importlib.util.find_spec("google.protobuf") is not None
+    )
+    assert streaming_mod._HAS_TWS_DEPS == has_pb
+    assert ("stream_tws" in QUERIES) == has_pb
+    if has_pb:  # when deps exist the key must also carry its oracle
+        assert "stream_tws" in ORACLES
+
+
+def test_ensure_session_confs_memoized(spark):
+    """Second call on the same session must not touch spark.conf (two
+    py4j round trips per table load otherwise — measurable on the
+    bench's hot loop)."""
+    tables.ensure_session_confs(spark)
+    assert spark in tables._CONFIGURED_SESSIONS
+    with mock.patch.object(
+        type(spark), "conf", new_callable=mock.PropertyMock
+    ) as conf_prop:
+        conf_prop.side_effect = AssertionError("conf touched on memoized session")
+        tables.ensure_session_confs(spark)  # must return before spark.conf
+
+    # and the confs really are set (memoization never skipped a fresh session)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
