@@ -1292,18 +1292,24 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabularies (Zipf: vocab ≪ corpus).  The top-k window partitions
     by doc_id on the already-(doc,token)-shuffled frame.  Ordering on
     the ROUNDED score + token tiebreak keeps ranks cross-engine
-    stable."""
+    stable.  n_docs joins in as a broadcast 1-row aggregate (same
+    shape as the SQL's CROSS JOIN n) — no separate driver count job,
+    the whole query is one plan."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     toks = docs.select("doc_id", F.explode(textops.words_of("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("n_t"))
     dfq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
-    scored = tf.join(dfq, "token").select(
-        "doc_id",
-        "token",
-        F.round(
-            F.col("n_t") * F.log(F.lit(float(n_docs)) / F.col("dfreq")), 6
-        ).alias("tfidf"),
+    scored = (
+        tf.join(dfq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("n_t") * F.log(F.col("n_docs") / F.col("dfreq")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
