@@ -52,6 +52,28 @@ def _timed_pairs(docs) -> tuple[int, float]:
     return n, time.perf_counter() - t0
 
 
+def test_ngram_jaccard_growth_is_linear(spark, sf_dir):
+    """Same invariant for the exact inverted-index path: shingle-keyed
+    self-join means shingle-disjoint replicas can never meet, so pairs
+    are exactly k-linear and runtime tracks the shingle stream.
+
+    (dedup_simhash is deliberately NOT tested this way: its fixed
+    4×16-bit chunk blocking admits random cross-replica chunk
+    collisions whose expected count is n²/2¹⁷ per chunk — inherent to
+    the algorithm's bucket geometry, not an implementation bug; at
+    production scale the chunk count/width is sized to the corpus.)"""
+    from pyspark_caffe_spark.textops import jaccard_pairs
+
+    base = _perturbed_docs(load_table(spark, sf_dir, "documents"))
+    small, big = _replicated(base, 1), _replicated(base, SCALE)
+    n1 = jaccard_pairs(small, "text", "doc_id", shingle_k=4, threshold=0.5).count()
+    t0 = time.perf_counter()
+    nk = jaccard_pairs(big, "text", "doc_id", shingle_k=4, threshold=0.5).count()
+    tk = time.perf_counter() - t0
+    assert nk == SCALE * n1, f"pairs {n1}->{nk}, expected exactly {SCALE}x"
+    assert tk <= 60.0, f"8x corpus exact-jaccard took {tk:.1f}s"
+
+
 def test_minhash_growth_is_linear(spark, sf_dir):
     base = _perturbed_docs(load_table(spark, sf_dir, "documents"))
     small = _replicated(base, 1)
