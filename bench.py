@@ -62,6 +62,21 @@ def main() -> None:
     # are warm-process ("single warm-process runs"), so match that.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     QUERIES["agg_hash_groupby"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # Calibration probe: a fixed, data-independent, JVM-side job whose
+    # cost is pure compute.  This box runs under a hypervisor with
+    # measured steal time up to ~45% of user time, which moves the
+    # whole suite 2-3× between runs with identical code; calib makes
+    # that visible so round-over-round comparisons can normalize
+    # (suite_seconds / calib_seconds is contention-invariant to first
+    # order).
+    calib_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(500_000_000).selectExpr(
+            "sum(cast(hash(id) as bigint) % 1000000)"  # bounded: no ANSI overflow
+        ).collect()
+        calib_samples.append(time.perf_counter() - t0)
+    calib = round(sorted(calib_samples)[1], 3)
     # Three passes per query, report the MEDIAN: single warm runs on
     # this suite swing ±20-40% under box-level contention (r02→r04
     # showed ±30% per-query deltas with zero plan changes), so one
@@ -93,6 +108,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": best_case,
+                "calib_sec": calib,
                 "sf": sf,
             }
         )
