@@ -99,6 +99,32 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part WHERE p_partkey < 400
+    """,
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a part slice to XML (built-in source since Spark 4), re-read
+    with an explicit schema — the fourth file format in the source
+    matrix (columnar: parquet/orc; text: csv/json/xml).  XML entities
+    round-trip losslessly (writer escapes &/<> and reader unescapes;
+    doubles use the same shortest-round-trip text as the JSON writer),
+    so the oracle is the source slice.  Explicit schema as always:
+    inference is an extra full pass over the data at scale."""
+    src = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 400).select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    path = _scratch("xml_roundtrip")
+    src.write.mode("overwrite").format("xml").option("rowTag", "part").save(path)
+    back = (
+        spark.read.schema(src.schema).format("xml").option("rowTag", "part").load(path)
+    )
+    return back.select("p_partkey", "p_name", "p_brand", "p_retailprice")
+
+
+@query(
     "sink_partitioned",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus

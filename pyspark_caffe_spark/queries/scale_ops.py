@@ -546,3 +546,91 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch("compact_out_" + os.path.basename(sf_dir.rstrip("/")))
     spark.read.parquet(frag).coalesce(n_out).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+def _morton_interleave(x, y, bits: int = 16):
+    """Morton (z-order) code: interleave the low ``bits`` bits of two
+    non-negative int columns.  Pure bitwise built-ins — the whole
+    expression stays inside whole-stage codegen."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftrightunsigned(y, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1
+            )
+        )
+    return z
+
+
+@query(
+    "sink_zorder",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 200 AND 600
+      AND o_totalprice BETWEEN 50000 AND 200000
+    """,
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered sink: orders laid out by the
+    bit-interleave of RANK(o_custkey) and RANK(o_totalprice), so EVERY
+    file/row-group covers a narrow range of BOTH dimensions — the
+    multi-dimensional generalization of sink_sorted_stats (a linear
+    sort clusters one column and leaves the other's min/max spans at
+    ~full range per file, so 2-D box predicates skip nothing on the
+    second dimension).  This is the standard data-layout lever for
+    multi-column selective scans over 100 TB (Delta/Iceberg OPTIMIZE
+    ZORDER does exactly this interleave).
+
+    Both dims are scaled to 16-bit ranks from a broadcast 1-row
+    min/max aggregate (one extra metadata-cheap pass; no driver
+    action), then repartitionByRange + sortWithinPartitions on the
+    Morton key give globally z-ordered files.  Lossless write ⇒ the
+    oracle is the 2-D box filter on the source.  The per-file min/max
+    narrowing on BOTH columns is asserted in
+    tests/test_scale_ops.py::test_sink_zorder_clusters_both_dims.
+    """
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    bounds = src.agg(
+        F.min("o_custkey").alias("ck_lo"),
+        F.max("o_custkey").alias("ck_hi"),
+        F.min("o_totalprice").alias("tp_lo"),
+        F.max("o_totalprice").alias("tp_hi"),
+    )
+    scaled = src.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        # 0..65535 rank of each dim (guard the constant-column case)
+        F.floor(
+            (F.col("o_custkey") - F.col("ck_lo"))
+            * 65535
+            / F.greatest(F.col("ck_hi") - F.col("ck_lo"), F.lit(1))
+        ).cast("int").alias("ck_r"),
+        F.floor(
+            (F.col("o_totalprice") - F.col("tp_lo"))
+            * 65535
+            / F.greatest(F.col("tp_hi") - F.col("tp_lo"), F.lit(1.0))
+        ).cast("int").alias("tp_r"),
+    )
+    z = scaled.withColumn("zorder", _morton_interleave(F.col("ck_r"), F.col("tp_r")))
+    path = _scratch("sink_zorder_" + os.path.basename(sf_dir.rstrip("/")))
+    (
+        z.repartitionByRange(8, "zorder")
+        .sortWithinPartitions("zorder")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("o_custkey").between(200, 600)
+        & F.col("o_totalprice").between(50000, 200000)
+    )
+    return back.select("o_orderkey", "o_custkey", "o_totalprice")

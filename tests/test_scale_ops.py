@@ -100,3 +100,42 @@ def test_pagerank_mass_conserved(spark, sf_dir):
     ).collect()[0]
     # both edge directions exist => no dangling nodes => sum(rank) == N
     assert abs(row["mass"] - row["n"]) / row["n"] < 1e-3, row
+
+
+def test_sink_zorder_clusters_both_dims(spark, sf_dir):
+    """The point of z-order vs a linear sort: EVERY output file covers a
+    narrow range of BOTH clustered columns.  Assert the mean per-file
+    min/max span is well under the global span on each dimension — a
+    linear sort by o_custkey would leave o_totalprice spans at ~100% of
+    global in every file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    QUERIES["sink_zorder"](spark, sf_dir).collect()  # materialize the sink
+    path = _scratch("sink_zorder_" + os.path.basename(sf_dir.rstrip("/")))
+    spans = {"o_custkey": [], "o_totalprice": []}
+    globals_ = {"o_custkey": [None, None], "o_totalprice": [None, None]}
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(path, f)).metadata
+        schema_names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+        for col in spans:
+            idx = schema_names.index(col)
+            lo = min(meta.row_group(g).column(idx).statistics.min for g in range(meta.num_row_groups))
+            hi = max(meta.row_group(g).column(idx).statistics.max for g in range(meta.num_row_groups))
+            spans[col].append(hi - lo)
+            g = globals_[col]
+            g[0] = lo if g[0] is None else min(g[0], lo)
+            g[1] = hi if g[1] is None else max(g[1], hi)
+    assert len(spans["o_custkey"]) >= 4, "expected multiple z-ordered files"
+    for col in spans:
+        global_span = globals_[col][1] - globals_[col][0]
+        mean_span = sum(spans[col]) / len(spans[col])
+        assert mean_span < 0.6 * global_span, (
+            f"{col}: mean per-file span {mean_span} vs global {global_span} — "
+            "z-order clustering not effective on this dimension"
+        )
