@@ -519,3 +519,34 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"), F.count("*").alias("n")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap buckets (Spark 3.5+ bitmap
+    family) — the third point on the distinct-count spectrum:
+    countDistinct shuffles every raw value, approx_count_distinct
+    shuffles a lossy HLL sketch, bitmap aggregation shuffles a LOSSLESS
+    fixed-size bitmap per (group, 32k-id bucket).  For dense integer id
+    domains (user ids here) this gives exact answers with
+    sketch-shuffle economics: the first aggregate OR-combines bit
+    positions map-side, so the shuffle carries ≤ |groups| × ⌈id-range /
+    32768⌉ bitmaps of 4 KiB regardless of row count — at 100 TB of
+    events that's orders of magnitude under the raw-value shuffle, with
+    none of HLL's error.  Both aggregation levels are one Catalyst
+    plan; result is hash-identical to COUNT(DISTINCT)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )

@@ -510,3 +510,35 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p_name").alias("n_case_sensitive"),
         F.countDistinct(F.collate("p_name", "UTF8_LCASE")).alias("n_case_insensitive"),
     )
+
+
+@query(
+    "fn_xml",
+    oracle="""
+    SELECT s_suppkey,
+           s_name          AS name,
+           s_nationkey     AS nk,
+           2               AS n_parts
+    FROM supplier
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML extraction family (xpath_string / xpath_int / xpath list):
+    build a per-row XML document from supplier columns, then extract
+    the fields back with XPath — the codegen'd JVM path for XML-bearing
+    string columns (feed payloads, legacy exports) without a Python
+    UDF.  Extraction inverts construction, so the oracle is the source
+    columns; the xpath() list query counts the two planted <part>
+    nodes per document."""
+    sup = load_table(spark, sf_dir, "supplier")
+    xml = F.concat(
+        F.lit("<supp><name>"), F.col("s_name"), F.lit("</name><nk>"),
+        F.col("s_nationkey").cast("string"),
+        F.lit("</nk><parts><part>a</part><part>b</part></parts></supp>"),
+    )
+    return sup.select(
+        "s_suppkey",
+        F.xpath_string(xml, F.lit("/supp/name")).alias("name"),
+        F.xpath_int(xml, F.lit("/supp/nk")).alias("nk"),
+        F.size(F.xpath(xml, F.lit("/supp/parts/part/text()"))).alias("n_parts"),
+    )
