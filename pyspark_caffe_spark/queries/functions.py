@@ -542,3 +542,34 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_int(xml, F.lit("/supp/nk")).alias("nk"),
         F.size(F.xpath(xml, F.lit("/supp/parts/part/text()"))).alias("n_parts"),
     )
+
+
+@query(
+    "fn_aes",
+    oracle="""
+    SELECT c_custkey,
+           c_name                              AS name_roundtrip,
+           16 * (LEN(c_name) // 16 + 1)        AS cipher_len
+    FROM customer
+    """,
+)
+def fn_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption family (aes_encrypt / aes_decrypt) —
+    PII-at-rest for training-data pipelines: encrypt the customer name,
+    prove decryption inverts it, and expose the ciphertext size.  ECB
+    mode here because the oracle needs determinism; production uses
+    GCM (random IV) where only the roundtrip — not the ciphertext — is
+    stable.  All JVM-side codegen; the oracle reproduces the roundtrip
+    trivially and the PKCS#7 padded length arithmetically
+    (16-byte blocks: 16*(len/16+1))."""
+    cust = load_table(spark, sf_dir, "customer")
+    # demo key inline; at scale the key comes from a KMS at session setup
+    cipher = F.expr("aes_encrypt(c_name, '0123456789abcdef', 'ECB')")
+    return cust.select(
+        "c_custkey",
+        F.expr(
+            "cast(aes_decrypt(aes_encrypt(c_name, '0123456789abcdef', 'ECB'),"
+            " '0123456789abcdef', 'ECB') as string)"
+        ).alias("name_roundtrip"),
+        F.octet_length(cipher).cast("long").alias("cipher_len"),
+    )

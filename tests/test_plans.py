@@ -58,6 +58,9 @@ CASES = [
     ("ml_embedding_norm_stats", None, r"BatchEvalPython|ArrowEvalPython", "vector norm stats stay JVM-side"),
     ("join_interval_overlap", None, r"BroadcastNestedLoopJoin|CartesianProduct", "interval overlap rides the bucket equi-join"),
     ("sink_sorted_stats", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", None, "read-back filter reaches the sorted parquet row groups"),
+    ("agg_bitmap_distinct", r"HashAggregate(.|\n)*HashAggregate", r"Expand", "bitmap distinct: two-level agg, never the countDistinct Expand rewrite"),
+    ("fn_xml", None, r"BatchEvalPython|ArrowEvalPython|Exchange", "xpath extraction is JVM-side and a pure map stage"),
+    ("sink_zorder", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_custkey", None, "2-D box filter pushed to the z-ordered parquet"),
 ]
 
 
