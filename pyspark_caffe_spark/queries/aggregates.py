@@ -550,3 +550,23 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
     )
+
+
+@query("agg_hll_sketch_merge")  # rows-only: sketch estimate, engine-specific registers
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct sketches (Datasketches HLL, Spark 3.5+) —
+    the pre-aggregated-rollup pattern at 100 TB: a daily job stores one
+    ~kB `hll_sketch_agg` blob per (event_type, day) instead of raw ids;
+    any later rollup `hll_union_agg`s the blobs WITHOUT rescanning the
+    raw events.  HLL union is register-wise max, so the merged estimate
+    is IDENTICAL to a direct single-pass sketch over the union — that
+    exact identity (merged == direct), plus ±5% vs exact distinct, is
+    asserted in tests/test_rows_only.py::test_agg_hll_sketch_merge.
+    Here: per-(type, day) sketch table → per-type merge → estimate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("merged_users")
+    )

@@ -231,3 +231,27 @@ def test_text_chunk_reconstruction(spark, sf_dir):
             assert len(ctoks) <= 32, (doc_id, i)
             toks.extend(ctoks if i == 0 else ctoks[8:])
         assert toks == text.split(" "), doc_id
+
+
+def test_agg_hll_sketch_merge(spark, sf_dir):
+    """Merged daily sketches must equal a direct one-pass sketch
+    EXACTLY (HLL union is register-wise max — a deterministic
+    identity, not an approximation), and land within ±5% of exact."""
+    merged = {
+        r["event_type"]: r["merged_users"]
+        for r in QUERIES["agg_hll_sketch_merge"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: r["direct"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("direct"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert merged == direct, "sketch merge must be lossless vs one-pass sketch"
+    for t, n in exact.items():
+        assert abs(merged[t] - n) <= 0.05 * n, f"{t}: {merged[t]} vs exact {n}"
