@@ -78,18 +78,39 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: approximate result, engine-specific sketch
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, true AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type (rsd=1%).
 
     THE scale path for distinct counts: the sketch is mergeable, so the
     shuffle carries one ~kB sketch per group instead of every value —
     exact countDistinct at 100 TB shuffles the whole key set.
-    Accuracy vs exact is asserted in tests (±5%).
-    """
+
+    Invariant-literal oracle: the raw estimate is sketch-specific, so
+    the checked columns are the exact distinct count plus an IN-PLAN
+    accuracy flag (|approx − exact| ≤ 5%·exact; rsd=1% leaves 5×
+    headroom). The oracle emits literal ``true`` — an out-of-tolerance
+    estimate flips the boolean and fails the driver's value hash."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    est = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("approx_users") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("within_tol"),
     )
 
 
@@ -250,7 +271,16 @@ def agg_q6_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_rollup")  # rows-only: sketch bytes are engine-specific
+@query(
+    "agg_hll_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT DATE_TRUNC('day', ts)) AS n_days,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           true AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch reaggregation: per (event_type, day) HLL
     sketches of distinct users, then hll_union_agg up to a per-type
@@ -258,19 +288,31 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     countDistinct (whose partials are the raw values and reshuffle at
     every rollup level), sketches are fixed-size (~KB) and merge
     associatively: the daily sketch table is computed once and any
-    rollup (weekly, monthly, global) is a cheap union over it. Tests
-    assert the estimate within 5% of exact countDistinct."""
+    rollup (weekly, monthly, global) is a cheap union over it.
+
+    Invariant-literal oracle: sketch bytes/estimates are engine-
+    specific, so the checked columns are the exact per-type day and
+    user counts plus an IN-PLAN ±5% accuracy flag over the rolled-up
+    estimate (oracle emits literal ``true``)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_days"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-        )
-        .orderBy("event_type")
+    rolled = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return exact.join(F.broadcast(rolled), "event_type").select(
+        "event_type",
+        "n_days",
+        "n_users_exact",
+        (
+            F.abs(F.col("approx_users") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("within_tol"),
     )
 
 
@@ -485,18 +527,45 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_quantile")  # rows-only: t-digest sketch is engine-specific
+@query(
+    "agg_approx_quantile",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_rows, true AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-group quantiles via ``percentile_approx``
     (mergeable sketch, accuracy 1/10000).  THE 100 TB quantile path:
     agg_stats' exact ``percentile`` materializes each group's sorted
     values, while the sketch shuffles a fixed-size digest per group.
-    Accuracy vs the exact interpolated percentile is asserted in
-    tests (±1% of the group's value range)."""
+
+    Invariant-literal oracle: sketch outputs are engine-specific, so
+    the plan ALSO computes the exact interpolated percentiles and
+    emits an accuracy flag (both p50 and p90 within ±1% of the
+    group's value range); the oracle emits literal ``true``.  One
+    hash aggregate carries all six measures."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50"),
-        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+    tol = 0.01 * (F.col("hi") - F.col("lo"))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("a50"),
+            F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("a90"),
+            F.percentile("value", F.lit(0.5)).alias("e50"),
+            F.percentile("value", F.lit(0.9)).alias("e90"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            (
+                (F.abs(F.col("a50") - F.col("e50")) <= tol)
+                & (F.abs(F.col("a90") - F.col("e90")) <= tol)
+            ).alias("within_tol"),
+        )
     )
 
 
@@ -552,21 +621,45 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_sketch_merge")  # rows-only: sketch estimate, engine-specific registers
+@query(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+           true AS merged_eq_direct, true AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct sketches (Datasketches HLL, Spark 3.5+) —
     the pre-aggregated-rollup pattern at 100 TB: a daily job stores one
     ~kB `hll_sketch_agg` blob per (event_type, day) instead of raw ids;
     any later rollup `hll_union_agg`s the blobs WITHOUT rescanning the
     raw events.  HLL union is register-wise max, so the merged estimate
-    is IDENTICAL to a direct single-pass sketch over the union — that
-    exact identity (merged == direct), plus ±5% vs exact distinct, is
-    asserted in tests/test_rows_only.py::test_agg_hll_sketch_merge.
-    Here: per-(type, day) sketch table → per-type merge → estimate."""
+    is IDENTICAL to a direct single-pass sketch over the union.
+
+    Invariant-literal oracle: both identities are asserted IN-PLAN and
+    emitted as booleans next to the exact distinct count —
+    ``merged_eq_direct`` (lossless-merge identity, exact equality) and
+    ``within_tol`` (merged estimate within ±5% of exact); the oracle
+    emits literal ``true`` for both, so any violation flips a value
+    the driver hashes."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
-    return daily.groupBy("event_type").agg(
+    merged = daily.groupBy("event_type").agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("merged_users")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("direct_users"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+    return direct.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (F.col("merged_users") == F.col("direct_users")).alias("merged_eq_direct"),
+        (
+            F.abs(F.col("merged_users") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("within_tol"),
     )

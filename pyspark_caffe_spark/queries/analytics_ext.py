@@ -367,14 +367,27 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ml_train_mllib")  # rows-only: iterative optimisation
+@query(
+    "ml_train_mllib",
+    oracle="""
+    SELECT COUNT(*) AS n_train, true AS objective_monotone,
+           true AS objective_improved, true AS acc_above_floor
+    FROM embeddings
+    """,
+)
 def ml_train_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library-grade distributed training (the reference's solver role
     filled by MLlib): multinomial logistic regression on the embedding
-    column. Returns the objective history — strictly decreasing —
-    plus final train accuracy as the last row (iteration = -1).
-    Tests assert monotone objective and accuracy > the 10% random
-    baseline."""
+    column.
+
+    Invariant-literal oracle: the LBFGS objective trace and final
+    weights are optimizer-specific, so the emitted row carries the
+    training-set size plus three verdict booleans computed from the
+    actual fit — objective history monotone non-increasing, final
+    objective strictly below the initial one, and train accuracy above
+    a 0.15 floor (random baseline for the 10-class labels is 0.10).
+    The oracle emits literal ``true`` for each, so a diverging or
+    degenerate fit fails the driver's value hash."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import array_to_vector
 
@@ -382,37 +395,87 @@ def ml_train_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
         F.col("label").cast("double").alias("label"),
     )
+    n_train = emb.count()
     # 8 iterations reach well past the monotone-objective / accuracy
-    # bars the tests assert; LBFGS runs ~2 jobs per iteration, so
+    # bars asserted below; LBFGS runs ~2 jobs per iteration, so
     # iteration count is the key's whole cost at fixture scale
     lr = LogisticRegression(maxIter=8, regParam=0.01, elasticNetParam=0.0)
     model = lr.fit(emb)
     hist = [float(x) for x in model.summary.objectiveHistory]
     acc = float(model.summary.accuracy)
-    rows = [(i, round(v, 6)) for i, v in enumerate(hist)] + [(-1, round(acc, 6))]
-    return spark.createDataFrame(rows, schema="iteration int, value double")
+    row = (
+        n_train,
+        all(b <= a + 1e-9 for a, b in zip(hist, hist[1:])),
+        len(hist) >= 2 and hist[-1] < hist[0],
+        acc > 0.15,
+    )
+    return spark.createDataFrame(
+        [row],
+        schema="n_train long, objective_monotone boolean, "
+        "objective_improved boolean, acc_above_floor boolean",
+    )
 
 
-@query("ml_kmeans")  # rows-only: cluster ids are seed/implementation-specific
+@query(
+    "ml_kmeans",
+    oracle="""
+    SELECT COUNT(*) AS n_vectors, true AS clusters_ok,
+           true AS sizes_sum_ok, true AS cost_improves
+    FROM embeddings
+    """,
+)
 def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means over embeddings (MLlib): k=10 clusters,
-    fixed seed; returns cluster sizes. The fit is the classic
-    broadcast-centroids / assign / re-average loop — the same
-    parameter-averaging shape as ml_train_iter, provided by the
-    library."""
+    fixed seed. The fit is the classic broadcast-centroids / assign /
+    re-average loop — the same parameter-averaging shape as
+    ml_train_iter, provided by the library.
+
+    Invariant-literal oracle: cluster ids/sizes are seed- and
+    implementation-specific, so the emitted row carries the corpus
+    size plus verdict booleans computed from the actual fit —
+    1 ≤ #clusters ≤ k, cluster sizes summing to the corpus, and the
+    k=10 within-cluster cost beating the EXACT 1-means cost
+    (Σ‖x−x̄‖², computed in-plan from per-position sums — the weakest
+    bound any non-degenerate k-means must clear). The oracle emits
+    literal ``true`` per flag."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-    )
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).withColumn("features", array_to_vector("emb"))
     km = KMeans(k=10, seed=42, maxIter=5)
     model = km.fit(emb)
-    return (
-        model.transform(emb)
-        .groupBy(F.col("prediction").alias("cluster"))
-        .agg(F.count("*").alias("n_vectors"))
+    sizes = [
+        r["n"]
+        for r in model.transform(emb)
+        .groupBy("prediction")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    k_cost = float(model.summary.trainingCost)
+    # exact 1-means cost: Σ_pos (Σv² − (Σv)²/n) over the 64 positions;
+    # map-side partial sums → 64-row aggregate, nothing big collected
+    pos_stats = (
+        emb.select(F.posexplode("emb").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"), F.sum(F.col("v") * F.col("v")).alias("ss"),
+             F.count("*").alias("n"))
+        .collect()
+    )
+    cost_1means = sum(r["ss"] - r["s"] * r["s"] / r["n"] for r in pos_stats)
+    n_vectors = pos_stats[0]["n"] if pos_stats else 0
+    row = (
+        n_vectors,
+        1 <= len(sizes) <= 10,
+        sum(sizes) == n_vectors,
+        k_cost <= cost_1means + 1e-6,
+    )
+    return spark.createDataFrame(
+        [row],
+        schema="n_vectors long, clusters_ok boolean, "
+        "sizes_sum_ok boolean, cost_improves boolean",
     )
 
 

@@ -220,16 +220,47 @@ def text_ngram_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_fingerprint")  # rows-only: engine-specific 64-bit hash
+# DuckDB twin of textops.normalized() applied to the `text` column —
+# defined here (above its first decorator use); the {col}-templated
+# variant _NORM_SQL below derives from the same expression.
+_NORM_FWD_SQL = "LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))"
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LENGTH({_NORM_FWD_SQL}) AS BIGINT) AS norm_len,
+           true AS fp_injective
+    FROM documents
+    """,
+)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: xxhash64 of the case/whitespace-normalized
     text — the exact-dedup key at scale (group by 8-byte fingerprint,
-    never by the full text)."""
+    never by the full text).
+
+    Invariant-literal oracle: the 64-bit value is engine-specific, so
+    the checked columns are the normalized-text length (cross-engine
+    exact) plus an IN-PLAN injectivity flag — #distinct fingerprints
+    == #distinct normalized texts over the whole corpus (the property
+    that makes the 8-byte key a safe stand-in for the text; a single
+    collision flips every row's boolean). The corpus-level counts ride
+    a broadcast 1-row crossJoin, so the per-doc scan stays map-only."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    per_doc = docs.select(
         "doc_id",
-        textops.fingerprint("text").alias("fingerprint"),
-        F.length(textops.normalized("text")).cast("long").alias("norm_len"),
+        textops.fingerprint("text").alias("_fp"),
+        textops.normalized("text").alias("_norm"),
+    )
+    stats = per_doc.agg(
+        F.countDistinct("_fp").alias("_dfp"),
+        F.countDistinct("_norm").alias("_dnorm"),
+    )
+    return per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.length("_norm").cast("long").alias("norm_len"),
+        (F.col("_dfp") == F.col("_dnorm")).alias("fp_injective"),
     )
 
 
@@ -255,6 +286,7 @@ def _augmented_docs(docs: DataFrame, n_dups: int = 50) -> DataFrame:
 # DuckDB twin of textops.normalized(): lower + trim + collapse
 # whitespace runs (the Spark side normalizes runs, so the oracle must
 # too — LOWER(TRIM(...)) alone diverges on multi-space texts).
+# Same expression as _NORM_FWD_SQL above, column-templated.
 _NORM_SQL = "LOWER(TRIM(REGEXP_REPLACE({col}, '\\s+', ' ', 'g')))"
 
 _AUG_SQL = """
@@ -330,7 +362,19 @@ _JACCARD_EDGES_SQL = """
 
 
 
-@query("dedup_minhash")  # rows-only: xxhash64-based signatures are engine-specific
+def _planted_pairs(spark: SparkSession, n_dups: int = 50) -> DataFrame:
+    """The ground-truth near-dup pairs _perturbed_docs plants: (i, i+1e6)."""
+    return spark.range(n_dups).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1000000).alias("id_b")
+    )
+
+
+@query(
+    "dedup_minhash",
+    oracle="""
+    SELECT COUNT(*) + 50 AS n_docs_aug, true AS recall_ok FROM documents
+    """,
+)
 def dedup_minhash(spark: SparkSession, sf_dir: str, num_hashes: int = 32, bands: int = 8) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs — THE scale path.
 
@@ -340,26 +384,39 @@ def dedup_minhash(spark: SparkSession, sf_dir: str, num_hashes: int = 32, bands:
     re-hashing of strings) → explode + ONE groupBy(doc_id) with 32 min
     aggregates → 8 bands of 4 → groupBy(band_idx, band_hash)
     self-join. Only docs sharing a band signature are ever paired:
-    cost is O(candidates), not O(n²). Tests assert ≥80% of the planted
-    near-dup pairs are recovered.
+    cost is O(candidates), not O(n²).
+
+    Invariant-literal oracle: the candidate pairs themselves are
+    hash-seed-specific, so the emitted row is the augmented corpus
+    size plus an IN-PLAN recall flag — ≥ 80% of the 50 planted
+    near-dup pairs (a broadcast semi-join of the tiny truth table
+    against the candidates; the full LSH pipeline still runs and
+    feeds the flag). Oracle emits literal ``true``.
 
     (A first version computed xxhash64(shingle, k) per slot — the 32
     projection columns each re-evaluated the whole shingle-building
     expression, 79 s at sf0.1; this formulation runs in ~1 s.)
     """
-    docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
-    return textops.minhash_dedup_pairs(
+    base = load_table(spark, sf_dir, "documents")
+    docs = _perturbed_docs(base)
+    pairs = textops.minhash_dedup_pairs(
         docs, "text", "doc_id", num_hashes=num_hashes, bands=bands, shingle_k=5
+    )
+    found = _planted_pairs(spark).join(pairs, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").alias("_found")
+    )
+    return (
+        base.agg((F.count("*") + 50).alias("n_docs_aug"))
+        .crossJoin(F.broadcast(found))
+        .select("n_docs_aug", (F.col("_found") >= 40).alias("recall_ok"))
     )
 
 
-@query("dedup_simhash")  # rows-only: engine-specific hash bits
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit signature from sign-summed
-    token-hash bits, blocked on 4×16-bit chunks (two near-dups within
-    hamming distance <(number of chunks) share ≥1 exact chunk — the
-    standard simhash blocking trick; no cross-join)."""
-    docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
+def _simhash_pairs(docs: DataFrame) -> DataFrame:
+    """SimHash candidate pairs over a (doc_id, text) frame: 64-bit
+    signature from sign-summed token-hash bits, blocked on 4×16-bit
+    chunks (near-dups within hamming distance < #chunks share ≥1 exact
+    chunk — the standard simhash blocking trick; no cross-join)."""
     tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).withColumn(
         "h", F.xxhash64("w")
     )
@@ -408,6 +465,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    SELECT COUNT(*) + 50 AS n_docs_aug, true AS recall_ok FROM documents
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (see _simhash_pairs for the
+    signature/blocking design).
+
+    Invariant-literal oracle: the 64-bit signatures are engine-
+    specific, so the emitted row is the augmented corpus size plus an
+    IN-PLAN recall flag — ≥ 80% of the 50 planted near-dup pairs
+    recovered by the chunk-blocked candidate join (broadcast semi-join
+    of the truth table; the full simhash pipeline feeds the flag).
+    Oracle emits literal ``true``."""
+    base = load_table(spark, sf_dir, "documents")
+    pairs = _simhash_pairs(_perturbed_docs(base))
+    found = _planted_pairs(spark).join(pairs, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").alias("_found")
+    )
+    return (
+        base.agg((F.count("*") + 50).alias("n_docs_aug"))
+        .crossJoin(F.broadcast(found))
+        .select("n_docs_aug", (F.col("_found") >= 40).alias("recall_ok"))
     )
 
 

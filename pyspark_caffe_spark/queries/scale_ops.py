@@ -297,7 +297,13 @@ def _lloyd_spherical(sample: np.ndarray, nlist: int, iters: int = 10) -> np.ndar
     return cents
 
 
-@query("sim_knn_ivf")  # rows-only: cluster assignment is implementation-specific
+@query(
+    "sim_knn_ivf",
+    oracle="""
+    SELECT COUNT(*) AS n_corpus, CAST(10 AS INT) AS k, true AS recall_ok
+    FROM embeddings
+    """,
+)
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbours: coarse
     quantization into nlist=16 clusters, probe the nprobe=8 closest
@@ -306,12 +312,16 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: the centroid table is tiny and broadcast; assignment is
     one numpy matmul per Arrow batch; the candidate scan touches
     nprobe/nlist of the corpus (here ~50%, at 100 TB typically 1-2%
-    with nlist ~√N). Tests assert recall ≥ 0.6 vs the exact top-10 of
-    the same query. Centroids: Lloyd k-means trained driver-side on a
+    with nlist ~√N). Centroids: Lloyd k-means trained driver-side on a
     deterministic hash-sample of the corpus (the standard IVF recipe —
     train on a sample, broadcast the tiny centroid table; the full
     corpus never leaves the executors for training).
-    """
+
+    Invariant-literal oracle: cluster assignment is implementation-
+    specific, so the emitted row carries the corpus size and k plus an
+    IN-PLAN recall flag — the IVF top-k must overlap the EXACT top-k
+    of the same query (vecops.knn_for_query, JVM tier) on ≥ 60% of
+    slots. Oracle emits literal ``true``."""
     nlist, nprobe, k = 16, 8, 10
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
@@ -353,7 +363,24 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"vec_id": ids, "cos": scores})
 
     cand = emb.mapInPandas(search, schema="vec_id long, cos double")
-    return cand.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+    approx_topk = cand.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+    from pyspark_caffe_spark import vecops
+
+    exact_topk = vecops.knn_for_query(
+        emb.filter(F.col("vec_id") != 0), qvec, "emb", "vec_id", k=k
+    )
+    hits = approx_topk.join(
+        exact_topk.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count("*").alias("_hits"))
+    return (
+        emb.agg(F.count("*").alias("n_corpus"))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_corpus",
+            F.lit(k).alias("k"),
+            (F.col("_hits") >= int(0.6 * k)).alias("recall_ok"),
+        )
+    )
 
 
 @query(

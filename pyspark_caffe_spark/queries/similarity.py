@@ -104,18 +104,16 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "label_a", "label_b", "cos")
 
 
-@query("sim_knn_lsh")  # rows-only: LSH bucketing is engine/library-specific
-def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate similarity join via MLlib BucketedRandomProjectionLSH
-    (Vector columns — array_to_vector first). Euclidean distance < 1.0955 (> √1.2)
-    on unit vectors ⇔ cosine > 1 - 1.095²/2 ≈ 0.4 (matches the exact
-    threshold join). Tests assert recall
-    ≥ 0.8 vs the exact threshold join. Library-grade 100 TB path: only
-    same-bucket pairs are joined."""
+def _mllib_lsh_pairs(emb: DataFrame) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approximate similarity join
+    (Vector columns — array_to_vector first). Euclidean distance
+    < 1.0955 (> √1.2) on unit vectors ⇔ cosine > 1 − 1.095²/2 ≈ 0.4
+    (matches the exact threshold join). Library-grade 100 TB path:
+    only same-bucket pairs are joined."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = _load_emb(spark, sf_dir).withColumn("vec", array_to_vector("emb"))
+    emb = emb.withColumn("vec", array_to_vector("emb"))
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="hashes", bucketLength=0.5, numHashTables=6, seed=42
     )
@@ -132,18 +130,67 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_lsh_bucketed")  # rows-only: hand-rolled sign-LSH buckets
+@query(
+    "sim_knn_lsh",
+    oracle="""
+    SELECT COUNT(*) AS n_true_pairs, true AS recall_ok
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+)
+def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate similarity join via MLlib LSH (see _mllib_lsh_pairs).
+
+    Invariant-literal oracle: LSH bucketing is library-specific, so
+    the emitted row is the EXACT count of cosine ≥ 0.4 pairs (cross-
+    engine checkable) plus an IN-PLAN recall flag — the LSH candidate
+    set must cover ≥ 80% of those true pairs (left join truth→
+    candidates, counted in one aggregate). Oracle emits literal
+    ``true``; a bucketing regression flips the hash-checked flag."""
+    emb = _load_emb(spark, sf_dir)
+    truth = vecops.threshold_pairs(emb, tau=0.4).select("id_a", "id_b")
+    cand = _mllib_lsh_pairs(emb).select("id_a", "id_b", F.lit(1).alias("_hit"))
+    joined = truth.join(cand, ["id_a", "id_b"], "left")
+    return joined.agg(
+        F.count("*").alias("n_true_pairs"), F.count("_hit").alias("_found")
+    ).select(
+        "n_true_pairs",
+        (F.col("_found").cast("double") >= 0.8 * F.col("n_true_pairs")).alias("recall_ok"),
+    )
+
+
+@query(
+    "sim_lsh_bucketed",
+    oracle="""
+    SELECT COUNT(*) AS n_vectors_total, true AS buckets_ok FROM embeddings
+    """,
+)
 def sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hand-rolled sign-LSH (vecops.lsh_bucket): 8-bit signature from
     fixed random hyperplane signs, entirely codegen'd. Same-signature
     pairs are the ANN candidates — the pre-join bucketing that keeps
-    the threshold join linear-ish at scale. Returns per-bucket sizes
-    (the data for choosing plane count)."""
+    the threshold join linear-ish at scale.
+
+    Invariant-literal oracle: bucket ids are plane-seed-specific, so
+    the emitted row carries the total vector count reassembled FROM
+    the per-bucket sizes (any dropped/duplicated row breaks the
+    cross-engine count) plus an IN-PLAN flag that every signature
+    lands in the 8-bit domain with a sane bucket count. Oracle emits
+    literal ``true``."""
     emb = _load_emb(spark, sf_dir)
-    return (
+    sizes = (
         vecops.lsh_bucket(emb, LSH_PLANES)
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
+    )
+    return sizes.agg(
+        F.sum("n_vectors").alias("n_vectors_total"),
+        (
+            F.count("*").between(1, 256)
+            & (F.min("bucket") >= 0)
+            & (F.max("bucket") <= 255)
+        ).alias("buckets_ok"),
     )
 
 

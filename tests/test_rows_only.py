@@ -45,19 +45,24 @@ def test_sample_seeded(spark, sf_dir):
 
 
 def test_agg_approx_distinct(spark, sf_dir):
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
-    }
-    exact = {
-        r["event_type"]: r["n"]
-        for r in load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
+    """Deep check behind the key's in-plan within_tol flag: the raw HLL
+    estimate really is within 5% of exact (guards against a vacuously
+    true boolean)."""
+    ev = load_table(spark, sf_dir, "events")
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
         .collect()
-    }
-    for et, n in exact.items():
-        assert abs(approx[et] - n) <= 0.05 * n, (et, approx[et], n)
+    )
+    assert both
+    for r in both:
+        assert abs(r["approx"] - r["exact"]) <= 0.05 * r["exact"], tuple(r)
+    assert all(
+        r["within_tol"] for r in QUERIES["agg_approx_distinct"](spark, sf_dir).collect()
+    )
 
 
 def test_ml_predict_join(spark, sf_dir):
@@ -67,45 +72,88 @@ def test_ml_predict_join(spark, sf_dir):
 
 
 def test_ml_train_iter(spark, sf_dir):
-    losses = [r["mse"] for r in QUERIES["ml_train_iter"](spark, sf_dir).orderBy("iteration").collect()]
+    """Deep check behind the key's flags: the actual per-round MSE
+    trace from parameter-averaging training is monotone decreasing."""
+    from pyspark_caffe_spark.model import train_parameter_averaging
+    from pyspark_caffe_spark.queries.ml import DIM, _emb
+
+    _, losses = train_parameter_averaging(
+        _emb(spark, sf_dir), "embedding", "label", dim=DIM, rounds=3
+    )
     assert len(losses) == 4  # pre-round losses + final averaged weights
     assert all(b <= a for a, b in zip(losses, losses[1:])), losses
+    row = QUERIES["ml_train_iter"](spark, sf_dir).collect()[0]
+    assert row["mse_monotone"] and row["mse_improved"], tuple(row)
 
 
 def test_dedup_minhash_recall(spark, sf_dir):
+    """Deep check behind the key's recall_ok flag: the raw candidate
+    pairs from the LSH pipeline really cover ≥ 80% of the planted
+    near-dups."""
+    from pyspark_caffe_spark import textops
+    from pyspark_caffe_spark.queries.llm import _perturbed_docs
+
+    docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
     pairs = {
-        (r["id_a"], r["id_b"]) for r in QUERIES["dedup_minhash"](spark, sf_dir).collect()
+        (r["id_a"], r["id_b"])
+        for r in textops.minhash_dedup_pairs(
+            docs, "text", "doc_id", num_hashes=32, bands=8, shingle_k=5
+        ).collect()
     }
     planted = {(i, i + 1000000) for i in range(50)}
     recall = len(pairs & planted) / len(planted)
     assert recall >= 0.8, f"minhash recall {recall}"
+    row = QUERIES["dedup_minhash"](spark, sf_dir).collect()[0]
+    assert row["recall_ok"], tuple(row)
 
 
 def test_dedup_simhash_recall(spark, sf_dir):
-    pairs = {
-        (r["id_a"], r["id_b"]) for r in QUERIES["dedup_simhash"](spark, sf_dir).collect()
-    }
+    from pyspark_caffe_spark.queries.llm import _perturbed_docs, _simhash_pairs
+
+    docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
+    pairs = {(r["id_a"], r["id_b"]) for r in _simhash_pairs(docs).collect()}
     planted = {(i, i + 1000000) for i in range(50)}
     recall = len(pairs & planted) / len(planted)
     assert recall >= 0.8, f"simhash recall {recall}"
+    row = QUERIES["dedup_simhash"](spark, sf_dir).collect()[0]
+    assert row["recall_ok"], tuple(row)
 
 
 def test_sim_knn_lsh_recall(spark, sf_dir):
+    """Deep check behind the key's recall_ok flag: MLlib LSH candidate
+    pairs cover ≥ 80% of the exact cosine ≥ 0.4 pairs."""
+    from pyspark_caffe_spark.queries.similarity import _load_emb, _mllib_lsh_pairs
+
     exact = {
         (r["id_a"], r["id_b"])
         for r in QUERIES["sim_threshold_join"](spark, sf_dir).collect()
     }
     approx = {
-        (r["id_a"], r["id_b"]) for r in QUERIES["sim_knn_lsh"](spark, sf_dir).collect()
+        (r["id_a"], r["id_b"])
+        for r in _mllib_lsh_pairs(_load_emb(spark, sf_dir)).collect()
     }
     assert exact, "exact threshold join returned no pairs - vacuous recall test"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"lsh recall {recall} over {len(exact)} exact pairs"
+    row = QUERIES["sim_knn_lsh"](spark, sf_dir).collect()[0]
+    assert row["recall_ok"] and row["n_true_pairs"] == len(exact), tuple(row)
 
 
 def test_sim_lsh_bucketed(spark, sf_dir):
-    out = QUERIES["sim_lsh_bucketed"](spark, sf_dir).collect()
-    assert sum(r["n_vectors"] for r in out) == load_table(spark, sf_dir, "embeddings").count()
+    from pyspark_caffe_spark import vecops
+    from pyspark_caffe_spark.queries.similarity import _load_emb, LSH_PLANES
+
+    sizes = (
+        vecops.lsh_bucket(_load_emb(spark, sf_dir), LSH_PLANES)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .collect()
+    )
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in sizes) == n
+    assert all(0 <= r["bucket"] <= 255 for r in sizes)
+    row = QUERIES["sim_lsh_bucketed"](spark, sf_dir).collect()[0]
+    assert row["buckets_ok"] and row["n_vectors_total"] == n, tuple(row)
 
 
 def test_text_ngram_hash(spark, sf_dir):
@@ -121,11 +169,17 @@ def test_text_ngram_hash(spark, sf_dir):
 
 
 def test_text_fingerprint(spark, sf_dir):
+    """Deep check behind the key's fp_injective flag: raw fingerprints
+    are collision-free on the fixture corpus (no duplicate texts)."""
+    from pyspark_caffe_spark import textops
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    fps = docs.select(textops.fingerprint("text").alias("fp"))
+    assert fps.distinct().count() == n
     out = QUERIES["text_fingerprint"](spark, sf_dir)
-    n = load_table(spark, sf_dir, "documents").count()
     assert out.count() == n
-    # fixtures have no duplicate texts → fingerprints unique
-    assert out.select("fingerprint").distinct().count() == n
+    assert out.filter(~F.col("fp_injective")).count() == 0
 
 
 def test_stream_watermark_late_drops(spark, sf_dir):
@@ -153,11 +207,18 @@ def test_ml_predict_class_matches_numpy(spark, sf_dir):
 
 
 def test_agg_hll_rollup(spark, sf_dir):
+    """Deep check behind the key's within_tol flag: the rolled-up
+    union-of-daily-sketches estimate really lands within 5% of exact."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in QUERIES["agg_hll_rollup"](spark, sf_dir).collect()
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+        .collect()
     }
-    ev = load_table(spark, sf_dir, "events")
     exact = {
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
@@ -165,6 +226,9 @@ def test_agg_hll_rollup(spark, sf_dir):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= 0.05 * n, f"{t}: approx {approx[t]} vs exact {n}"
+    assert all(
+        r["within_tol"] for r in QUERIES["agg_hll_rollup"](spark, sf_dir).collect()
+    )
 
 
 def test_dedup_candidate_verify(spark, sf_dir):
@@ -187,15 +251,15 @@ def test_dedup_candidate_verify(spark, sf_dir):
 
 
 def test_agg_approx_quantile(spark, sf_dir):
-    approx = {
-        r["event_type"]: (r["p50"], r["p90"])
-        for r in QUERIES["agg_approx_quantile"](spark, sf_dir).collect()
-    }
-    exact = {
-        r["event_type"]: (r["p50"], r["p90"], r["lo"], r["hi"])
+    """Deep check behind the key's within_tol flag: raw sketch
+    percentiles really land within 1% of the group's value range."""
+    both = {
+        r["event_type"]: r
         for r in load_table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("a50"),
+            F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("a90"),
             F.percentile("value", F.lit(0.5)).alias("p50"),
             F.percentile("value", F.lit(0.9)).alias("p90"),
             F.min("value").alias("lo"),
@@ -203,11 +267,14 @@ def test_agg_approx_quantile(spark, sf_dir):
         )
         .collect()
     }
-    for et, (p50, p90, lo, hi) in exact.items():
-        tol = 0.01 * (hi - lo)
-        a50, a90 = approx[et]
-        assert abs(a50 - p50) <= tol, (et, a50, p50)
-        assert abs(a90 - p90) <= tol, (et, a90, p90)
+    assert both
+    for et, r in both.items():
+        tol = 0.01 * (r["hi"] - r["lo"])
+        assert abs(r["a50"] - r["p50"]) <= tol, (et, r["a50"], r["p50"])
+        assert abs(r["a90"] - r["p90"]) <= tol, (et, r["a90"], r["p90"])
+    assert all(
+        r["within_tol"] for r in QUERIES["agg_approx_quantile"](spark, sf_dir).collect()
+    )
 
 
 def test_text_chunk_reconstruction(spark, sf_dir):
@@ -236,12 +303,19 @@ def test_text_chunk_reconstruction(spark, sf_dir):
 def test_agg_hll_sketch_merge(spark, sf_dir):
     """Merged daily sketches must equal a direct one-pass sketch
     EXACTLY (HLL union is register-wise max — a deterministic
-    identity, not an approximation), and land within ±5% of exact."""
-    merged = {
-        r["event_type"]: r["merged_users"]
-        for r in QUERIES["agg_hll_sketch_merge"](spark, sf_dir).collect()
-    }
+    identity, not an approximation), and land within ±5% of exact.
+    Deep check behind the key's in-plan merged_eq_direct/within_tol
+    flags."""
     ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    merged = {
+        r["event_type"]: r["m"]
+        for r in daily.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("m"))
+        .collect()
+    }
     direct = {
         r["event_type"]: r["direct"]
         for r in ev.groupBy("event_type")
@@ -255,3 +329,5 @@ def test_agg_hll_sketch_merge(spark, sf_dir):
     assert merged == direct, "sketch merge must be lossless vs one-pass sketch"
     for t, n in exact.items():
         assert abs(merged[t] - n) <= 0.05 * n, f"{t}: {merged[t]} vs exact {n}"
+    rows = QUERIES["agg_hll_sketch_merge"](spark, sf_dir).collect()
+    assert rows and all(r["merged_eq_direct"] and r["within_tol"] for r in rows)
