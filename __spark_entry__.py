@@ -81,7 +81,9 @@ def _driver_rows() -> dict[str, dict]:
         if isinstance(data, dict):
             for key, row in data.items():
                 if isinstance(row, dict):
-                    rows[key] = row
+                    # remember WHICH round produced the surviving row so
+                    # the sweep can re-check stalest evidence first
+                    rows[key] = {**row, "_round": round_num(path)}
     return rows
 
 
@@ -95,7 +97,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 hash mismatch): fixes must convert to green rows first;
       group 1 — keys with no driver row yet, plus rows-only rows whose
                 key has since graduated to a full hash oracle;
-      group 2 — keys already driver-green.
+      group 2 — keys already driver-green, STALEST EVIDENCE FIRST:
+                ordered by the round that produced their surviving
+                CORRECTNESS row (ascending), so a budget-limited sweep
+                refreshes r01-stamped rows before re-confirming last
+                round's — catching any silent regression the local
+                suite missed.
     Within each group, registry order, except _EXPENSIVE_LAST keys
     (streaming drains, iterative ML, LSH/cluster dedup, ≥ ~1.5 s at
     sf0.01) sink to the end of their group so a wall-clock-budgeted
@@ -127,11 +134,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 1  # err-free but never actually verified: treat as unswept
         return 2
 
+    def staleness(key: str) -> int:
+        # group-2 tiebreak: the round whose sweep produced the
+        # surviving row (older = sweep sooner); groups 0/1 have no
+        # meaningful row age, keep registry order there
+        if group(key) != 2:
+            return 0
+        row = rows.get(key)
+        return row.get("_round", 0) if row else 0
+
     order = list(QUERIES)
     idx = {k: i for i, k in enumerate(order)}
     ranked = sorted(
         order,
-        key=lambda k: (group(k), k in _EXPENSIVE_LAST, idx[k]),
+        key=lambda k: (group(k), k in _EXPENSIVE_LAST, staleness(k), idx[k]),
     )
     return {k: QUERIES[k] for k in ranked}
 

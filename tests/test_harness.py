@@ -87,6 +87,23 @@ def test_sweep_order_expensive_sinks_within_group(monkeypatch):
     assert cheap_max < exp_min
 
 
+def test_sweep_order_green_keys_stalest_first(monkeypatch):
+    """Within the green group, keys whose surviving CORRECTNESS row is
+    oldest re-sweep first — the driver checks ~50 keys/round, so
+    without this, r01-stamped evidence never refreshes."""
+    keys = [k for k in QUERIES if k not in entry._EXPENSIVE_LAST]
+    old_key, fresh_key = keys[0], keys[1]
+    rows = {k: {**GREEN, "_round": 5} for k in QUERIES}
+    rows[old_key] = {**GREEN, "_round": 1}
+    rows[fresh_key] = {**GREEN, "_round": 5}
+    order = _order_with_rows(monkeypatch, rows)
+    assert order.index(old_key) < order.index(fresh_key)
+    # oldest green key precedes every same-cost green key of round 5
+    assert order.index(old_key) == min(
+        order.index(k) for k in keys
+    )
+
+
 def test_driver_rows_latest_round_wins_with_deterministic_tiebreak(
     monkeypatch, tmp_path
 ):
@@ -99,10 +116,10 @@ def test_driver_rows_latest_round_wins_with_deterministic_tiebreak(
     (tmp_path / "CORRECTNESS_r4.json").write_text(json.dumps({"t": {"v": "bare"}}))
     monkeypatch.setattr(entry, "_REPO_DIR", str(tmp_path))
     rows = entry._driver_rows()
-    assert rows["k"] == {"v": "r10"}
+    assert rows["k"] == {"v": "r10", "_round": 10}
     # same round number: lexicographically later path wins — the value
     # matters less than that it NEVER flips between runs
-    assert rows["t"] == {"v": "bare"}
+    assert rows["t"] == {"v": "bare", "_round": 4}
 
 
 def test_stream_tws_gate_matches_dependency():
@@ -121,18 +138,29 @@ def test_stream_tws_gate_matches_dependency():
         assert "stream_tws" in ORACLES
 
 
-def test_ensure_session_confs_memoized(spark):
-    """Second call on the same session must not touch spark.conf (two
-    py4j round trips per table load otherwise — measurable on the
-    bench's hot loop)."""
+def test_ensure_session_confs_memoized_but_verifying(spark):
+    """The memoized fast path must still VERIFY (read-only gets) and
+    re-correct external drift: a grading harness resetting
+    session.timeZone on the live session mid-run would silently skew
+    every timestamp if memoization skipped the check entirely
+    (ADVICE r5)."""
     tables.ensure_session_confs(spark)
     assert spark in tables._CONFIGURED_SESSIONS
-    with mock.patch.object(
-        type(spark), "conf", new_callable=mock.PropertyMock
-    ) as conf_prop:
-        conf_prop.side_effect = AssertionError("conf touched on memoized session")
-        tables.ensure_session_confs(spark)  # must return before spark.conf
 
-    # and the confs really are set (memoization never skipped a fresh session)
-    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
-    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # memoized + in-sync: must not SET (sets invalidate cached plans)
+    calls: list = []
+    real_set = spark.conf.set
+    with mock.patch.object(
+        spark.conf, "set", side_effect=lambda *a: calls.append(a)
+    ):
+        tables.ensure_session_confs(spark)
+    assert calls == [], "set() called although confs were already correct"
+
+    # externally drifted: the next ensure must restore both confs
+    real_set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        tables.ensure_session_confs(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    finally:
+        real_set("spark.sql.session.timeZone", "UTC")

@@ -248,6 +248,22 @@ def test_dedup_candidate_verify(spark, sf_dir):
         assert abs(j - exact[pair]) < 1e-9
     recall = len(verified) / len(exact)
     assert recall >= 0.9, f"candidate recall {recall} over {len(exact)} true pairs"
+    # Completeness guard for the key's FULL oracle (exact J>=0.5 edge
+    # set): the oracle is only valid while LSH misses NO true edge on
+    # the fixtures.  The pipeline is fully deterministic (fixed
+    # xxhash64 minhashes, no run seed), so set equality either holds
+    # or fails reproducibly — assert it HERE (loudly, naming the
+    # missed pairs) so a fixture/SF change that plants an edge below
+    # the banding's reach surfaces as a clear local failure instead of
+    # a mysterious driver red.  (Current fixture min edge is J=0.75,
+    # where 16-band/2-row miss probability over a random hash family
+    # is ~2e-6/edge; the realized hash family captures all edges.)
+    missed = set(exact) - set(verified)
+    assert not missed, (
+        f"LSH missed true edges {sorted(missed)}: dedup_candidate_verify's "
+        "exact-edge oracle is no longer complete — restrict the oracle to "
+        "candidates∩exact or raise the band count"
+    )
 
 
 def test_agg_approx_quantile(spark, sf_dir):
