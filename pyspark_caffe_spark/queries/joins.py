@@ -723,3 +723,128 @@ def join_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
     )
+
+
+@query(
+    "join_q2_mincost",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(MIN(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, unit_cost
+    FROM part
+    JOIN ps ON ps.l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = ps.l_suppkey
+    WHERE p_size < 10
+      AND unit_cost = (SELECT MIN(ps2.unit_cost) FROM ps ps2
+                       WHERE ps2.l_partkey = p_partkey)
+    """,
+)
+def join_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape — the min-cost supplier per part (nested
+    correlated subquery against an aggregate; fixtures carry no
+    partsupp table, so per-(part, supplier) unit cost derives from
+    lineitem).  The ORACLE keeps the textbook correlated-scalar-
+    subquery SQL; the Spark plan re-expresses it the way you'd want
+    at 100 TB — a naive CTE translation scans+aggregates lineitem
+    TWICE (measured: 3 exchanges, no reuse), while this formulation
+    runs ONE pass:
+
+      broadcast-semi-prune lineitem to qualifying parts (p_size
+      filter applied before any shuffle) → repartition by l_partkey →
+      (part, supp) min agg WITHOUT a second exchange (partkey
+      partitioning already clusters the grouping keys) → per-part
+      MIN() window on the SAME partitioning → filter cost == min.
+
+    Cost is ROUNDED to 4 decimals pre-comparison on both engines so
+    the min-equality compares identical doubles; every supplier tying
+    at the min survives (set semantics).  join_corr_scalar covers the
+    decorrelation execution path itself."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+                "unit_cost"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("_min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("_min_cost")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_cost")
+    )
+
+
+@query(
+    "join_q20_semichain",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 40
+    )
+    AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey < 3)
+    """,
+)
+def join_q20_semichain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20's shape — a SEMI-JOIN CHAIN three levels deep:
+    suppliers who moved > 40 units of any 'red%' part in 1996, in a
+    region-0-2 nation.  Expressed with explicit left_semi joins (the
+    DataFrame twin of nested IN subqueries):
+
+      part(name filter) ⋉ lineitem(date filter) → HAVING agg
+        → supplier ⋉ qualifying suppkeys ⋉ region-filtered nations
+
+    Scale shape: every probe side is reduced BEFORE touching the next
+    table — the name filter prunes part to a broadcastable key list,
+    the date filter is pushed to the lineitem scan, the HAVING output
+    is |qualifying (supp, part)| rows distinct-ed to supplier keys,
+    and both semi builds broadcast.  No row of supplier ever joins
+    more than once (semi semantics — no fan-out, no dedup pass)."""
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    qualifying = (
+        li.join(F.broadcast(part_keys), li.l_partkey == part_keys.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    nations = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") < 3)
+        .select("n_nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(
+            F.broadcast(qualifying), supp.s_suppkey == qualifying.l_suppkey, "left_semi"
+        )
+        .join(F.broadcast(nations), supp.s_nationkey == nations.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )

@@ -131,3 +131,55 @@ def test_minhash_growth_is_linear(spark, sf_dir):
         f"({t1:.2f}s -> {tk:.2f}s, {n1}->{nk} pairs) — sub-quadratic "
         "bound violated"
     )
+
+
+def test_blocked_tier_matches_broadcast_at_8x(spark, sf_dir):
+    """The exact-similarity distributed block-pair tier at growth
+    scale: replicate the embedding corpus 8× (distinct ids, identical
+    vectors — every vector gains 7 cos=1.0 twins), force the blocked
+    tier with a low row guard, and assert its threshold-pair edge set
+    EQUALS the broadcast tier's on the same frame.  This is the tier
+    an over-65536-row corpus takes automatically; the equality pins
+    that block-pair group scoring (including the gi≠gj swapped-role
+    emission) loses/duplicates nothing at a size where every block
+    boundary is exercised."""
+    from pyspark_caffe_spark import vecops
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    parts = [
+        emb.select((F.col("vec_id") + i * 10_000_000).alias("vec_id"), "emb")
+        for i in range(SCALE)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+
+    t0 = time.perf_counter()
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in vecops.threshold_pairs(
+            big, tau=0.99, broadcast_max_rows=2000, block_rows=2048
+        ).collect()
+    }
+    t_blocked = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    broad = {
+        (r["id_a"], r["id_b"])
+        for r in vecops.threshold_pairs(big, tau=0.99).collect()
+    }
+    t_broad = time.perf_counter() - t0
+
+    n = emb.count()
+    min_expected = n * SCALE * (SCALE - 1) // 2  # the planted twin pairs
+    assert blocked == broad, (
+        f"tier mismatch: blocked {len(blocked)} vs broadcast {len(broad)} pairs"
+    )
+    assert len(blocked) >= min_expected
+    # informational only (steal noise makes ratios unassertable):
+    # PERF.md records a measured run of this pair
+    print(
+        f"blocked tier {t_blocked:.2f}s vs broadcast {t_broad:.2f}s "
+        f"for {n * SCALE} rows, {len(blocked)} pairs"
+    )

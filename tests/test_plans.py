@@ -61,6 +61,8 @@ CASES = [
     ("agg_bitmap_distinct", r"HashAggregate(.|\n)*HashAggregate", r"Expand", "bitmap distinct: two-level agg, never the countDistinct Expand rewrite"),
     ("fn_xml", None, r"BatchEvalPython|ArrowEvalPython|Exchange", "xpath extraction is JVM-side and a pure map stage"),
     ("sink_zorder", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_custkey", None, "2-D box filter pushed to the z-ordered parquet"),
+    ("join_q2_mincost", None, r"hashpartitioning(.|\n)*hashpartitioning", "one l_partkey shuffle feeds agg AND window; lineitem scanned once"),
+    ("join_q20_semichain", r"LeftSemi", r"SortMergeJoin", "three-level semi chain rides broadcast builds, no fact shuffle"),
 ]
 
 
