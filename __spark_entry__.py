@@ -35,6 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # any cutoff (round 1 stopped after 50 of 123).
 _EXPENSIVE_LAST = [
     "agg_approx_distinct",
+    "sim_auto_threshold",
+    "sink_analyze_stats",
     "udf_surface",
     "dedup_minhash",
     "dedup_ngram_jaccard",
