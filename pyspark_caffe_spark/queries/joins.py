@@ -848,3 +848,108 @@ def join_q20_semichain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nations), supp.s_nationkey == nations.n_nationkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+@query(
+    "agg_q17_small_qty",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly, COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def agg_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's shape — small-quantity-order revenue: lineitem rows
+    under HALF THEIR PART'S AVERAGE quantity (a correlated AVG
+    subquery).  The oracle keeps the correlated SQL; the Spark plan is
+    the decorrelated form you'd hand-write at 100 TB: the brand filter
+    prunes part to a broadcastable key list FIRST, the per-part
+    average aggregates only pruned lineitem rows (the correlated
+    subquery ranges over the part key, so pre-filtering by part is
+    semantics-preserving), and the avg table broadcasts back onto the
+    same pruned scan — Catalyst reuses one exchange for agg + join."""
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_keys),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    avg_qty = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(
+            F.broadcast(avg_qty.withColumnRenamed("l_partkey", "ak")),
+            F.col("l_partkey") == F.col("ak"),
+        )
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_q22_cntrycode",
+    oracle="""
+    WITH eligible AS (
+      SELECT c_custkey, c_acctbal, CAST(c_custkey % 7 AS BIGINT) AS cntrycode
+      FROM customer
+      WHERE c_custkey % 7 IN (1, 2, 3)
+    )
+    SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 4) AS totacctbal
+    FROM eligible e
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM eligible WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY cntrycode
+    """,
+)
+def join_q22_cntrycode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape — global-sales-opportunity: customers with no
+    URGENT order but above-average balance, grouped by country code
+    (derived as custkey % 7 — fixtures carry no phone column; the
+    anti-join side is priority-filtered because every fixture customer
+    has SOME order, which would make the textbook no-orders predicate
+    vacuously empty).  Three classic sub-shapes in one query: an
+    uncorrelated scalar AVG (broadcast 1-row cross join — never a
+    driver round trip), a NOT EXISTS anti-join against a filtered
+    orders scan (the filter pushes to parquet), and a final rollup.
+    At 100 TB the anti-join is the expensive side (fact-sized build):
+    Catalyst plans broadcast-anti at fixture scale and SMJ-anti with
+    AQE above the threshold; the scalar avg stays one tiny broadcast
+    either way."""
+    cust = load_table(spark, sf_dir, "customer")
+    eligible = cust.filter(
+        F.pmod(F.col("c_custkey"), F.lit(7)).isin(1, 2, 3)
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        F.pmod(F.col("c_custkey"), F.lit(7)).cast("long").alias("cntrycode"),
+    )
+    avg_bal = eligible.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        eligible.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, eligible.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )

@@ -63,6 +63,9 @@ CASES = [
     ("sink_zorder", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_custkey", None, "2-D box filter pushed to the z-ordered parquet"),
     ("join_q2_mincost", None, r"hashpartitioning(.|\n)*hashpartitioning", "one l_partkey shuffle feeds agg AND window; lineitem scanned once"),
     ("join_q20_semichain", r"LeftSemi", r"SortMergeJoin", "three-level semi chain rides broadcast builds, no fact shuffle"),
+    ("join_q22_cntrycode", r"LeftAnti", r"CartesianProduct", "NOT EXISTS is an anti join; scalar avg broadcasts"),
+    ("corpus_shuffle_shards", r"Window", r"SinglePartition|hashpartitioning(.|\n)*hashpartitioning", "epoch shuffle is one shard-hash exchange, never a global sort"),
+    ("corpus_token_budget", r"Window", r"SinglePartition", "running token sum windows per lang, never one global partition"),
 ]
 
 
