@@ -663,3 +663,37 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_users_exact")
         ).alias("within_tol"),
     )
+
+
+@query(
+    "agg_q11_partvalue",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey, ROUND(SUM(l_extendedprice), 4) AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value FROM pv
+    WHERE value > (SELECT 1.5 * AVG(value) FROM pv)
+    """,
+)
+def agg_q11_partvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape — important stock: per-part spend filtered
+    against a SCALAR AGGREGATE OF THE SAME AGGREGATE (parts above
+    1.5× the average part's value).  The Spark plan computes the
+    per-part aggregate ONCE and broadcasts the 1-row global average
+    back onto it (crossJoin of a broadcast aggregate — the repo-wide
+    pattern for uncorrelated scalar subqueries): no second scan of
+    lineitem, no driver round trip.  Per-part sums are ROUNDED before
+    the average so both engines compare identical doubles.  At 100 TB
+    the per-part aggregate is the only shuffle; the threshold side is
+    a single number regardless of scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("value")
+    )
+    thresh = pv.agg((1.5 * F.avg("value")).alias("_bar"))
+    return (
+        pv.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("_bar"))
+        .select("l_partkey", "value")
+    )

@@ -1701,3 +1701,65 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 2000)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )
+
+
+@query(
+    "text_lm_score",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+           LATERAL UNNEST(RANGE(1, GREATEST(LEN(ws), 1))) AS t(i)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(n12) AS n1 FROM c12 GROUP BY w1),
+    p AS (
+      SELECT w1, w2, CAST(n12 AS DOUBLE) / n1 AS p
+      FROM c12 JOIN c1 USING (w1)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(LOG2(p)), 6) AS avg_log2p
+    FROM bg JOIN p USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model quality scoring — the KenLM-style
+    pretraining filter: score every document by its average bigram
+    conditional log-probability under the CORPUS'S OWN bigram model
+    (docs full of corpus-typical word transitions score high; line
+    noise, boilerplate-free rarities and shuffled text score low —
+    the filter threshold is then a percentile of this column).
+
+    Plan: one explode of the token stream to (doc_id, w1, w2); the
+    model (bigram conditional probs) aggregates from the SAME stream;
+    scoring joins the stream back to the model on (w1, w2).  At
+    100 TB the model table is |distinct bigrams| rows — orders of
+    magnitude under the stream — and at real vocab sizes it stays
+    shuffle-joined on (w1, w2) (both sides partial-aggregated first);
+    a trimmed top-K model would broadcast.  Self-scoring means every
+    doc bigram exists in the model (count ≥ 1) — no smoothing branch
+    in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = textops.words_of("text")
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(1))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    p = c12.join(c1, "w1").select(
+        "w1", "w2", (F.col("n12").cast("double") / F.col("n1")).alias("p")
+    )
+    return (
+        bg.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log2("p")), 6).alias("avg_log2p"),
+        )
+    )
