@@ -1763,3 +1763,69 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log2("p")), 6).alias("avg_log2p"),
         )
     )
+
+
+@query(
+    "dedup_decontaminate_ngram",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 50
+    ),
+    train AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 50
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 1)], ' ') AS text
+      FROM documents WHERE doc_id < 25
+    ),
+    bsh AS (
+      SELECT DISTINCT UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 7, 1) + 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+7], ' '))) AS sh
+      FROM bench
+    ),
+    tsh AS (
+      SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 7, 1) + 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+7], ' '))) AS sh
+      FROM train
+    )
+    SELECT t.doc_id, COUNT(*) AS n_overlap_8grams
+    FROM tsh t JOIN bsh b USING (sh)
+    GROUP BY t.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def dedup_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM benchmark decontamination — the tier exact-match
+    decontamination (dedup_decontaminate) cannot reach: a train doc is
+    contaminated if it shares ≥ 3 distinct 8-gram shingles with ANY
+    benchmark doc, which catches lightly-EDITED benchmark copies that
+    hash differently.  Planted here: near-copies of benchmark docs
+    0-24 with the last two words dropped (ids +1,000,000) — invisible
+    to the exact fingerprint anti-join, caught by 8-gram overlap;
+    natural word-salad train docs share almost no 8-grams and stay
+    clean.
+
+    100 TB shape: the benchmark shingle set is tiny BY DEFINITION
+    (benchmarks are small) → broadcast onto the train shingle stream,
+    so decontamination is one map-side semi-probe + one groupBy(doc)
+    count — the train corpus is never shuffled by shingle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 50)
+    train = docs.filter(F.col("doc_id") >= 50).select("doc_id", "text").unionByName(
+        _perturbed_docs(docs.filter(F.col("doc_id") < 25), n_dups=25).filter(
+            F.col("doc_id") >= 1000000
+        )
+    )
+    sh8 = lambda frame: frame.select(
+        "doc_id", F.explode(F.array_distinct(textops.shingles_of("text", 8))).alias("sh")
+    )
+    bench_sh = sh8(bench).select("sh").distinct()
+    return (
+        sh8(train)
+        .join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap_8grams"))
+        .filter(F.col("n_overlap_8grams") >= 3)
+    )
