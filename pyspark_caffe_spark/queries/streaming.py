@@ -219,16 +219,40 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_watermark_late")  # rows-only: late-drop count depends on batch split
+@query(
+    "stream_watermark_late",
+    oracle="""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS ws, event_type,
+           COUNT(*) AS n, true AS stragglers_dropped, true AS flushed_exact
+    FROM events, wm
+    WHERE ts >= TIMESTAMP '2024-01-03'
+      AND CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= w
+    GROUP BY 1, 2
+    """,
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark demo: replay events as THREE files — recent data
     (≥ Jan 3) first, then a Jan-2 buffer file, then the true stragglers
     (< Jan 2). With a 1-hour watermark and maxFilesPerTrigger=1, the
     watermark advances to (max ts − 1h) after batch 0 and — measured
     empirically on Spark 4.1 — is APPLIED with one batch of lag, so
-    batch 2's day-1 rows are filtered as too-late and the day-1 windows
-    never appear in the append-mode output. Tests assert exactly that
-    against the batch twin."""
+    the stragglers' day-1 rows are filtered as too-late and the day-1
+    windows never appear in the append-mode output. Tests assert
+    exactly that against the batch twin.
+
+    Invariant-literal oracle over the DETERMINISTIC projection: the
+    drained ≥ Jan-3 windows are batch-split-independent (their rows
+    all ship in the first replay file, and append mode flushes a
+    window iff its end ≤ the final watermark max(ts) − 1h), so those
+    rows hash-compare with exact counts.  The Jan-2 buffer window is
+    the one genuinely split-dependent row — it is excluded from the
+    hashed set, and two in-plan flags cover what remains:
+    ``stragglers_dropped`` (NO drained window predates Jan 2 — the
+    watermark's core guarantee) and ``flushed_exact`` (the drained
+    ≥ Jan-3 set equals the expected flushable set with equal counts —
+    the stream never drops, duplicates, or miscounts on-time data).
+    The oracle emits literal ``true`` for both."""
     ev = load_table(spark, sf_dir, "events")
     replay = _scratch("wm_replay_" + os.path.basename(sf_dir))
 
@@ -262,7 +286,36 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("window.start").alias("ws"), "event_type", "n")
     )
-    return _drain(agg, f"mem_wm_{uuid.uuid4().hex[:8]}", "append", partitions=4)
+    drained = _drain(agg, f"mem_wm_{uuid.uuid4().hex[:8]}", "append", partitions=4)
+
+    jan2 = F.lit("2024-01-02").cast("timestamp")
+    jan3 = F.lit("2024-01-03").cast("timestamp")
+    # expected flushable set: on-time (≥ Jan 3) day windows whose end
+    # precedes the final watermark max(ts) − 1h
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("_wm"))
+    expected = (
+        ev.filter(F.col("ts") >= jan3)
+        .groupBy(F.date_trunc("day", "ts").alias("ws"), "event_type")
+        .agg(F.count("*").alias("_n_exp"))
+        .crossJoin(F.broadcast(wm))
+        .filter(F.col("ws") + F.expr("INTERVAL 1 DAY") <= F.col("_wm"))
+        .select("ws", "event_type", "_n_exp")
+    )
+    emitted = drained.filter(F.col("ws") >= jan3)
+    match = emitted.join(expected, ["ws", "event_type"], "full_outer")
+    flags = match.agg(
+        (
+            (F.count(F.when(F.col("n").isNull() | F.col("_n_exp").isNull(), 1)) == 0)
+            & (F.count(F.when(F.col("n") != F.col("_n_exp"), 1)) == 0)
+        ).alias("flushed_exact")
+    ).crossJoin(
+        drained.agg(
+            (F.count(F.when(F.col("ws") < jan2, 1)) == 0).alias("stragglers_dropped")
+        )
+    )
+    return emitted.crossJoin(F.broadcast(flags)).select(
+        "ws", "event_type", "n", "stragglers_dropped", "flushed_exact"
+    )
 
 
 @query(

@@ -58,19 +58,23 @@ def test_sweep_order_never_swept_before_green(monkeypatch):
 
 
 def test_sweep_order_graduated_rows_only_resweeps(monkeypatch):
-    """A rows-only row whose key HAS a hash oracle now (graduated, like
-    dedup_candidate_verify this round) must re-sweep (group 1); a
-    rows-only row with no oracle stays green (group 2)."""
-    oracled = next(k for k in QUERIES if k in ORACLES)
-    unoracled = next(k for k in QUERIES if k not in ORACLES)
+    """A rows-only row whose key HAS a hash oracle now (graduated —
+    since round 6 EVERY key has one) must re-sweep (group 1).  The
+    registry's rows-only set is empty, so the no-oracle branch is
+    exercised by faking one key out of ORACLES."""
+    keys = list(QUERIES)
+    oracled, faked_unoracled = keys[0], keys[1]
+    assert oracled in ORACLES
+    fake_oracles = {k: v for k, v in ORACLES.items() if k != faked_unoracled}
+    monkeypatch.setattr(entry, "ORACLES", fake_oracles)
     rows = {k: dict(GREEN) for k in QUERIES}
     rows[oracled] = dict(ROWS_ONLY)
-    rows[unoracled] = dict(ROWS_ONLY)
+    rows[faked_unoracled] = dict(ROWS_ONLY)
     order = _order_with_rows(monkeypatch, rows)
-    greens = [k for k in QUERIES if k not in (oracled, unoracled)]
+    greens = [k for k in QUERIES if k not in (oracled, faked_unoracled)]
     assert order.index(oracled) < min(order.index(k) for k in greens)
     # unoracled rows-only that ran clean: nothing new to learn
-    assert order.index(unoracled) > order.index(oracled)
+    assert order.index(faked_unoracled) > order.index(oracled)
 
 
 def test_sweep_order_expensive_sinks_within_group(monkeypatch):

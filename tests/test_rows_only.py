@@ -185,10 +185,16 @@ def test_text_fingerprint(spark, sf_dir):
 def test_stream_watermark_late_drops(spark, sf_dir):
     out = QUERIES["stream_watermark_late"](spark, sf_dir).collect()
     assert out, "watermark stream produced no rows"
-    cutoff = datetime.datetime(2024, 1, 2)
-    assert min(r["ws"] for r in out) >= cutoff, (
+    # the straggler guarantee is the in-plan flag, computed over the
+    # FULL drained output before the deterministic >= Jan-3 projection
+    assert all(r["stragglers_dropped"] for r in out), (
         "late (pre-cutoff) windows should have been dropped by the watermark"
     )
+    assert all(r["flushed_exact"] for r in out), (
+        "on-time windows must flush with exact counts"
+    )
+    cutoff = datetime.datetime(2024, 1, 3)
+    assert min(r["ws"] for r in out) >= cutoff
 
 
 def test_ml_predict_class_matches_numpy(spark, sf_dir):
