@@ -108,7 +108,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Within each group, registry order, except _EXPENSIVE_LAST keys
     (streaming drains, iterative ML, LSH/cluster dedup, ≥ ~1.5 s at
     sf0.01) sink to the end of their group so a wall-clock-budgeted
-    harness checks the maximum number of keys before any cutoff.
+    harness checks the maximum number of keys before any cutoff —
+    EXCEPT a rotation quota: the 5 STALEST expensive green keys are
+    exempted from the sink each round, otherwise a budget that never
+    reaches the tail would leave streaming/ML driver evidence frozen
+    at round 1 forever (a silent streaming regression would stay
+    driver-invisible).  5 slots ≈ 10% of a ~50-key sweep, so the
+    whole 21-key expensive set refreshes on a ~4-round cadence while
+    the cheap keys still dominate the budget.
     """
     rows = _driver_rows()
 
@@ -147,9 +154,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     order = list(QUERIES)
     idx = {k: i for i, k in enumerate(order)}
+    # rotation quota: the 5 stalest expensive GREEN keys sort with the
+    # cheap keys (stalest-first puts their old r1/r2 stamps near the
+    # front of group 2), guaranteeing a budget-limited sweep refreshes
+    # some expensive evidence every round
+    expensive_green = [k for k in order if group(k) == 2 and k in _EXPENSIVE_LAST]
+    promoted = set(
+        sorted(expensive_green, key=lambda k: (staleness(k), idx[k]))[:5]
+    )
     ranked = sorted(
         order,
-        key=lambda k: (group(k), k in _EXPENSIVE_LAST, staleness(k), idx[k]),
+        key=lambda k: (
+            group(k),
+            k in _EXPENSIVE_LAST and k not in promoted,
+            staleness(k),
+            idx[k],
+        ),
     )
     return {k: QUERIES[k] for k in ranked}
 

@@ -673,7 +673,7 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_partkey
     )
     SELECT l_partkey, value FROM pv
-    WHERE value > (SELECT 1.5 * AVG(value) FROM pv)
+    WHERE value > (SELECT ROUND(1.5 * AVG(value), 4) FROM pv)
     """,
 )
 def agg_q11_partvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,7 +691,10 @@ def agg_q11_partvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = li.groupBy("l_partkey").agg(
         F.round(F.sum("l_extendedprice"), 4).alias("value")
     )
-    thresh = pv.agg((1.5 * F.avg("value")).alias("_bar"))
+    # the threshold itself is rounded too: an unrounded double aggregate
+    # can differ by ulps between engines (float summation order), which
+    # could flip membership of a part landing exactly on the boundary
+    thresh = pv.agg(F.round(1.5 * F.avg("value"), 4).alias("_bar"))
     return (
         pv.crossJoin(F.broadcast(thresh))
         .filter(F.col("value") > F.col("_bar"))

@@ -907,7 +907,7 @@ def agg_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 4) AS totacctbal
     FROM eligible e
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM eligible WHERE c_acctbal > 0)
+    WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 4) FROM eligible WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
                       AND o.o_orderpriority = '1-URGENT')
     GROUP BY cntrycode
@@ -935,8 +935,10 @@ def join_q22_cntrycode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.pmod(F.col("c_custkey"), F.lit(7)).cast("long").alias("cntrycode"),
     )
+    # rounded threshold: ulp-level cross-engine drift in the unrounded
+    # AVG could flip a customer sitting exactly on the boundary
     avg_bal = eligible.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal")
     )
     orders = (
         load_table(spark, sf_dir, "orders")

@@ -405,8 +405,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str, num_hashes: int = 32, bands:
     found = _planted_pairs(spark).join(pairs, ["id_a", "id_b"], "left_semi").agg(
         F.count("*").alias("_found")
     )
+    # n_docs_aug counts the ACTUAL perturbed frame (not base+literal 50,
+    # which would tautologically equal the oracle's expression): a
+    # dropped or duplicated plant now breaks the cross-engine value.
     return (
-        base.agg((F.count("*") + 50).alias("n_docs_aug"))
+        docs.agg(F.count("*").alias("n_docs_aug"))
         .crossJoin(F.broadcast(found))
         .select("n_docs_aug", (F.col("_found") >= 40).alias("recall_ok"))
     )
@@ -485,12 +488,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the truth table; the full simhash pipeline feeds the flag).
     Oracle emits literal ``true``."""
     base = load_table(spark, sf_dir, "documents")
-    pairs = _simhash_pairs(_perturbed_docs(base))
+    docs = _perturbed_docs(base)
+    pairs = _simhash_pairs(docs)
     found = _planted_pairs(spark).join(pairs, ["id_a", "id_b"], "left_semi").agg(
         F.count("*").alias("_found")
     )
+    # count the actual perturbed frame (see dedup_minhash note)
     return (
-        base.agg((F.count("*") + 50).alias("n_docs_aug"))
+        docs.agg(F.count("*").alias("n_docs_aug"))
         .crossJoin(F.broadcast(found))
         .select("n_docs_aug", (F.col("_found") >= 40).alias("recall_ok"))
     )
@@ -1557,17 +1562,33 @@ def text_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigrams_of(text_col: str):
+    """Adjacent-word bigram array for a text column: zip the token
+    array with its shift, then DROP the null-padded tail pair — a
+    single-token doc slices an empty second array and ``zip_with``
+    pads it to one (w1, NULL) struct, which a DuckDB oracle built on
+    ``RANGE(1, GREATEST(LEN(ws), 1))`` never emits.  Left unfiltered,
+    every doc sharing that w1 gets an inflated unigram denominator —
+    a latent cross-engine divergence even though current fixtures
+    (min 10 tokens) never fire it."""
+    words = textops.words_of(text_col)
+    return F.filter(
+        F.zip_with(
+            F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(1))),
+            F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda b: b["w2"].isNotNull(),
+    )
+
+
 @query(
     "corpus_ngram_lm",
     oracle="""
     WITH big AS (
-      SELECT UNNEST(LIST_TRANSFORM(
-               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 1, 1) + 1),
-               i -> STRING_SPLIT(text,' ')[i])) AS w1,
-             UNNEST(LIST_TRANSFORM(
-               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 1, 1) + 1),
-               i -> STRING_SPLIT(text,' ')[i+1])) AS w2
-      FROM documents
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+           LATERAL UNNEST(RANGE(1, GREATEST(LEN(ws), 1))) AS t(i)
     ),
     c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY w1, w2),
     c1 AS (SELECT w1, SUM(n12) AS n1 FROM c12 GROUP BY w1)
@@ -1590,13 +1611,7 @@ def corpus_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the n12 table is the only big intermediate and it is
     partial-aggregated map-side."""
     docs = load_table(spark, sf_dir, "documents")
-    words = textops.words_of("text")
-    bigrams = F.zip_with(
-        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(1))),
-        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    exploded = docs.select(F.explode(bigrams).alias("bg")).select(
+    exploded = docs.select(F.explode(_bigrams_of("text")).alias("bg")).select(
         F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
     )
     c12 = exploded.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
@@ -1741,13 +1756,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc bigram exists in the model (count ≥ 1) — no smoothing branch
     in the oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    words = textops.words_of("text")
-    bigrams = F.zip_with(
-        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(1))),
-        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1))),
-        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-    )
-    bg = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
+    bg = docs.select("doc_id", F.explode(_bigrams_of("text")).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))

@@ -754,29 +754,33 @@ def sink_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     t_orders, t_cust = f"st_orders_{sfx}", f"st_customer_{sfx}"
-    if not (spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(t_cust)):
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
-            "file:", ""
-        )
-        for t in (t_orders, t_cust):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
-        load_table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(t_orders)
-        load_table(spark, sf_dir, "customer").write.mode("overwrite").saveAsTable(t_cust)
-        # default ndv.maxError is 5% STANDARD error (measured 6.7% off
-        # at sf0.01) — tighten the HLL so the 5% colstats_match BOUND
-        # below holds with real margin
-        ndv_key = "spark.sql.statistics.ndv.maxError"
-        old_ndv = spark.conf.get(ndv_key, None)
-        try:
-            spark.conf.set(ndv_key, "0.01")
-            spark.sql(f"ANALYZE TABLE {t_orders} COMPUTE STATISTICS FOR COLUMNS o_custkey")
-            spark.sql(f"ANALYZE TABLE {t_cust} COMPUTE STATISTICS FOR COLUMNS c_custkey")
-        finally:
-            if old_ndv is None:
-                spark.conf.unset(ndv_key)
-            else:
-                spark.conf.set(ndv_key, old_ndv)
+    # drop-recreate-ANALYZE unconditionally (cheap at fixture scale):
+    # reusing st_* tables that happen to exist in spark-warehouse would
+    # pin stats from an OLDER code iteration (looser ndv setting, stale
+    # fixture snapshot) and could fail colstats_match despite correct
+    # current code
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+        "file:", ""
+    )
+    for t in (t_orders, t_cust):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(t_orders)
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").saveAsTable(t_cust)
+    # default ndv.maxError is 5% STANDARD error (measured 6.7% off
+    # at sf0.01) — tighten the HLL so the 5% colstats_match BOUND
+    # below holds with real margin
+    ndv_key = "spark.sql.statistics.ndv.maxError"
+    old_ndv = spark.conf.get(ndv_key, None)
+    try:
+        spark.conf.set(ndv_key, "0.01")
+        spark.sql(f"ANALYZE TABLE {t_orders} COMPUTE STATISTICS FOR COLUMNS o_custkey")
+        spark.sql(f"ANALYZE TABLE {t_cust} COMPUTE STATISTICS FOR COLUMNS c_custkey")
+    finally:
+        if old_ndv is None:
+            spark.conf.unset(ndv_key)
+        else:
+            spark.conf.set(ndv_key, old_ndv)
 
     def _row_count(table: str) -> int:
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
