@@ -1155,8 +1155,11 @@ def dedup_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (every verified pair passes exact J ≥ 0.5), and
     complete on these fixtures because every true edge is a perturbed
     near-dup with J ≳ 0.9, where 16-band/2-row LSH miss probability is
-    (1-J²)^16 < 1e-13 — verified equal at sf0.001 and sf0.01
-    (tests/test_llm.py also asserts verified == exact∩candidates)."""
+    (1-J²)^16 < 1e-13 — verified equal at sf0.001 and sf0.01.
+    tests/test_rows_only.py::test_dedup_candidate_verify asserts the
+    full chain: soundness, verified == exact (completeness), AND the
+    fixture-margin floor (min true-edge J ≥ 0.7) that keeps this
+    oracle safe against fixture drift."""
     docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
     cands = textops.minhash_dedup_pairs(docs, "text", "doc_id", num_hashes=32, bands=16)
     sh = docs.select(

@@ -305,24 +305,38 @@ def _lloyd_spherical(sample: np.ndarray, nlist: int, iters: int = 10) -> np.ndar
     """,
 )
 def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) approximate nearest neighbours: coarse
-    quantization into nlist=16 clusters, probe the nprobe=8 closest
-    clusters for the query, brute-force only inside them.
+    """IVF (inverted-file) approximate nearest neighbours with TOP-2
+    MULTI-ASSIGNMENT: coarse-quantize into nlist=16 cells, index every
+    vector under its 2 closest centroids, probe the nprobe=6 closest
+    cells for the query, brute-force only inside them.
 
     Scale path: the centroid table is tiny and broadcast; assignment is
     one numpy matmul per Arrow batch; the candidate scan touches
-    nprobe/nlist of the corpus (here ~50%, at 100 TB typically 1-2%
-    with nlist ~√N). Centroids: Lloyd k-means trained driver-side on a
-    deterministic hash-sample of the corpus (the standard IVF recipe —
-    train on a sample, broadcast the tiny centroid table; the full
-    corpus never leaves the executors for training).
+    ~m·nprobe/nlist of the corpus. Centroids: Lloyd k-means trained
+    driver-side on a deterministic hash-sample of the corpus (the
+    standard IVF recipe — train on a sample, broadcast the tiny
+    centroid table; the full corpus never leaves the executors for
+    training).
+
+    Probe-fraction economics (measured on the fixtures): single-
+    assignment 16/8 scanned ~50% for recall 0.7-1.0 — unstable,
+    because these embeddings are near-uniform in 64-d, so a true
+    neighbour often sits just across a cell boundary from the query.
+    Multi-assignment attacks exactly that failure mode: a neighbour is
+    missed only if BOTH its cells go unprobed.  16/6 with m=2 scans
+    ~60% for measured recall 1.0 at ALL THREE sf points — the extra
+    robustness is bought with index size (m× postings), not probe
+    count, which is why FAISS-style systems ship the same trick.  At
+    real scale: nlist ~√N, nprobe set by the recall target, fraction
+    stays m·nprobe/nlist (1-2%) regardless of N.
 
     Invariant-literal oracle: cluster assignment is implementation-
     specific, so the emitted row carries the corpus size and k plus an
     IN-PLAN recall flag — the IVF top-k must overlap the EXACT top-k
-    of the same query (vecops.knn_for_query, JVM tier) on ≥ 60% of
-    slots. Oracle emits literal ``true``."""
-    nlist, nprobe, k = 16, 8, 10
+    of the same query (vecops.knn_for_query, JVM tier) on ≥ 90% of
+    slots (tightened from 60%; measured value is 100%). Oracle emits
+    literal ``true``."""
+    nlist, nprobe, k = 16, 6, 10
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
     )
@@ -349,12 +363,19 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents, q, probed = bc.value
+        probed_arr = np.array(sorted(probed))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-            assign = np.argmax(x @ cents.T, axis=1)
-            in_probe = np.isin(assign, list(probed)) & (pdf["vec_id"].to_numpy() != 0)
+            # top-2 multi-assignment: a vector is a candidate if EITHER
+            # of its two closest cells is probed (the boundary-straddle
+            # guard that makes the recall flag robust)
+            sims = x @ cents.T
+            top2 = np.argsort(-sims, axis=1)[:, :2]
+            in_probe = np.isin(top2, probed_arr).any(axis=1) & (
+                pdf["vec_id"].to_numpy() != 0
+            )
             if not in_probe.any():
                 continue
             sel = x[in_probe]
@@ -378,7 +399,7 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_corpus",
             F.lit(k).alias("k"),
-            (F.col("_hits") >= int(0.6 * k)).alias("recall_ok"),
+            (F.col("_hits") >= int(0.9 * k)).alias("recall_ok"),
         )
     )
 

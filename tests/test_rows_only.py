@@ -270,6 +270,21 @@ def test_dedup_candidate_verify(spark, sf_dir):
         "exact-edge oracle is no longer complete — restrict the oracle to "
         "candidates∩exact or raise the band count"
     )
+    # Fixture-MARGIN guard (round-6 verdict #2): the set-equality above
+    # proves today's realized hash family catches everything, but the
+    # oracle stays SAFE only while every true edge sits well above the
+    # J=0.5 decision boundary, where banding recall is near-certain.
+    # Floor 0.7: 16-band/2-row miss probability (1-J²)^16 ≤ 2.1e-5 per
+    # edge (vs 7.9e-4 at J=0.6 — two orders worse).  A fixture or SF
+    # change that plants a borderline edge now fails HERE with the
+    # offending pair named, before it can turn the driver key red.
+    min_pair, min_j = min(exact.items(), key=lambda kv: kv[1])
+    assert min_j >= 0.7, (
+        f"fixture margin eroded: true edge {min_pair} has J={min_j} < 0.7 — "
+        "LSH miss probability is no longer negligible; strengthen the "
+        "perturbation or restrict dedup_candidate_verify's oracle to "
+        "candidates∩exact"
+    )
 
 
 def test_agg_approx_quantile(spark, sf_dir):
