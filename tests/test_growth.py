@@ -183,3 +183,77 @@ def test_blocked_tier_matches_broadcast_at_8x(spark, sf_dir):
         f"blocked tier {t_blocked:.2f}s vs broadcast {t_broad:.2f}s "
         f"for {n * SCALE} rows, {len(blocked)} pairs"
     )
+
+
+def test_dedup_skew_cap_soundness(spark):
+    """The max_bucket skew guard MUST NOT lose true near-dup pairs
+    end-to-end (round-6 verdict #6).
+
+    lsh_candidate_pairs silently DROPS band buckets over ``max_bucket``
+    — the documented story being that a bucket only degenerates like
+    that when its members are boilerplate-identical, and those members
+    are still collapsed by the EXACT fingerprint pass that every
+    pipeline (pipeline_training_snapshot's groupBy(normalized), the
+    dedup_exact key) runs alongside LSH. This test plants a corpus that
+    actually FIRES the cap and proves the composition loses nothing:
+
+      * 120 byte-identical boilerplate docs — identical minhash rows,
+        so every band puts all 120 in ONE bucket (size 120 > cap 64);
+      * 30 ordinary near-dup pairs (distinct shingle spaces per pair,
+        J ≈ 0.94, normalized-distinct) that LSH must still catch.
+
+    Asserted: (1) the cap observably fired (uncapped candidates contain
+    boilerplate pairs, capped contain none); (2) every true pair is
+    covered end-to-end — same exact-dedup group (boilerplate) or a
+    surviving LSH candidate between group representatives (near-dups).
+    """
+    import itertools
+
+    from pyspark.sql.window import Window
+
+    boiler_text = " ".join(f"bw{i % 7}x{i % 5}" for i in range(40))
+    rows = [(i, boiler_text) for i in range(120)]
+    for p in range(30):
+        words = [f"p{p}w{i}" for i in range(40)]
+        rows.append((1000 + p, " ".join(words)))
+        rows.append((2000 + p, " ".join(words[:-2])))  # J = 34/36 ≈ 0.94
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in textops.minhash_dedup_pairs(
+            docs, "text", "doc_id", num_hashes=32, bands=8, max_bucket=64
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in textops.minhash_dedup_pairs(
+            docs, "text", "doc_id", num_hashes=32, bands=8, max_bucket=None
+        ).collect()
+    }
+    boiler_pairs = set(itertools.combinations(range(120), 2))
+    assert uncapped & boiler_pairs, "plant failed: boilerplate never bucketed"
+    assert not (capped & boiler_pairs), (
+        "cap did not fire: boilerplate bucket (120 > 64) still emitted pairs"
+    )
+
+    # exact fingerprint pass: normalized-text group representative per doc
+    rep_rows = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(textops.normalized("text")))
+        .alias("rep"),
+    ).collect()
+    rep = {r["doc_id"]: r["rep"] for r in rep_rows}
+
+    true_pairs = boiler_pairs | {(1000 + p, 2000 + p) for p in range(30)}
+    lost = [
+        (a, b)
+        for a, b in true_pairs
+        if rep[a] != rep[b]
+        and (min(rep[a], rep[b]), max(rep[a], rep[b])) not in capped
+    ]
+    assert not lost, (
+        f"skew cap lost {len(lost)} true near-dup pairs end-to-end, e.g. "
+        f"{sorted(lost)[:5]}: the exact-dedup backstop story is broken"
+    )
