@@ -104,6 +104,59 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "label_a", "label_b", "cos")
 
 
+@query(
+    "sim_optimizer_rewrite",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+)
+def sim_optimizer_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTIMIZER-RULE version of the similarity router (round-6
+    verdict #3): the query below is written the NAIVE way — crossJoin +
+    per-pair zip_with/aggregate cosine + threshold filter, exactly what
+    a user types without knowing vecops exists — and
+    :func:`pyspark_caffe_spark.optimizer.try_rewrite_similarity_join`
+    pattern-matches the analyzed logical plan (semanticEquals against
+    the canonical cosine template, sameResult to prove the self-join)
+    and swaps in auto_threshold_pairs' routed plan.  The physical plan
+    must therefore contain NO BroadcastNestedLoopJoin / CartesianProduct
+    (plan-locked in tests/test_plans.py; the unrewritten spelling
+    measured 20.5 s at 2k×2k, BASELINE.md).  The rewrite is asserted to
+    have FIRED — falling back to the naive plan here would silently
+    pass the oracle while executing the quadratic join.
+
+    Oracle: the exact cosine ≥ 0.4 edge set — at fixture scale the
+    router picks the exact broadcast-matrix tier, so the rewritten
+    query is value-identical to the naive one."""
+    from pyspark_caffe_spark import optimizer
+
+    emb = _load_emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    naive = (
+        a.crossJoin(b)
+        .filter((F.round(dot, 6) >= 0.4) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.round(dot, 6).alias("cos"))
+    )
+    rewritten = optimizer.try_rewrite_similarity_join(naive)
+    if rewritten is None:
+        raise RuntimeError(
+            "sim_optimizer_rewrite: the rewrite rule failed to match the "
+            "naive cosine-join pattern — refusing to run the quadratic plan"
+        )
+    return rewritten
+
+
 def _mllib_lsh_pairs(emb: DataFrame) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approximate similarity join
     (Vector columns — array_to_vector first). Euclidean distance

@@ -58,6 +58,7 @@ CASES = [
     ("ml_embedding_norm_stats", None, r"BatchEvalPython|ArrowEvalPython", "vector norm stats stay JVM-side"),
     ("join_interval_overlap", None, r"BroadcastNestedLoopJoin|CartesianProduct", "interval overlap rides the bucket equi-join"),
     ("sink_sorted_stats", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", None, "read-back filter reaches the sorted parquet row groups"),
+    ("sim_optimizer_rewrite", None, r"BroadcastNestedLoopJoin|CartesianProduct", "naive crossJoin+cosine spelling rewritten to the routed plan"),
     ("agg_bitmap_distinct", r"HashAggregate(.|\n)*HashAggregate", r"Expand", "bitmap distinct: two-level agg, never the countDistinct Expand rewrite"),
     ("fn_xml", None, r"BatchEvalPython|ArrowEvalPython|Exchange", "xpath extraction is JVM-side and a pure map stage"),
     ("sink_zorder", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_custkey", None, "2-D box filter pushed to the z-ordered parquet"),
@@ -168,3 +169,90 @@ def test_aqe_skew_join_split(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _naive_cosine_join(spark, sf_dir, *, rounded=True, self_join=True,
+                       extra_conjunct=False, project_extra=False):
+    """The naive all-pairs spelling (and near-miss variants) used by the
+    optimizer-rule tests."""
+    from pyspark.sql import functions as F
+
+    from pyspark_caffe_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b_src = emb if self_join else emb.limit(400)
+    b = b_src.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = F.round(dot, 6) if rounded else dot
+    cond = (cos >= 0.4) & (F.col("id_a") < F.col("id_b"))
+    if extra_conjunct:
+        cond = cond & (F.col("id_a") % 2 == 0)
+    out = ["id_a", "id_b", cos.alias("cos")]
+    if project_extra:
+        out.append("emb_a")
+    return a.crossJoin(b).filter(cond).select(*out)
+
+
+def test_similarity_rewrite_fires_and_naive_is_quadratic(spark, sf_dir):
+    """The rule's value proposition, both directions: the UNREWRITTEN
+    naive spelling really does execute as a nested-loop/cartesian join
+    (what a user would silently suffer), and the rewritten plan does
+    not."""
+    from pyspark_caffe_spark import optimizer
+
+    naive = _naive_cosine_join(spark, sf_dir)
+    naive_plan = plan_of(naive)
+    assert re.search(r"BroadcastNestedLoopJoin|CartesianProduct", naive_plan), naive_plan
+    routed = optimizer.try_rewrite_similarity_join(naive)
+    assert routed is not None, "rule failed to match the canonical naive spelling"
+    routed_plan = plan_of(routed)
+    assert not re.search(r"BroadcastNestedLoopJoin|CartesianProduct", routed_plan), routed_plan
+
+
+def test_similarity_rewrite_declines_near_misses(spark, sf_dir):
+    """The rule must be conservative: every deviation from the proven
+    pattern returns None (the naive plan runs), never a miscompile."""
+    from pyspark.sql import functions as F
+
+    from pyspark_caffe_spark import optimizer
+
+    # (a) not a self-join: right side scans a DIFFERENT frame
+    assert optimizer.try_rewrite_similarity_join(
+        _naive_cosine_join(spark, sf_dir, self_join=False)
+    ) is None
+    # (b) unrounded dot compare: router rounds — semantics differ
+    assert optimizer.try_rewrite_similarity_join(
+        _naive_cosine_join(spark, sf_dir, rounded=False)
+    ) is None
+    # (c) extra filter conjunct the routed plan would drop
+    assert optimizer.try_rewrite_similarity_join(
+        _naive_cosine_join(spark, sf_dir, extra_conjunct=True)
+    ) is None
+    # (d) projection keeps an embedding column the router does not emit
+    assert optimizer.try_rewrite_similarity_join(
+        _naive_cosine_join(spark, sf_dir, project_extra=True)
+    ) is None
+    # (e) a completely unrelated plan
+    from pyspark_caffe_spark.tables import load_table
+
+    plain = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    assert optimizer.try_rewrite_similarity_join(plain) is None
+
+
+def test_similarity_rewrite_values_match_naive(spark, sf_dir):
+    """Semantic preservation: rewritten result == naive result, row for
+    row (the rounded cosine makes this exact)."""
+    from pyspark_caffe_spark import optimizer
+
+    naive = _naive_cosine_join(spark, sf_dir)
+    routed = optimizer.try_rewrite_similarity_join(naive)
+    n = sorted(tuple(r) for r in naive.collect())
+    r = sorted(tuple(r) for r in routed.collect())
+    assert n == r
