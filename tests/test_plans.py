@@ -59,6 +59,7 @@ CASES = [
     ("join_interval_overlap", None, r"BroadcastNestedLoopJoin|CartesianProduct", "interval overlap rides the bucket equi-join"),
     ("sink_sorted_stats", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", None, "read-back filter reaches the sorted parquet row groups"),
     ("sim_optimizer_rewrite", None, r"BroadcastNestedLoopJoin|CartesianProduct", "naive crossJoin+cosine spelling rewritten to the routed plan"),
+    ("opt_global_topk_rewrite", r"TakeOrderedAndProject", None, "naive global-window topk rewritten to TakeOrdered"),
     ("agg_bitmap_distinct", r"HashAggregate(.|\n)*HashAggregate", r"Expand", "bitmap distinct: two-level agg, never the countDistinct Expand rewrite"),
     ("fn_xml", None, r"BatchEvalPython|ArrowEvalPython|Exchange", "xpath extraction is JVM-side and a pure map stage"),
     ("sink_zorder", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_custkey", None, "2-D box filter pushed to the z-ordered parquet"),
@@ -256,3 +257,63 @@ def test_similarity_rewrite_values_match_naive(spark, sf_dir):
     n = sorted(tuple(r) for r in naive.collect())
     r = sorted(tuple(r) for r in routed.collect())
     assert n == r
+
+
+def test_global_topk_rewrite_fires_and_preserves_values(spark, sf_dir):
+    """Rule 2 (global-window top-k → TakeOrdered): the naive spelling
+    plans a full-input single-partition Window with no TakeOrdered; the
+    rewritten plan takes the per-partition-topk + k-row-merge path, and
+    the results match row-for-row (total order: unique tiebreak)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_caffe_spark import optimizer
+    from pyspark_caffe_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    naive = orders.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 25)
+    assert "TakeOrderedAndProject" not in plan_of(naive)
+    routed = optimizer.try_rewrite_global_topk(naive)
+    assert routed is not None, "rule failed to match the canonical naive spelling"
+    assert "TakeOrderedAndProject" in plan_of(routed)
+    assert routed.columns == naive.columns
+    n = sorted(tuple(r) for r in naive.collect())
+    r = sorted(tuple(r) for r in routed.collect())
+    assert n == r and len(n) == 25
+
+
+def test_global_topk_rewrite_declines_near_misses(spark, sf_dir):
+    """Conservative match: partitioned windows (already scale-correct),
+    non-row_number ranking, computed sort keys, and filters on other
+    columns all decline."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_caffe_spark import optimizer
+    from pyspark_caffe_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # (a) partitioned window: leave alone
+    wp = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    assert optimizer.try_rewrite_global_topk(
+        orders.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= 3)
+    ) is None
+    # (b) rank() has different tie semantics (can exceed k rows)
+    wg = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    assert optimizer.try_rewrite_global_topk(
+        orders.withColumn("rn", F.rank().over(wg)).filter(F.col("rn") <= 25)
+    ) is None
+    # (c) computed sort key: reconstruction declined
+    wc = Window.orderBy(F.desc(F.col("o_totalprice") * 2), "o_orderkey")
+    assert optimizer.try_rewrite_global_topk(
+        orders.withColumn("rn", F.row_number().over(wc)).filter(F.col("rn") <= 25)
+    ) is None
+    # (d) filter not on the row number
+    assert optimizer.try_rewrite_global_topk(
+        orders.withColumn("rn", F.row_number().over(wg)).filter(F.col("o_custkey") <= 25)
+    ) is None
