@@ -250,171 +250,3 @@ def rewrite_similarity_join(df: DataFrame, **router_kwargs) -> DataFrame:
     is returned unchanged when the pattern does not match."""
     out = try_rewrite_similarity_join(df, **router_kwargs)
     return df if out is None else out
-
-
-def _sort_columns(order_spec) -> list[Column] | None:
-    """Rebuild a Seq[SortOrder] of plain attribute references as Column
-    sort expressions; None when any sort key is a computed expression
-    (decline — reconstruction would need full expression translation)."""
-    cols: list[Column] = []
-    for so in _seq(order_spec):
-        child = so.child()
-        if _cls(child) != "AttributeReference":
-            return None
-        c = F.col(str(child.name()))
-        direction = str(so.direction().sql())
-        nulls = str(so.nullOrdering().sql())
-        if direction == "ASC":
-            c = c.asc_nulls_last() if nulls == "NULLS LAST" else c.asc_nulls_first()
-        else:
-            c = c.desc_nulls_first() if nulls == "NULLS FIRST" else c.desc_nulls_last()
-        cols.append(c)
-    return cols
-
-
-def try_rewrite_global_topk(df: DataFrame) -> DataFrame | None:
-    """Rewrite the GLOBAL-window top-k spelling into TakeOrdered.
-
-    The trap: ``row_number().over(Window.orderBy(...))`` with no
-    partitionBy funnels the ENTIRE input through one task (Spark even
-    warns ``WindowExec: No Partition Defined``) — at 100 TB that task
-    is the job. When the only consumer of the row number is a
-    ``rn <= k`` filter, the semantically identical plan is
-    ``orderBy(keys).limit(k)`` — a per-partition top-k + k-row merge
-    (TakeOrderedAndProject) that never concentrates the input — with
-    the row number recomputed over the surviving k rows (safe: k rows,
-    one tiny task).
-
-    Matched shape (all required, else ``None``):
-
-        [Project(attrs-only)] Filter(rn <= lit, Window([rn := row_number()
-            over (ORDER BY attrs)], partitionSpec=[], child))
-
-    * the window node computes exactly ONE expression: a row_number
-      with an EMPTY partition spec — partitioned windows are the
-      correct plan already and are left alone;
-    * every sort key is a plain column (attribute), so the rewrite can
-      rebuild the global order exactly — including null ordering;
-    * the filter is ``<=``/``<`` against an integer literal on the row
-      number itself;
-    * the optional top Project carries attributes only (no computed
-      expressions), preserving names and order.
-
-    Equivalence note: row_number over a non-total order is tie-broken
-    by partition layout in BOTH spellings, so the rewrite preserves
-    the set of correct executions; with a total order (unique tiebreak
-    key — the deterministic spelling every oracle-checked query uses)
-    the results are identical row-for-row."""
-    spark = df.sparkSession
-    root = df._jdf.queryExecution().analyzed()
-    proj = None
-    node = root
-    if _cls(node) == "Project":
-        proj, node = node, node.child()
-    if _cls(node) != "Filter":
-        return None
-    filt = node
-    # the analyzer inserts a Project between Filter and Window when the
-    # user selects/renames; accept one attrs-only Project there too
-    mid = filt.child()
-    mid_proj = None
-    if _cls(mid) == "Project":
-        mid_proj, mid = mid, mid.child()
-    if _cls(mid) != "Window":
-        return None
-    win = mid
-
-    wexprs = _seq(win.windowExpressions())
-    if len(wexprs) != 1 or _cls(wexprs[0]) != "Alias":
-        return None
-    alias = wexprs[0]
-    wexpr = alias.child()
-    if _cls(wexpr) != "WindowExpression":
-        return None
-    if _cls(wexpr.windowFunction()) != "RowNumber":
-        return None
-    spec = wexpr.windowSpec()
-    if spec.partitionSpec().size() != 0:
-        return None  # partitioned window: already the scale-correct plan
-    sort_cols = _sort_columns(spec.orderSpec())
-    if sort_cols is None:
-        return None
-    rn_id = alias.exprId().id()
-
-    cond = filt.condition()
-    kind = _cls(cond)
-    if kind not in ("LessThanOrEqual", "LessThan"):
-        return None
-    lhs, lit = cond.left(), cond.right()
-    if _cls(lit) != "Literal" or _cls(lhs) != "AttributeReference":
-        return None
-    if str(lit.dataType().simpleString()) not in ("int", "bigint"):
-        return None
-    if lhs.exprId().id() != rn_id:
-        return None
-    k = int(str(lit.value()))
-    if kind == "LessThan":
-        k -= 1
-    if k <= 0:
-        return None
-
-    rn_name = str(alias.name())
-
-    def attrs_only(p) -> list[tuple[int, str]] | None:
-        out = []
-        for ne in _seq(p.projectList()):
-            if _cls(ne) == "AttributeReference":
-                out.append((ne.exprId().id(), str(ne.name())))
-            elif _cls(ne) == "Alias" and _cls(ne.child()) == "AttributeReference":
-                out.append((ne.child().exprId().id(), str(ne.name())))
-            else:
-                return None
-        return out
-
-    base_attr_names = {o.exprId().id(): str(o.name()) for o in _seq(win.child().output())}
-    if rn_name in base_attr_names.values():
-        return None  # name collision would make the rebuilt select ambiguous
-    if mid_proj is not None:
-        # accept only a pure attribute subset here (no aliases): alias
-        # nodes would mint new exprIds and break the mapping below —
-        # renamed spellings decline rather than risk a wrong mapping
-        for ne in _seq(mid_proj.projectList()):
-            if _cls(ne) != "AttributeReference":
-                return None
-
-    base = _of_rows(spark, win.child())
-    from pyspark.sql import Window as _W
-
-    topk = base.orderBy(*sort_cols).limit(k)
-    with_rn = topk.withColumn(
-        rn_name, F.row_number().over(_W.orderBy(*sort_cols))
-    )
-
-    if proj is None:
-        # Filter output = (possibly subset) base cols + rn, original order
-        names = [str(o.name()) for o in _seq(filt.output())]
-        return with_rn.select(*names)
-    out_map = attrs_only(proj)
-    if out_map is None:
-        return None
-    cols = []
-    for eid, name in out_map:
-        if eid == rn_id:
-            cols.append(F.col(rn_name).alias(name))
-        elif eid in base_attr_names:
-            cols.append(F.col(base_attr_names[eid]).alias(name))
-        else:
-            return None
-    return with_rn.select(*cols)
-
-
-def rewrite(df: DataFrame, **router_kwargs) -> DataFrame:
-    """Apply every rewrite rule; first match wins, no-match passes the
-    plan through unchanged."""
-    out = try_rewrite_similarity_join(df, **router_kwargs)
-    if out is not None:
-        return out
-    out = try_rewrite_global_topk(df)
-    if out is not None:
-        return out
-    return df

@@ -258,44 +258,3 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment", "c_acctbal",
         F.ntile(4).over(w).alias("quartile"),
     )
-
-
-@query(
-    "opt_global_topk_rewrite",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice,
-           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
-    FROM orders
-    QUALIFY rn <= 25
-    """,
-)
-def opt_global_topk_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The OPTIMIZER-RULE version of the global-window top-k trap: the
-    query below is written the NAIVE way — ``row_number()`` over an
-    UN-partitioned window + ``rn <= k`` filter, the single-task plan
-    this module's docstring forbids — and
-    :func:`pyspark_caffe_spark.optimizer.try_rewrite_global_topk`
-    pattern-matches the analyzed plan and rebuilds it as
-    ``orderBy().limit(k)`` (TakeOrderedAndProject: per-partition top-k
-    + k-row merge) with the row number recomputed over the k surviving
-    rows.  Plan-locked in tests/test_plans.py: the rewritten plan must
-    contain TakeOrderedAndProject and must NOT sort the full input in
-    a single partition; the rule firing is asserted here (falling back
-    would silently run the one-task plan).
-
-    The order key carries a unique tiebreak (o_orderkey) so both
-    spellings and the oracle agree row-for-row."""
-    from pyspark_caffe_spark import optimizer
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    naive = orders.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 25)
-    rewritten = optimizer.try_rewrite_global_topk(naive)
-    if rewritten is None:
-        raise RuntimeError(
-            "opt_global_topk_rewrite: rule failed to match the naive "
-            "global-window spelling — refusing to run the single-task plan"
-        )
-    return rewritten

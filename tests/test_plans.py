@@ -59,7 +59,6 @@ CASES = [
     ("join_interval_overlap", None, r"BroadcastNestedLoopJoin|CartesianProduct", "interval overlap rides the bucket equi-join"),
     ("sink_sorted_stats", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", None, "read-back filter reaches the sorted parquet row groups"),
     ("sim_optimizer_rewrite", None, r"BroadcastNestedLoopJoin|CartesianProduct", "naive crossJoin+cosine spelling rewritten to the routed plan"),
-    ("opt_global_topk_rewrite", r"TakeOrderedAndProject", None, "naive global-window topk rewritten to TakeOrdered"),
     ("agg_bitmap_distinct", r"HashAggregate(.|\n)*HashAggregate", r"Expand", "bitmap distinct: two-level agg, never the countDistinct Expand rewrite"),
     ("fn_xml", None, r"BatchEvalPython|ArrowEvalPython|Exchange", "xpath extraction is JVM-side and a pure map stage"),
     ("sink_zorder", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_custkey", None, "2-D box filter pushed to the z-ordered parquet"),
@@ -259,15 +258,20 @@ def test_similarity_rewrite_values_match_naive(spark, sf_dir):
     assert n == r
 
 
-def test_global_topk_rewrite_fires_and_preserves_values(spark, sf_dir):
-    """Rule 2 (global-window top-k → TakeOrdered): the naive spelling
-    plans a full-input single-partition Window with no TakeOrdered; the
-    rewritten plan takes the per-partition-topk + k-row-merge path, and
-    the results match row-for-row (total order: unique tiebreak)."""
+def test_catalyst_already_covers_global_topk(spark, sf_dir):
+    """Documents WHY the optimizer module carries no global-window-topk
+    rule: Spark 4's own LimitPushDownThroughWindow / WindowGroupLimit
+    rules already rewrite ``row_number().over(Window.orderBy(...))`` +
+    ``rn <= k`` into a per-partition top-k + k-row merge
+    (TakeOrderedAndProject BELOW the Window) — the full input is never
+    sorted in one task despite the \"No Partition Defined\" spelling.
+    A custom rule here would be redundant hand-scheduling; this lock
+    pins the built-in coverage so an engine upgrade that loses it
+    becomes visible (at which point a rule like the similarity rewrite
+    would be warranted)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from pyspark_caffe_spark import optimizer
     from pyspark_caffe_spark.tables import load_table
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -275,45 +279,13 @@ def test_global_topk_rewrite_fires_and_preserves_values(spark, sf_dir):
     )
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     naive = orders.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 25)
-    assert "TakeOrderedAndProject" not in plan_of(naive)
-    routed = optimizer.try_rewrite_global_topk(naive)
-    assert routed is not None, "rule failed to match the canonical naive spelling"
-    assert "TakeOrderedAndProject" in plan_of(routed)
-    assert routed.columns == naive.columns
-    n = sorted(tuple(r) for r in naive.collect())
-    r = sorted(tuple(r) for r in routed.collect())
-    assert n == r and len(n) == 25
-
-
-def test_global_topk_rewrite_declines_near_misses(spark, sf_dir):
-    """Conservative match: partitioned windows (already scale-correct),
-    non-row_number ranking, computed sort keys, and filters on other
-    columns all decline."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from pyspark_caffe_spark import optimizer
-    from pyspark_caffe_spark.tables import load_table
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    plan = plan_of(naive)
+    assert "TakeOrderedAndProject" in plan, (
+        "Spark no longer pushes the limit below the global window — "
+        "add a rewrite rule to pyspark_caffe_spark/optimizer.py"
     )
-    # (a) partitioned window: leave alone
-    wp = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
-    assert optimizer.try_rewrite_global_topk(
-        orders.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= 3)
-    ) is None
-    # (b) rank() has different tie semantics (can exceed k rows)
-    wg = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
-    assert optimizer.try_rewrite_global_topk(
-        orders.withColumn("rn", F.rank().over(wg)).filter(F.col("rn") <= 25)
-    ) is None
-    # (c) computed sort key: reconstruction declined
-    wc = Window.orderBy(F.desc(F.col("o_totalprice") * 2), "o_orderkey")
-    assert optimizer.try_rewrite_global_topk(
-        orders.withColumn("rn", F.row_number().over(wc)).filter(F.col("rn") <= 25)
-    ) is None
-    # (d) filter not on the row number
-    assert optimizer.try_rewrite_global_topk(
-        orders.withColumn("rn", F.row_number().over(wg)).filter(F.col("o_custkey") <= 25)
-    ) is None
+    # the limit must sit BELOW the window (the window runs on k rows)
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), plan
+    # and rank() gets the same treatment via WindowGroupLimit
+    ranked = orders.withColumn("rk", F.rank().over(w)).filter(F.col("rk") <= 25)
+    assert re.search(r"WindowGroupLimit|TakeOrderedAndProject", plan_of(ranked))
