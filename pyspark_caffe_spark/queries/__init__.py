@@ -10,6 +10,7 @@ Importing this package populates the registry in
 # covers them; the modules with round-1-green rows (aggregates,
 # relational, streaming — the slow drains last of all) close the list.
 from pyspark_caffe_spark.queries import (  # noqa: F401
+    tpch_ext,
     joins,
     windows,
     functions,

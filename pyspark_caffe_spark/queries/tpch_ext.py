@@ -1,0 +1,653 @@
+"""Remaining TPC-H query shapes — completes the 22-query family.
+
+SURVEY.md §2 carries a TPC-H-shape track (q1/q2/q3/q5/q6/q11/q13/q15/
+q17/q18/q20/q22 existed through round 6); this module adds the ten
+missing shapes — q4 q7 q8 q9 q10 q12 q14 q16 q19 q21 — each adapted
+to the fixture schema (no partsupp / l_commitdate / l_receiptdate /
+l_shipmode / p_container; "late" is expressed as a shipdate lag
+against o_orderdate, partsupp-derived quantities come from lineitem).
+
+Scale notes shared by every key here:
+- dimension tables (part, supplier, customer, nation, region) are
+  pinned ``F.broadcast`` — they stay dimension-sized at 100 TB fact
+  scale, so no fact-side shuffle is ever spent on them;
+- the only unavoidable big-big shuffle is lineitem ⋈ orders on the
+  order key, and each query does it at most ONCE, after every
+  single-table predicate has been pushed to the scans;
+- decorrelated EXISTS / NOT-EXISTS shapes (q4, q21) become one
+  semi-join / one per-order aggregation instead of repeated
+  self-joins — the rewrite a real optimizer would pick at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_caffe_spark.registry import query
+from pyspark_caffe_spark.tables import load_table
+
+
+@query(
+    "agg_q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking) — orders of one year with at
+    least one late line (shipped > 90 days after the order date; the
+    fixture has no commit/receipt dates), counted by priority.
+
+    The EXISTS decorrelates to a LEFT SEMI join: equi on the order key
+    plus the date residual.  Semi semantics mean an order with five
+    late lines is counted once with NO distinct pass.  Scale shape:
+    the one-year filter is pushed to the orders scan before the semi
+    probe, so the orderkey shuffle carries one year of orders, not the
+    full table; the final priority rollup is a 5-bucket map-side
+    partial agg."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "join_q7_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(volume), 4) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4)) AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+          OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+        AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def join_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping) — bilateral trade between two
+    regions (the fixture's nations are small, so the pair predicate is
+    lifted to region level for non-trivial row counts), by supplier
+    nation × customer nation × ship year.
+
+    Scale shape: the region pair predicate cannot be split per-scan
+    (either side may be ASIA), so BOTH nation-region maps broadcast
+    onto their fact side first — supplier and customer each shrink to
+    the two-region subset BEFORE the only big shuffle (lineitem ⋈
+    orders on the order key); the asymmetric pair filter then runs as
+    a residual on the joined row.  The two-year shipdate filter is
+    pushed to the lineitem scan."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    # nation -> region-name map restricted to the two regions in play
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == nr.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"), F.col("r_name").alias("supp_region"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nr), F.col("c_nationkey") == nr.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"), F.col("r_name").alias("cust_region"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_region") == "ASIA") & (F.col("cust_region") == "EUROPE"))
+            | ((F.col("supp_region") == "EUROPE") & (F.col("cust_region") == "ASIA"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "agg_q8_mktshare",
+    oracle="""
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18, 4)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 4) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4)) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def agg_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share) — NATION_7 suppliers' share of
+    ECONOMY-part revenue sold into AMERICA customers, per order year.
+    The share is a conditional-sum / total-sum ratio computed in ONE
+    aggregation (no self-join of the yearly totals).
+
+    Scale shape: part is filtered to one p_type then broadcast-semi
+    prunes lineitem FIRST (the most selective reducer); customers
+    collapse to an AMERICA key set via two broadcast hops; orders
+    carry the two-year pushdown.  One big shuffle (order key), one
+    2-row final agg."""
+    part_keys = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    amer_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust_keys = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(amer_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part_keys), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_keys), orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_7", vol).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(vol).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "agg_q9_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  - 0.5 * p_retailprice * l_quantity AS DECIMAL(18, 4)) AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def agg_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) — profit on '%widget%' parts by
+    supplier nation and order year.  The fixture has no partsupp, so
+    supply cost is modeled as half the part's retail price (the join
+    topology — lineitem × part × supplier × orders × nation — is the
+    point, not the cost constant).
+
+    Scale shape: the infix LIKE can't push to the scan as a range, but
+    it DOES prune part to a small keyed dim that broadcast-joins (part
+    carries the retail price needed in the measure, so a semi-prune is
+    not enough — the broadcast join does both jobs in one hop).
+    Supplier/nation broadcast; the single big shuffle is lineitem ⋈
+    orders, needed only for the order year.
+
+    The per-row amount SUBTRACTS two products (cancellation-prone), so
+    it is cast to DECIMAL(18,4) before summing on both engines: the
+    per-row doubles are bit-identical across engines, the decimal sum
+    is exact and order-independent — no ulp-boundary flakes under any
+    partitioning."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "join_q10_returned_topk",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18, 4))), 2) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def join_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) — the 20 customers with the
+    most returned revenue in one quarter.
+
+    Scale shape: both single-table predicates (quarter on orders,
+    return flag on lineitem) push to their scans; customer+nation
+    broadcast onto the order side, so the one big shuffle is lineitem
+    ⋈ orders; the top-20 is a TakeOrdered (per-partition heap + driver
+    merge), not a global sort.  Per-row revenue is cast to
+    DECIMAL(18,4) before summing (bit-identical per-row doubles →
+    exact, order-independent group totals in both engines), and the
+    ranking tie-breaks on the customer key, so the cut at rank 20 is
+    deterministic across engines and partitionings."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+@query(
+    "agg_q12_priority_late",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
+      AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def agg_q12_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority) — late lines of one
+    year, split into high/low-priority counts per class.  The fixture
+    has no l_shipmode, so the grouping class is the return flag, and
+    "late" is ship > 365 days after order (no commit/receipt dates).
+
+    Scale shape: the one-year shipdate window pushes to the lineitem
+    scan; the cross-table lateness predicate runs as a join residual
+    on the single order-key shuffle; the conditional counts are one
+    pass (no per-branch re-aggregation), reduced map-side to 3 groups."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 365 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "agg_q14_promo_share",
+    oracle="""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                       THEN CAST(l_extendedprice * (1 - l_discount)
+                                                 AS DECIMAL(18, 4))
+                                       ELSE CAST(0 AS DECIMAL(18, 4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18, 4))) AS DOUBLE), 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
+    """,
+)
+def agg_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) — PROMO parts' percentage of one
+    month's revenue, as a single conditional-sum ratio row.
+
+    Scale shape: the month filter pushes to the lineitem scan (at
+    100 TB with date-partitioned parquet this is partition PRUNING,
+    not row filtering); part broadcasts carrying only (key, type); the
+    whole query is map-side until a 1-row final agg — no shuffle of
+    fact data at all."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "agg_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 5, 10, 15, 20, 25)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def agg_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) — how many distinct
+    suppliers ship each qualifying (brand, type, size) combination,
+    excluding blacklisted suppliers via NOT IN.  partsupp is absent,
+    so the association comes from lineitem; the blacklist predicate is
+    a negative account balance standing in for the comment filter.
+
+    Scale shape: all three part predicates prune part BEFORE its
+    broadcast; the blacklist NOT IN is a broadcast ANTI join (tiny
+    build side) applied to lineitem before any shuffle.  The distinct
+    count shuffles (group, suppkey) pairs once — Spark's two-phase
+    distinct-aggregate — with map-side pre-dedup of repeat pairs."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "agg_q19_disjunctive",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18, 4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def agg_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue) — a disjunction of three
+    (brand, size, quantity) branches spanning BOTH join sides.
+
+    The classic Q19 optimization, applied by hand the way Catalyst's
+    constraint propagation would: the OR's per-side IMPLIED predicates
+    (brand ∈ {1,2,3} ∧ size ≤ 15 on part; quantity ≤ 30 on lineitem)
+    are factored out and pushed to the scans, so each side is pruned
+    before the join and the full disjunction runs only as a residual
+    on surviving rows.  Part broadcasts after pruning; zero fact
+    shuffles — map-side join + 1-row agg."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_q21_waiting",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+      AND n_name IN ('NATION_3', 'NATION_4')
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 365 DAY
+      )
+    GROUP BY s_name
+    """,
+)
+def join_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) — for finished
+    multi-supplier orders, the lines of the SOLE late supplier
+    (lateness = shipped > 365 days after order date), counted per
+    supplier, nation-filtered.
+
+    The ORACLE keeps the textbook EXISTS + NOT-EXISTS self-join pair;
+    executing that literally means THREE passes over lineitem.  The
+    Spark plan is the one-pass decorrelation a cost-based engine
+    would choose at 100 TB: join lineitem ⋈ orders('F') ONCE on the
+    order key, then a single per-order aggregate computes
+      n_supp   = countDistinct(suppkey)
+      n_late   = countDistinct(suppkey | late line)
+      late_key = max(suppkey | late line)   -- well-defined iff n_late = 1
+      n_lines  = count(late lines)
+    and the qualifying predicate (n_supp > 1 ∧ n_late = 1) replaces
+    both correlated subqueries.  SAME key as the join shuffle → AQE
+    reuses the partitioning; numwait = SUM(n_lines) per supplier after
+    a broadcast nation/supplier hop.  One lineitem scan, one shuffle."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("_late", late)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("late_key"),
+            F.count(F.when(F.col("_late"), F.lit(1))).alias("n_lines"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name").isin("NATION_3", "NATION_4")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        per_order.join(F.broadcast(supp), per_order.late_key == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_lines").cast("long").alias("numwait"))
+    )

@@ -67,7 +67,25 @@ CASES = [
     ("join_q22_cntrycode", r"LeftAnti", r"CartesianProduct", "NOT EXISTS is an anti join; scalar avg broadcasts"),
     ("corpus_shuffle_shards", r"Window", r"SinglePartition|hashpartitioning(.|\n)*hashpartitioning", "epoch shuffle is one shard-hash exchange, never a global sort"),
     ("corpus_token_budget", r"Window", r"SinglePartition", "running token sum windows per lang, never one global partition"),
+    ("agg_q4_priority_exists", r"LeftSemi", r"CartesianProduct", "EXISTS decorrelated to ONE semi join with the date residual"),
+    ("join_q7_volume", r"BroadcastHashJoin", r"CartesianProduct", "region-pruned supplier/customer maps broadcast onto the facts"),
+    ("agg_q8_mktshare", r"LeftSemi", r"BroadcastNestedLoopJoin", "part p_type prune is a broadcast semi before any shuffle"),
+    ("join_q10_returned_topk", r"TakeOrderedAndProject", None, "top-20 is TakeOrdered, not global sort"),
+    ("agg_q14_promo_share", None, r"Exchange hashpartitioning", "broadcast part join + 1-row agg: zero fact shuffles"),
+    ("agg_q16_supplier_cnt", r"LeftAnti", r"SortMergeJoin", "supplier blacklist NOT IN is a broadcast anti join"),
+    ("agg_q19_disjunctive", r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_quantity,30", None, "implied OR quantity bound pushed to the lineitem scan"),
+    ("agg_q19_disjunctive", r"In\(p_brand", r"BroadcastNestedLoopJoin", "implied brand set pushed to the part scan; join stays equi"),
+    ("join_q21_waiting", None, r"CartesianProduct|BroadcastNestedLoopJoin", "decorrelated one-pass Q21: no self-join blowup"),
 ]
+
+
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    """The Q21 decorrelation's whole point: the textbook EXISTS +
+    NOT-EXISTS formulation scans lineitem three times; the one-pass
+    per-order aggregate must scan it exactly once."""
+    plan = plan_of(QUERIES["join_q21_waiting"](spark, sf_dir))
+    n_scans = len(re.findall(r"Location: \w+ ?\[[^\]]*lineitem", plan))
+    assert n_scans == 1, f"expected exactly one lineitem scan, plan has {n_scans}"
 
 
 @pytest.mark.parametrize("key,want,ban,reason", CASES, ids=[f"{c[0]}:{c[3][:25]}" for c in CASES])
