@@ -1841,3 +1841,122 @@ def dedup_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_overlap_8grams"))
         .filter(F.col("n_overlap_8grams") >= 3)
     )
+
+
+@query(
+    "text_quality_classifier",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS ws,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(list_sum(list_transform(ws,
+                w -> (LENGTH(w) * 37) % 21 - 10)) AS BIGINT) AS score_int,
+           ROUND(1.0 / (1.0 + EXP(-(CAST(list_sum(list_transform(ws,
+                w -> (LENGTH(w) * 37) % 21 - 10)) AS DOUBLE)
+                / (10.0 * n_tokens)))), 6) AS prob,
+           CAST(list_sum(list_transform(ws,
+                w -> (LENGTH(w) * 37) % 21 - 10)) AS BIGINT) > 0 AS keep
+    FROM t
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style LINEAR quality classifier applied corpus-wide —
+    the shape of every learned keep/drop filter in a training-data
+    pipeline: per-token weight lookup → summed score → sigmoid → keep
+    flag.
+
+    The weight function here is a deterministic surrogate
+    (w(token) = (len·37 mod 21) − 10 ∈ [−10, 10]) standing in for
+    trained weights, which keeps the key fully hash-oracled: integer
+    weights sum EXACTLY in any order, and the sigmoid is applied to
+    bit-identical integers on both engines.  With real weights the
+    only change is the lookup — a broadcast vocab→weight MapType
+    literal (or `F.xxhash64(token) % dim` into a broadcast weight
+    array for the hashing trick); the plan shape is identical.
+
+    100 TB shape: ONE pass, zero shuffles, zero Python — the token
+    array aggregate runs inside whole-stage codegen at scan speed, so
+    quality-filtering 100 TB costs exactly one read (plan-locked:
+    no Exchange, no Batch/ArrowEvalPython)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    w_of = lambda t: F.pmod(F.length(t) * 37, F.lit(21)) - 10
+    score = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, t: acc + w_of(t).cast("long")
+    )
+    n_tokens = F.size(ws).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        score.alias("score_int"),
+        F.round(
+            1.0 / (1.0 + F.exp(-(score.cast("double") / (10.0 * n_tokens)))), 6
+        ).alias("prob"),
+        (score > 0).alias("keep"),
+    )
+
+
+@query(
+    "corpus_importance_sample",
+    oracle="""
+    WITH w AS (
+      SELECT *,
+             LEAST(CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 500
+                             WHEN 'fr' THEN 500 WHEN 'es' THEN 500
+                             ELSE 250 END
+                   + CASE WHEN n_chars >= 300 THEN 150 ELSE 0 END,
+                   950) AS p_permille,
+             ((doc_id * 1103515245 + 54321) % 2147483647) % 1000 AS u
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, p_permille,
+           ROUND(1000.0 / p_permille, 6) AS ips_weight
+    FROM w
+    WHERE u < p_permille
+    """,
+)
+def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling of a corpus — down-weight over-represented
+    languages and short documents while emitting the inverse-
+    propensity weight each kept doc must carry so downstream token
+    counts stay unbiased (the data-mixing primitive behind
+    quality/diversity reweighting).
+
+    Acceptance is HASH-GATED on the doc id (same LCG idiom as
+    sample_seeded), not drawn from ``df.sample``: the kept set is a
+    pure function of content, so it is identical across engines,
+    reruns, AQE repartitioning, and cluster sizes — reproducibility a
+    per-partition RNG cannot give at 100 TB.  The per-doc keep
+    probability is integer permille and the gate is integer
+    arithmetic, so the sample is exactly oracle-checkable; the IPS
+    weight divides two bit-identical numbers.
+
+    100 TB shape: scan-side filter, zero shuffles — sampling a corpus
+    costs one read regardless of scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = F.least(
+        F.when(F.col("lang") == "en", 800)
+        .when(F.col("lang").isin("de", "fr", "es"), 500)
+        .otherwise(250)
+        + F.when(F.col("n_chars") >= 300, 150).otherwise(0),
+        F.lit(950),
+    )
+    u = F.pmod(
+        F.pmod(F.col("doc_id") * 1103515245 + 54321, F.lit((1 << 31) - 1)), F.lit(1000)
+    )
+    return (
+        docs.withColumn("p_permille", p.cast("long"))
+        .filter(u < F.col("p_permille"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "p_permille",
+            F.round(1000.0 / F.col("p_permille"), 6).alias("ips_weight"),
+        )
+    )

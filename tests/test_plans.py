@@ -76,6 +76,8 @@ CASES = [
     ("agg_q19_disjunctive", r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_quantity,30", None, "implied OR quantity bound pushed to the lineitem scan"),
     ("agg_q19_disjunctive", r"In\(p_brand", r"BroadcastNestedLoopJoin", "implied brand set pushed to the part scan; join stays equi"),
     ("join_q21_waiting", None, r"CartesianProduct|BroadcastNestedLoopJoin", "decorrelated one-pass Q21: no self-join blowup"),
+    ("text_quality_classifier", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "linear quality scoring runs at scan speed: no shuffle, no Python"),
+    ("corpus_importance_sample", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "hash-gated importance sampling is a scan-side filter"),
 ]
 
 
