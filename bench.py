@@ -54,6 +54,17 @@ HEADLINE = [
     "text_tfidf",         # corpus TF-IDF, top-5 terms per doc
 ]
 
+# Round-7 additions, timed identically but reported SEPARATELY
+# (queries_extra) and excluded from `value`, so the 22-query headline
+# total stays comparable round-over-round and against BASELINE.md.
+EXTRA = [
+    "join_q21_waiting",        # decorrelated one-pass Q21
+    "agg_q19_disjunctive",     # cross-side OR with implied pushdowns
+    "agg_q9_profit",           # 4-dim join profit rollup
+    "text_quality_classifier", # zero-shuffle linear quality filter
+    "corpus_importance_sample",# hash-gated importance sampling
+]
+
 
 def main() -> None:
     spark = get_spark("pyspark-caffe-spark-bench")
@@ -87,18 +98,23 @@ def main() -> None:
     # robust to one outlier either way; the min is kept as a
     # side-channel ("best-case plan cost") for round-over-round
     # comparison.
-    timings: dict[str, float] = {}
-    best_case: dict[str, float] = {}
-    for name in HEADLINE:
-        samples: list[float] = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = QUERIES[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
-        timings[name] = round(samples[1], 3)
-        best_case[name] = round(samples[0], 3)
+    def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        med: dict[str, float] = {}
+        best: dict[str, float] = {}
+        for name in names:
+            samples: list[float] = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = QUERIES[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            med[name] = round(samples[1], 3)
+            best[name] = round(samples[0], 3)
+        return med, best
+
+    timings, best_case = run_set(HEADLINE)
+    extra_timings, _ = run_set(EXTRA)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -119,6 +135,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": best_case,
+                "queries_extra": extra_timings,
                 "calib_sec": calib,
                 "calib_end_sec": calib_end,
                 # contention-normalized suite cost: suite seconds per
