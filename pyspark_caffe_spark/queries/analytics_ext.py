@@ -1103,3 +1103,71 @@ def agg_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(lv)
     spark.catalog.dropTempView(sv)
     return df
+
+
+@query(
+    "events_path_topk",
+    oracle="""
+    SELECT path, n FROM (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT event_type || '>' || t2 || '>' || t3 AS path
+        FROM (
+          SELECT event_type, ts,
+                 LEAD(event_type, 1) OVER w AS t2,
+                 LEAD(event_type, 2) OVER w AS t3,
+                 LEAD(ts, 1) OVER w AS ts2,
+                 LEAD(ts, 2) OVER w AS ts3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        WHERE t3 IS NOT NULL
+          AND ts2 <= ts + INTERVAL 30 MINUTE
+          AND ts3 <= ts2 + INTERVAL 30 MINUTE
+      )
+      GROUP BY path
+    )
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent 3-step user journeys ("view>click>purchase")
+    — the sequence-mining op behind funnel discovery, one level up from
+    events_transition's pairwise Markov counts.  A step belongs to the
+    same journey only if it follows within the 30-minute session gap,
+    so triples never straddle a session boundary (consistent with
+    events_sessionize's definition).
+
+    Scale shape: ONE user_id shuffle feeds both LEAD windows (same
+    window spec = one Window node); triple construction is map-side;
+    the path groupBy shuffles a key space bounded by |event_types|³
+    (125 here) with map-side partials, and the top-20 is a
+    TakeOrdered.  Deterministic under timestamp ties via the event_id
+    tiebreak, and the (n DESC, path) ordering makes the cut at rank
+    20 unambiguous."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = F.expr("INTERVAL 30 MINUTES")
+    return (
+        ev.select(
+            "event_type",
+            "ts",
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+            F.lead("ts", 1).over(w).alias("ts2"),
+            F.lead("ts", 2).over(w).alias("ts3"),
+        )
+        .filter(
+            F.col("t3").isNotNull()
+            & (F.col("ts2") <= F.col("ts") + g)
+            & (F.col("ts3") <= F.col("ts2") + g)
+        )
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )

@@ -78,7 +78,16 @@ CASES = [
     ("join_q21_waiting", None, r"CartesianProduct|BroadcastNestedLoopJoin", "decorrelated one-pass Q21: no self-join blowup"),
     ("text_quality_classifier", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "linear quality scoring runs at scan speed: no shuffle, no Python"),
     ("corpus_importance_sample", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "hash-gated importance sampling is a scan-side filter"),
+    ("events_path_topk", r"TakeOrderedAndProject", r"SinglePartition", "per-user window, never global; top-20 is TakeOrdered"),
 ]
+
+
+def test_path_topk_single_window(spark, sf_dir):
+    """All four LEADs of events_path_topk share ONE window spec, so the
+    plan must contain exactly one Window node (one user_id shuffle)."""
+    plan = plan_of(QUERIES["events_path_topk"](spark, sf_dir))
+    n = len(re.findall(r"\(\d+\) Window", plan))
+    assert n == 1, f"expected exactly one Window node, plan has {n}"
 
 
 def test_q21_single_lineitem_scan(spark, sf_dir):
