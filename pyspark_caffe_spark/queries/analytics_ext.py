@@ -1171,3 +1171,113 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
+
+
+@query(
+    "events_pattern_detect",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(SUM(CASE WHEN prev_ts IS NULL
+                             OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1
+                           ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+      )
+    ), s1 AS (
+      SELECT *, MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  OVER w AS seen_view
+      FROM sess
+      WINDOW w AS (PARTITION BY user_id, session_no ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), s2 AS (
+      SELECT *, MAX(CASE WHEN event_type = 'click' AND seen_view = 1
+                         THEN 1 ELSE 0 END) OVER w AS seen_vc
+      FROM s1
+      WINDOW w AS (PARTITION BY user_id, session_no ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), s3 AS (
+      SELECT *, CASE WHEN event_type = 'purchase' AND seen_vc = 1
+                     THEN 1 ELSE 0 END AS converted
+      FROM s2
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_no) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT CASE WHEN converted = 1 THEN session_no END)
+                AS BIGINT) AS n_converting
+    FROM s3
+    GROUP BY user_id
+    """,
+)
+def events_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence pattern detection — MATCH_RECOGNIZE semantics
+    (view → … → click → … → purchase, gaps allowed, within one
+    session) expressed in vanilla Spark, which lacks the clause.
+
+    The pattern automaton is unrolled into CHAINED RUNNING FLAGS over
+    one (user, session) ordering: seen_view := running max of
+    [type=view]; seen_view_click := running max of [type=click ∧
+    seen_view]; converted := [type=purchase ∧ seen_view_click].  Each
+    flag is a cumulative window max, so detection is O(n) per session
+    with NO self-joins — the same unrolling works for any fixed
+    ordered pattern.
+
+    Scale shape: sessionization and all three flag stages share ONE
+    user_id hash shuffle (the extra Window nodes reuse the child's
+    partitioning+sort — no new Exchange); the final per-user rollup
+    reduces on the same key.  Flags are integers — exact on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr("INTERVAL 30 MINUTES")
+    run = (
+        lambda col: F.max(col)
+        .over(
+            Window.partitionBy("user_id", "session_no")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    sess = ev.withColumn("prev_ts", F.lag("ts").over(wu)).withColumn(
+        "session_no",
+        F.sum(
+            F.when(
+                F.col("prev_ts").isNull() | (F.col("ts") > F.col("prev_ts") + gap), 1
+            ).otherwise(0)
+        )
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    flagged = (
+        sess.withColumn("seen_view", run(F.when(F.col("event_type") == "view", 1).otherwise(0)))
+        .withColumn(
+            "seen_vc",
+            run(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("seen_view") == 1), 1
+                ).otherwise(0)
+            ),
+        )
+        .withColumn(
+            "converted",
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("seen_vc") == 1), 1
+            ).otherwise(0),
+        )
+    )
+    # Reduce per (user, session) FIRST: hashpartitioning(user_id)
+    # already clusters (user_id, session_no), so neither this nor the
+    # per-user rollup adds an Exchange — a countDistinct here would
+    # cost two extra shuffles via the Expand rewrite (measured).
+    per_session = flagged.groupBy("user_id", "session_no").agg(
+        F.max("converted").alias("sess_converted")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("sess_converted").cast("long").alias("n_converting"),
+    )

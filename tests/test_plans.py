@@ -82,6 +82,16 @@ CASES = [
 ]
 
 
+def test_pattern_detect_single_shuffle(spark, sf_dir):
+    """events_pattern_detect's whole pipeline — sessionize, three
+    chained running flags, per-session reduce, per-user rollup — must
+    ride ONE user_id Exchange: every later stage's clustering is
+    satisfied by hashpartitioning(user_id)."""
+    plan = plan_of(QUERIES["events_pattern_detect"](spark, sf_dir))
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n == 1, f"expected exactly one Exchange, plan has {n}"
+
+
 def test_path_topk_single_window(spark, sf_dir):
     """All four LEADs of events_path_topk share ONE window spec, so the
     plan must contain exactly one Window node (one user_id shuffle)."""

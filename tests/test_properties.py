@@ -208,3 +208,38 @@ def test_blocked_threshold_tier_matches_bruteforce(spark, n, seed, tau):
         (i, j) for i in range(n) for j in range(i + 1, n) if scores[i, j] >= tau
     }
     assert got == want
+
+
+def test_decimal_sums_partition_invariant(spark, sf_dir):
+    """The round-7 decimal-sum contract: monetary aggregates cast
+    per-row to DECIMAL(18,4) must be EXACTLY identical under any
+    partitioning (double sums are not — their value depends on
+    reduction order).  Re-running q9/q10 on a hostile repartition must
+    produce byte-identical results."""
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.tables import load_table
+
+    base = {
+        tuple(r)
+        for r in QUERIES["agg_q9_profit"](spark, sf_dir).collect()
+    }
+
+    # same plan, but force a 7-way round-robin repartition of lineitem
+    # via a patched loader: reduction order is now completely different
+    import pyspark_caffe_spark.queries.tpch_ext as tx
+
+    orig = tx.load_table
+
+    def hostile(spark_, sf_, name):
+        df = orig(spark_, sf_, name)
+        return df.repartition(7) if name == "lineitem" else df
+
+    tx.load_table = hostile
+    try:
+        repart = {
+            tuple(r)
+            for r in QUERIES["agg_q9_profit"](spark, sf_dir).collect()
+        }
+    finally:
+        tx.load_table = orig
+    assert base == repart
