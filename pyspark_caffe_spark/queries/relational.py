@@ -864,3 +864,94 @@ def profile_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource API — the custom-connector extension surface
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import surface probed once
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _SynthTelemetrySource(DataSource):
+        """Deterministic synthetic telemetry source — a stand-in for a
+        real custom connector (REST endpoint, message queue, vendor
+        format).  Rows are a pure integer function of the record id,
+        so output is engine-checkable; `partitions()` splits the id
+        space round-robin, which is the API hook a 100 TB connector
+        uses to expose parallelism (one InputPartition per shard /
+        file / topic-partition → one Spark task each)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synth_telemetry"
+
+        def schema(self) -> str:
+            return "rec_id bigint, shard bigint, metric bigint"
+
+        def reader(self, schema):
+            return _SynthTelemetryReader(self.options)
+
+    class _SynthTelemetryReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", 10000))
+            self.p = int(options.get("partitions", 8))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.p)]
+
+        def read(self, partition):
+            start = partition.value
+            for rec in range(start, self.n, self.p):
+                h = (rec * 1103515245 + 12345) % 2147483647
+                yield (rec, rec % 8, h % 1000)
+
+    _HAS_PY_DATASOURCE = True
+except ImportError:  # pragma: no cover
+    _HAS_PY_DATASOURCE = False
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(metric) AS BIGINT) AS sum_metric,
+           CAST(MIN(rec_id) AS BIGINT) AS min_rec,
+           CAST(MAX(rec_id) AS BIGINT) AS max_rec
+    FROM (
+      SELECT g AS rec_id, g % 8 AS shard,
+             ((g * 1103515245 + 12345) % 2147483647) % 1000 AS metric
+      FROM generate_series(0, 9999) t(g)
+    )
+    GROUP BY shard
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API — the
+    extension surface for sources Spark has no built-in reader for.
+    The registered source declares a schema, exposes parallelism
+    through `partitions()` (8 input partitions → 8 concurrent read
+    tasks; a real connector returns one per file/shard/topic-
+    partition), and streams rows per partition.  The query aggregates
+    per shard, proving every partition was read exactly once.
+
+    The generator is integer-pure, so DuckDB reproduces it from
+    generate_series — a full value oracle over a custom connector.
+    At 100 TB the only change is partitions() returning more splits;
+    the per-task read path is identical."""
+    if not _HAS_PY_DATASOURCE:  # pragma: no cover
+        raise RuntimeError("pyspark.sql.datasource not available")
+    spark.dataSource.register(_SynthTelemetrySource)
+    df = (
+        spark.read.format("synth_telemetry")
+        .option("n", 10000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.sum("metric").alias("sum_metric"),
+        F.min("rec_id").alias("min_rec"),
+        F.max("rec_id").alias("max_rec"),
+    )

@@ -187,3 +187,21 @@ def test_vecops_knn_for_query(spark, emb_df):
     scores = mat[1:] @ q
     want = list(np.argsort(-np.round(scores, 6), kind="stable")[:5] + 1)
     assert got == [int(v) for v in want]
+
+
+def test_python_datasource_partition_parallelism(spark):
+    """The custom Python DataSource must expose its declared
+    parallelism: 8 InputPartitions -> 8 Spark partitions, disjoint
+    round-robin id ranges covering [0, n) exactly once."""
+    from pyspark_caffe_spark.queries.relational import _SynthTelemetrySource
+
+    spark.dataSource.register(_SynthTelemetrySource)
+    df = (
+        spark.read.format("synth_telemetry")
+        .option("n", 1000)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    ids = [r.rec_id for r in df.collect()]
+    assert sorted(ids) == list(range(1000))
