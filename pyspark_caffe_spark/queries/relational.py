@@ -955,3 +955,112 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rec_id").alias("min_rec"),
         F.max("rec_id").alias("max_rec"),
     )
+
+
+try:  # pragma: no cover - import surface probed once
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _JsonlCommitMessage(WriterCommitMessage):
+        def __init__(self, tmp_name: str, n_rows: int):
+            self.tmp_name = tmp_name
+            self.n_rows = n_rows
+
+    class _ScratchJsonlSink(DataSource):
+        """Custom TRANSACTIONAL sink on the Python DataSource writer
+        API.  Tasks write to invisible temp files and report them in
+        commit messages; only the DRIVER's commit() renames them into
+        place and stamps a manifest — the same two-phase protocol every
+        exactly-once Spark sink uses, so a failed/speculative task can
+        never leave a half-written partition visible."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "scratch_jsonl"
+
+        def writer(self, schema, overwrite: bool):
+            return _ScratchJsonlWriter(self.options["path"])
+
+    class _ScratchJsonlWriter(DataSourceWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, iterator):
+            import json as _json
+            import uuid as _uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(self.path, f"_tmp-{_uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _JsonlCommitMessage(os.path.basename(tmp), n)
+
+        def commit(self, messages):
+            total = 0
+            for i, m in enumerate(messages):
+                os.rename(
+                    os.path.join(self.path, m.tmp_name),
+                    os.path.join(self.path, f"part-{i:05d}.jsonl"),
+                )
+                total += m.n_rows
+            with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+                f.write(str(total))
+
+        def abort(self, messages):
+            for m in messages:
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
+
+except ImportError:  # pragma: no cover
+    pass
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_totalprice > 200000
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the custom transactional sink: filtered
+    orders → scratch_jsonl (task temp files → driver commit renames +
+    manifest) → read back the COMMITTED files → aggregate.  The
+    read-back equals the oracle only if every partition was committed
+    exactly once and no temp file leaked into the visible set.
+
+    Integer-only payload keeps the JSON round-trip lossless, so the
+    oracle is a full value hash.  At 100 TB the pattern is unchanged:
+    one temp file per task, commit cost is |tasks| renames on the
+    driver — O(metadata), not O(data)."""
+    import shutil
+
+    sink_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch",
+        f"pyds_sink_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    sink_dir = os.path.abspath(sink_dir)
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    spark.dataSource.register(_ScratchJsonlSink)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    (
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+        .write.format("scratch_jsonl")
+        .option("path", sink_dir)
+        .mode("append")
+        .save()
+    )
+    assert os.path.exists(os.path.join(sink_dir, "_MANIFEST"))
+    back = spark.read.json(os.path.join(sink_dir, "part-*.jsonl"))
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )

@@ -205,3 +205,26 @@ def test_python_datasource_partition_parallelism(spark):
     assert df.rdd.getNumPartitions() == 8
     ids = [r.rec_id for r in df.collect()]
     assert sorted(ids) == list(range(1000))
+
+
+def test_python_sink_commit_leaves_no_temps(spark, sf_dir):
+    """Two-phase commit hygiene: after a successful write through the
+    custom sink, only committed part files + the manifest are visible
+    — no _tmp- task files survive, and the manifest row count equals
+    the committed rows."""
+    import glob
+    import os as _os
+
+    from pyspark_caffe_spark.queries import QUERIES
+
+    QUERIES["sink_python_datasource"](spark, sf_dir).collect()
+    sink = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".scratch", f"pyds_sink_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    assert not glob.glob(_os.path.join(sink, "_tmp-*"))
+    parts = glob.glob(_os.path.join(sink, "part-*.jsonl"))
+    assert parts
+    n_lines = sum(sum(1 for _ in open(p)) for p in parts)
+    manifest = int(open(_os.path.join(sink, "_MANIFEST")).read())
+    assert n_lines == manifest
