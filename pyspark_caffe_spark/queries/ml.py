@@ -577,3 +577,120 @@ def ml_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tp / F.nullif(F.sum(pred), F.lit(0)), 6).alias("precision"),
         F.round(tp / F.nullif(F.sum("y"), F.lit(0)), 6).alias("recall"),
     )
+
+
+@query(
+    "ml_pca_project",
+    oracle="""
+    SELECT CAST(g AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+           CAST(64 AS BIGINT) AS dim,
+           true AS eig_sorted_ok,
+           true AS ortho_ok,
+           true AS var_matches_eig_ok
+    FROM generate_series(0, 3) t(g)
+    """,
+)
+def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA — the dimensionality-reduction pass a training
+    pipeline runs over its embedding store, structured the only way
+    that works at 100 TB:
+
+      1. ONE Arrow pass computes per-partition moment partials
+         (count, Σx, Σxxᵀ flattened) — each task emits a single
+         4,161-double row regardless of row count (map-side combine
+         for linear algebra);
+      2. the driver reduces |partitions| partial rows (bounded,
+         O(dim²) each), forms the population covariance, and
+         eigensolves 64×64 — microseconds, data never leaves the
+         cluster except as moments;
+      3. the top-4 components broadcast back and a second Arrow pass
+         projects every vector.
+
+    Eigenvalues/vectors are LAPACK-determined (not portable SQL), so
+    per the registry's invariant-oracle pattern the key emits hash-
+    checked in-plan flags with exact companions (n_vectors, dim):
+      eig_sorted_ok      λ0 ≥ λ1 ≥ λ2 ≥ λ3 ≥ 0;
+      ortho_ok           the 4×4 Gram of components is I ± 1e-9;
+      var_matches_eig_ok the DISTRIBUTED population variance of each
+                         projected coordinate equals its eigenvalue
+                         within 1e-6·λ0 — the end-to-end identity
+                         Var(Xv_k) = λ_k that only holds if moments,
+                         covariance, eigensolve, AND projection are
+                         all mutually consistent.
+    """
+    import pandas as pd
+    from typing import Iterator
+
+    emb = _emb(spark, sf_dir)
+    dim = 64
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = np.zeros(dim)
+        ss = np.zeros((dim, dim))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            ss += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    partials = (
+        emb.select("embedding")
+        .mapInPandas(moments, schema="n long, s array<double>, ss array<double>")
+        .collect()  # bounded: one row per task, O(dim^2) doubles each
+    )
+    n = sum(p["n"] for p in partials)
+    s = np.sum([np.asarray(p["s"]) for p in partials], axis=0)
+    ss = np.sum([np.asarray(p["ss"]).reshape(dim, dim) for p in partials], axis=0)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigval)[::-1][:4]
+    lam = eigval[order]
+    comps = eigvec[:, order].T  # 4 × dim
+
+    eig_sorted_ok = bool(np.all(np.diff(lam) <= 1e-12) and lam[-1] >= -1e-12)
+    gram = comps @ comps.T
+    ortho_ok = bool(np.max(np.abs(gram - np.eye(4))) < 1e-9)
+
+    bc = spark.sparkContext.broadcast((mean, comps))
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mu, w = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            p = (x - mu) @ w.T
+            yield pd.DataFrame(
+                {f"p{k}": p[:, k] for k in range(4)}
+            )
+
+    proj = emb.select("embedding").mapInPandas(
+        project, schema="p0 double, p1 double, p2 double, p3 double"
+    )
+    # distributed population variance of each projected coordinate
+    var_row = proj.agg(
+        *[F.var_pop(f"p{k}").alias(f"v{k}") for k in range(4)]
+    ).collect()[0]
+    tol = 1e-6 * max(float(lam[0]), 1e-12)
+    var_matches = bool(
+        all(abs(float(var_row[f"v{k}"]) - float(lam[k])) <= tol for k in range(4))
+    )
+
+    rows = spark.range(4).select(F.col("id").alias("k"))
+    return rows.select(
+        "k",
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.lit(dim).cast("long").alias("dim"),
+        F.lit(eig_sorted_ok).alias("eig_sorted_ok"),
+        F.lit(ortho_ok).alias("ortho_ok"),
+        F.lit(var_matches).alias("var_matches_eig_ok"),
+    )

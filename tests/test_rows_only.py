@@ -368,3 +368,38 @@ def test_agg_hll_sketch_merge(spark, sf_dir):
         assert abs(merged[t] - n) <= 0.05 * n, f"{t}: {merged[t]} vs exact {n}"
     rows = QUERIES["agg_hll_sketch_merge"](spark, sf_dir).collect()
     assert rows and all(r["merged_eq_direct"] and r["within_tol"] for r in rows)
+
+
+def test_pca_variance_identity_is_discriminative():
+    """ml_pca_project's var_matches_eig_ok flag rests on Var(Xv_k)=λ_k.
+    Prove the identity is DISCRIMINATIVE, not vacuously true: on synth
+    data it holds for the true eigenvectors and FAILS for a perturbed
+    basis, at the same tolerance the key uses."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(500, 16) * np.linspace(3, 0.1, 16)  # anisotropic
+    mean = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mean, mean)
+    eigval, eigvec = np.linalg.eigh(cov)
+    order = np.argsort(eigval)[::-1][:4]
+    lam, comps = eigval[order], eigvec[:, order].T
+    tol = 1e-6 * lam[0]
+
+    proj = (x - mean) @ comps.T
+    good = np.abs(proj.var(axis=0) - lam)
+    assert np.all(good <= tol)
+
+    # swap two components: projections no longer match THEIR eigenvalues
+    bad = comps[[1, 0, 2, 3]]
+    proj_bad = (x - mean) @ bad.T
+    assert np.max(np.abs(proj_bad.var(axis=0) - lam)) > tol
+
+
+def test_pca_flags_true_at_small_sf(spark):
+    from pyspark_caffe_spark.queries import QUERIES
+
+    rows = QUERIES["ml_pca_project"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.eig_sorted_ok and r.ortho_ok and r.var_matches_eig_ok
