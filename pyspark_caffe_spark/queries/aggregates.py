@@ -700,3 +700,37 @@ def agg_q11_partvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value") > F.col("_bar"))
         .select("l_partkey", "value")
     )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolated percentiles per group — Spark's
+    `percentile` and DuckDB's `quantile_cont` implement the same
+    lower+frac·(upper−lower) interpolation, so the values hash-match
+    exactly (verified, no rounding slack needed beyond the standard
+    4dp).
+
+    Scale note: exact percentile buffers each group's values — fine
+    for bounded groups (3 here), a memory bomb for billion-row groups.
+    The registry pairs this key with agg_approx_quantile (t-digest
+    sketch, mergeable, bounded memory): exact where groups are small,
+    sketch where they are not — the same exact/approx pairing as
+    agg_distinct / agg_approx_distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )

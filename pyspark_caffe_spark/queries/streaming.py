@@ -588,3 +588,106 @@ def stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
     )
     return _drain(agg, f"mem_sunion_{uuid.uuid4().hex[:8]}", "complete")
+
+
+# ---------------------------------------------------------------------------
+# Custom STREAMING source — Python DataSource API (offset management)
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - import surface probed once
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _SynthTickerSource(DataSource):
+        """Deterministic micro-batched stream source: 5 batches of 100
+        rows, then caught-up.  Stands in for a queue/CDC connector; the
+        offset dict {"pos": n} is the cursor a real connector would
+        keep against its upstream log."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synth_ticker"
+
+        def schema(self) -> str:
+            return "pos bigint, val bigint"
+
+        def simpleStreamReader(self, schema):
+            return _SynthTickerReader()
+
+    class _SynthTickerReader(SimpleDataSourceStreamReader):
+        N, BATCH = 500, 100
+
+        def initialOffset(self) -> dict:
+            return {"pos": 0}
+
+        def read(self, start: dict):
+            p = start["pos"]
+            if p >= self.N:  # caught up: no rows, offset unchanged
+                return iter([]), {"pos": p}
+            rows = [(i, (i * 31 + 7) % 97) for i in range(p, p + self.BATCH)]
+            return iter(rows), {"pos": p + self.BATCH}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            # replay path: recompute any committed-but-lost batch
+            return iter(
+                (i, (i * 31 + 7) % 97) for i in range(start["pos"], end["pos"])
+            )
+
+except ImportError:  # pragma: no cover
+    pass
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+    SELECT batch_no,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(val) AS BIGINT) AS sum_val
+    FROM (
+      SELECT g // 100 AS batch_no, (g * 31 + 7) % 97 AS val
+      FROM generate_series(0, 499) t(g)
+    )
+    GROUP BY batch_no
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector on the Python DataSource API — the
+    offset-managed half scan_python_datasource doesn't cover: the
+    engine calls read(start) per micro-batch, the reader returns rows
+    plus the advanced offset, and readBetweenOffsets() replays any
+    planned-but-lost range after restart (exactly-once replay
+    contract; stream_recovery exercises the checkpoint side with a
+    file source).
+
+    The 5×100-row deterministic ticker drains into a memory sink; the
+    per-batch (count, sum) rollup hash-matches generate_series ONLY if
+    every offset range was read exactly once — a dropped or repeated
+    micro-batch breaks the oracle.  Custom Python sources don't
+    support availableNow (single-batch fallback), so the drain polls
+    the sink until the source reports caught-up."""
+    spark.dataSource.register(_SynthTickerSource)
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("synth_ticker")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= 500:
+                break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError("synth_ticker drain did not complete")
+    finally:
+        q.stop()
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return (
+        out.groupBy((F.col("pos") / 100).cast("long").alias("batch_no"))
+        .agg(F.count("*").alias("n"), F.sum("val").alias("sum_val"))
+    )
