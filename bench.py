@@ -63,6 +63,10 @@ EXTRA = [
     "agg_q9_profit",           # 4-dim join profit rollup
     "text_quality_classifier", # zero-shuffle linear quality filter
     "corpus_importance_sample",# hash-gated importance sampling
+    "events_pattern_detect",   # MATCH_RECOGNIZE unrolled, one shuffle
+    "events_path_topk",        # 3-step journey mining
+    "ml_pca_project",          # moment-partial PCA + projection
+    "agg_percentile_exact",    # exact interpolated percentiles
 ]
 
 

@@ -845,3 +845,59 @@ def sink_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="n_orders long, n_customer long, colstats_match boolean, "
         "cbo_stats_propagated boolean",
     )
+
+
+@query(
+    "pipeline_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bulk,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18, 4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    """,
+)
+def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight pipeline observability — ``df.observe`` attaches
+    accumulator-backed metrics (row count, predicate count, revenue
+    sum) to a flowing DataFrame, collected DURING the job's single
+    pass: the production pattern for data-quality counters on a
+    100 TB pipeline, where a separate metrics pass would double the
+    scan bill.
+
+    The observed values are returned AS the result row and
+    hash-checked against DuckDB computing the same aggregates
+    directly — proving observation is exact, not sampled: every row
+    the pipeline saw is counted exactly once even though the main
+    action here is a plain count().  The revenue metric goes through
+    the DECIMAL(18,4) per-row cast like every monetary sum in this
+    repo, so accumulator merge order cannot move the value."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    obs = Observation("pipeline_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity") >= 30, 1).otherwise(0)).alias("n_bulk"),
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+    observed.count()  # one action; metrics ride the same pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_bulk"]), float(m["revenue"]))],
+        "n_rows bigint, n_bulk bigint, revenue double",
+    )
