@@ -691,3 +691,142 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy((F.col("pos") / 100).cast("long").alias("batch_no"))
         .agg(F.count("*").alias("n"), F.sum("val").alias("sum_val"))
     )
+
+
+try:  # pragma: no cover - import surface probed once
+    from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
+
+    class _EpochCommitMessage(WriterCommitMessage):
+        def __init__(self, tmp_name: str, n_rows: int):
+            self.tmp_name = tmp_name
+            self.n_rows = n_rows
+
+    class _EpochJsonlStreamSink(DataSource):
+        """Custom STREAMING sink: tasks write epoch temp files, the
+        driver's commit(messages, batchId) renames them under an
+        epoch-stamped name and appends a manifest line — per-epoch
+        two-phase commit, the exactly-once bookkeeping a real
+        streaming sink (Kafka transactional producer, Delta txn log)
+        performs every micro-batch."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "epoch_jsonl"
+
+        def streamWriter(self, schema, overwrite: bool):
+            return _EpochJsonlStreamWriter(self.options["path"])
+
+    class _EpochJsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, iterator):
+            import json as _json
+            import uuid as _uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(self.path, f"_tmp-{_uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _EpochCommitMessage(os.path.basename(tmp), n)
+
+        def commit(self, messages, batchId: int) -> None:
+            total = 0
+            part = 0
+            for m in messages:
+                if m is None:
+                    continue
+                src = os.path.join(self.path, m.tmp_name)
+                if m.n_rows == 0:
+                    os.remove(src)
+                    continue
+                os.rename(
+                    src,
+                    os.path.join(self.path, f"epoch-{batchId:05d}-{part:03d}.jsonl"),
+                )
+                part += 1
+                total += m.n_rows
+            with open(os.path.join(self.path, "_EPOCHS"), "a") as f:
+                f.write(f"{batchId},{total}\n")
+
+        def abort(self, messages, batchId: int) -> None:
+            for m in messages:
+                if m is None:
+                    continue
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
+
+except ImportError:  # pragma: no cover
+    pass
+
+
+@query(
+    "stream_python_sink",
+    oracle="""
+    SELECT CAST(g // 100 AS BIGINT) AS batch_no,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((g * 31 + 7) % 97) AS BIGINT) AS sum_val
+    FROM generate_series(0, 499) t(g)
+    GROUP BY 1
+    """,
+)
+def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END custom streaming: the synth_ticker source
+    (stream_python_datasource) drains through the epoch_jsonl custom
+    STREAM sink — per-micro-batch two-phase commit: task temp files →
+    driver commit(batchId) renames them epoch-stamped and logs the
+    epoch manifest.  Completes the connector quadrant (batch
+    read/write, stream read/write, all four value-oracled).
+
+    The read-back of the COMMITTED epoch files reproduces
+    generate_series exactly only if every epoch's every partition was
+    committed exactly once — leaked temp files, double-committed
+    epochs, or dropped partitions all break the hash.  batch_no is
+    recovered from the row payload (pos // 100), NOT the file name, so
+    the check is data-level."""
+    from pyspark_caffe_spark.queries.streaming import _SynthTickerSource  # self
+
+    import shutil
+
+    sink_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch",
+        f"pyds_stream_sink_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    sink_dir = os.path.abspath(sink_dir)
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    spark.dataSource.register(_SynthTickerSource)
+    spark.dataSource.register(_EpochJsonlStreamSink)
+    ckpt = os.path.join(sink_dir, "_ckpt")
+    q = (
+        spark.readStream.format("synth_ticker")
+        .load()
+        .writeStream.format("epoch_jsonl")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            epochs = os.path.join(sink_dir, "_EPOCHS")
+            if os.path.exists(epochs):
+                total = sum(
+                    int(line.split(",")[1]) for line in open(epochs) if line.strip()
+                )
+                if total >= 500:
+                    break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError("epoch_jsonl drain did not complete")
+    finally:
+        q.stop()
+    back = spark.read.json(os.path.join(sink_dir, "epoch-*.jsonl"))
+    return back.groupBy((F.col("pos") / 100).cast("long").alias("batch_no")).agg(
+        F.count("*").alias("n"), F.sum("val").alias("sum_val")
+    )
