@@ -55,6 +55,9 @@ _EXPENSIVE_LAST = [
     "stream_tumbling",
     "stream_recovery",
     "stream_watermark_late",
+    # round-7 custom-connector streams: poll-drained (~5-10 s each)
+    "stream_python_datasource",
+    "stream_python_sink",
 ]
 
 
