@@ -1281,3 +1281,161 @@ def events_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sessions"),
         F.sum("sess_converted").cast("long").alias("n_converting"),
     )
+
+
+@query(
+    "events_user_similarity",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ), sets AS (
+      SELECT user_id,
+             list_distinct(list_transform(range(1, GREATEST(len(s) - 1, 1)),
+                           i -> s[i] || '>' || s[i+1] || '>' || s[i+2])) AS tri
+      FROM seq
+    ), sized AS (
+      SELECT user_id, tri, CAST(len(tri) AS BIGINT) AS n FROM sets
+    ), ex AS (
+      SELECT user_id, UNNEST(tri) AS t FROM sized
+    ), pairs AS (
+      SELECT e1.user_id AS ua, e2.user_id AS ub, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ex e1 JOIN ex e2 ON e1.t = e2.t AND e1.user_id < e2.user_id
+      GROUP BY 1, 2
+    )
+    SELECT ua, ub, inter, sa.n AS na, sb.n AS nb,
+           ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sized sa ON sa.user_id = ua
+    JOIN sized sb ON sb.user_id = ub
+    ORDER BY jaccard DESC, ua, ub
+    LIMIT 10
+    """,
+)
+def events_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most behaviorally similar user pairs — Jaccard over each
+    user's set of event-type TRIGRAMS (3-step behavioral shingles), the
+    trajectory-similarity-search shape of REPOSE (ICDE 2021) re-based
+    onto set-similarity machinery this repo already proves at scale.
+
+    Plan: one user_id shuffle builds ordered sequences (sort_array of
+    (ts, event_id, type) structs — no per-user window sort pass);
+    trigrams and distinct-sets are array ops inside codegen; the
+    INVERTED INDEX join (explode trigram → equi-join on trigram) finds
+    candidate pairs WITHOUT an all-pairs cross join; exact Jaccard
+    from set sizes; top-10 TakeOrdered with rounded scores and pair
+    tie-breaks.
+
+    Scale honesty: this fixture's trigram vocabulary is tiny (≤125),
+    so the inverted index yields near-all candidate pairs here; at
+    real trajectory vocabularies the same plan prunes hard, and the
+    df-cutoff + bucket-cap skew guards (textops.py, proven by the
+    dedup growth tests) drop stop-trigrams before the join exactly as
+    REPOSE prunes via reference points."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id", F.col("evs.event_type").alias("s")
+        )
+    )
+    tri = seq.select(
+        "user_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("s") - 3, F.lit(-1))
+                ),
+                lambda i: F.concat_ws(
+                    ">",
+                    F.element_at("s", i + 1),
+                    F.element_at("s", i + 2),
+                    F.element_at("s", i + 3),
+                ),
+            )
+        ).alias("tri"),
+    ).select("user_id", "tri", F.size("tri").cast("long").alias("n"))
+    ex = tri.select("user_id", "n", F.explode("tri").alias("t"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"),
+            F.col("b.user_id").alias("ub"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.select(
+            "ua",
+            "ub",
+            "inter",
+            "na",
+            "nb",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("ua"), F.asc("ub"))
+        .limit(10)
+    )
+
+
+@query(
+    "ml_train_tree",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+           true AS depth_bounded, true AS acc_above_floor,
+           true AS importances_normalized
+    FROM embeddings
+    """,
+)
+def ml_train_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tree-model training (the ICDE 2022 tree-training
+    shape): MLlib RandomForest over the embedding column — per-tree
+    histogram-based split search runs as Spark aggregations over the
+    distributed data, the canonical non-GLM trainer.
+
+    Invariant-literal oracle (split choices are histogram-binning
+    specific, not portable SQL): seeded fit, then hash-checked flags —
+    tree depth within the configured bound, train accuracy above a
+    0.15 floor (10-class random baseline 0.10), feature importances a
+    valid distribution (non-negative, sum ≈ 1).  Exact companion:
+    training-set size."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    n_train = emb.count()
+    rf = RandomForestClassifier(
+        numTrees=8, maxDepth=5, seed=7, subsamplingRate=0.8
+    )
+    model = rf.fit(emb)
+    depth_ok = all(t.depth <= 5 for t in model.trees)
+    pred = model.transform(emb)
+    acc = pred.filter(F.col("prediction") == F.col("label")).count() / n_train
+    imp = model.featureImportances.toArray()
+    imp_ok = bool((imp >= -1e-12).all() and abs(float(imp.sum()) - 1.0) < 1e-6)
+    row = (n_train, bool(depth_ok), bool(acc >= 0.15), imp_ok)
+    return spark.createDataFrame(
+        [row],
+        "n_train bigint, depth_bounded boolean, acc_above_floor boolean, "
+        "importances_normalized boolean",
+    )

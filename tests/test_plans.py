@@ -79,6 +79,7 @@ CASES = [
     ("text_quality_classifier", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "linear quality scoring runs at scan speed: no shuffle, no Python"),
     ("corpus_importance_sample", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "hash-gated importance sampling is a scan-side filter"),
     ("events_path_topk", r"TakeOrderedAndProject", r"SinglePartition", "per-user window, never global; top-20 is TakeOrdered"),
+    ("events_user_similarity", r"TakeOrderedAndProject", r"CartesianProduct|BroadcastNestedLoopJoin", "candidates from the trigram inverted-index equi-join, never all-pairs"),
 ]
 
 
