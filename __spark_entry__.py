@@ -58,6 +58,9 @@ _EXPENSIVE_LAST = [
     # round-7 custom-connector streams: poll-drained (~5-10 s each)
     "stream_python_datasource",
     "stream_python_sink",
+    # round-7 iterative/inverted-index keys ≥ ~2 s at sf0.01
+    "ml_train_tree",
+    "events_user_similarity",
 ]
 
 

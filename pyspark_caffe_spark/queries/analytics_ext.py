@@ -1423,17 +1423,24 @@ def ml_train_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
         F.col("label").cast("double").alias("label"),
     )
-    n_train = emb.count()
-    rf = RandomForestClassifier(
-        numTrees=8, maxDepth=5, seed=7, subsamplingRate=0.8
-    )
-    model = rf.fit(emb)
-    depth_ok = all(t.depth <= 5 for t in model.trees)
-    pred = model.transform(emb)
-    acc = pred.filter(F.col("prediction") == F.col("label")).count() / n_train
-    imp = model.featureImportances.toArray()
-    imp_ok = bool((imp >= -1e-12).all() and abs(float(imp.sum()) - 1.0) < 1e-6)
-    row = (n_train, bool(depth_ok), bool(acc >= 0.15), imp_ok)
+    # tree training re-reads the frame once per depth level per tree —
+    # persist it, exactly as a 100 TB pipeline persists its training
+    # snapshot before any iterative fit
+    emb = emb.cache()
+    try:
+        n_train = emb.count()
+        rf = RandomForestClassifier(
+            numTrees=8, maxDepth=5, maxBins=32, seed=7, subsamplingRate=0.8
+        )
+        model = rf.fit(emb)
+        depth_ok = all(t.depth <= 5 for t in model.trees)
+        pred = model.transform(emb)
+        acc = pred.filter(F.col("prediction") == F.col("label")).count() / n_train
+        imp = model.featureImportances.toArray()
+        imp_ok = bool((imp >= -1e-12).all() and abs(float(imp.sum()) - 1.0) < 1e-6)
+        row = (n_train, bool(depth_ok), bool(acc >= 0.15), imp_ok)
+    finally:
+        emb.unpersist()
     return spark.createDataFrame(
         [row],
         "n_train bigint, depth_bounded boolean, acc_above_floor boolean, "
