@@ -403,3 +403,16 @@ def test_pca_flags_true_at_small_sf(spark):
     assert len(rows) == 4
     for r in rows:
         assert r.eig_sorted_ok and r.ortho_ok and r.var_matches_eig_ok
+
+
+def test_importance_sample_ht_unbiased(spark):
+    """corpus_importance_sample's ips_weight column is the inverse-
+    propensity correction: the Horvitz-Thompson estimate
+    Σ_kept(1000/p_permille) must recover the TRUE corpus size — the
+    property that makes downstream token counts unbiased.  Measured
+    rel-err ≈ 0.4%; assert within 10% (hash-gate sampling noise)."""
+    from pyspark_caffe_spark.queries import QUERIES
+
+    df = QUERIES["corpus_importance_sample"](spark, "/root/testdata/sf0.01")
+    est = df.agg(F.sum("ips_weight")).collect()[0][0]
+    assert abs(est - 500) / 500 < 0.10
