@@ -11,10 +11,11 @@ cosine-threshold spelling a user writes without knowing the library::
               .filter((F.round(dot, 6) >= tau) & (F.col("id_a") < F.col("id_b")))
               .select("id_a", "id_b", F.round(dot, 6).alias("cos")))
 
-and rebuilds it as :func:`pyspark_caffe_spark.vecops.auto_threshold_pairs`'
-routed plan (bounded broadcast-matrix tier under the row cap, banded
-sign-LSH prune + exact verify above it) — so the user who does NOT
-call the router still escapes the BroadcastNestedLoopJoin that
+and rebuilds it as :func:`pyspark_caffe_spark.vecops.threshold_pairs`'
+EXACT tiered plan (bounded broadcast-matrix tier under the row cap,
+exact distributed block-pair tier above it — never the LSH tier,
+whose approximate recall would change results) — so the user who does
+NOT call the router still escapes the BroadcastNestedLoopJoin that
 Catalyst would otherwise execute (measured 20.5 s at a mere 2k×2k,
 BASELINE.md).
 
@@ -237,7 +238,13 @@ def try_rewrite_similarity_join(df: DataFrame, **router_kwargs) -> DataFrame | N
             return None
 
     base = _of_rows(spark, jl.child()).select(base_id_l, base_vec_l)
-    routed = vecops.auto_threshold_pairs(
+    # A rewrite rule must be SEMANTICS-PRESERVING at every scale, so it
+    # routes to threshold_pairs (exact broadcast tier → exact
+    # distributed block-pair tier over the cap), NEVER to the LSH tier:
+    # auto_threshold_pairs' banded route has approximate recall, which
+    # is a fine opt-IN router trade-off but would make this rewrite
+    # silently drop qualifying pairs exactly at the scale it targets.
+    routed = vecops.threshold_pairs(
         base, tau=tau, vec_col=base_vec_l, id_col=base_id_l,
         ndigits=ndigits, **router_kwargs,
     )

@@ -1349,21 +1349,24 @@ def events_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.col("evs.event_type").alias("s")
         )
     )
+    # guard the degenerate (<3 events) sequence: F.sequence DESCENDS
+    # when start > stop, so sequence(0, size-3) on a 1-event user would
+    # yield [0,-1] and element_at(s, 0) throws — emit an empty trigram
+    # set instead, matching the oracle's empty range()
+    trigrams = F.when(
+        F.size("s") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("s") - 3),
+            lambda i: F.concat_ws(
+                ">",
+                F.element_at("s", i + 1),
+                F.element_at("s", i + 2),
+                F.element_at("s", i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     tri = seq.select(
-        "user_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(0), F.greatest(F.size("s") - 3, F.lit(-1))
-                ),
-                lambda i: F.concat_ws(
-                    ">",
-                    F.element_at("s", i + 1),
-                    F.element_at("s", i + 2),
-                    F.element_at("s", i + 3),
-                ),
-            )
-        ).alias("tri"),
+        "user_id", F.array_distinct(trigrams).alias("tri")
     ).select("user_id", "tri", F.size("tri").cast("long").alias("n"))
     ex = tri.select("user_id", "n", F.explode("tri").alias("t"))
     a = ex.alias("a")

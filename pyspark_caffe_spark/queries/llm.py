@@ -1883,7 +1883,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-filtering 100 TB costs exactly one read (plan-locked:
     no Exchange, no Batch/ArrowEvalPython)."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
+    ws = textops.words_of("text")
     w_of = lambda t: F.pmod(F.length(t) * 37, F.lit(21)) - 10
     score = F.aggregate(
         ws, F.lit(0).cast("long"), lambda acc, t: acc + w_of(t).cast("long")
@@ -1910,7 +1910,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE 250 END
                    + CASE WHEN n_chars >= 300 THEN 150 ELSE 0 END,
                    950) AS p_permille,
-             ((doc_id * 1103515245 + 54321) % 2147483647) % 1000 AS u
+             (((doc_id % 2147483647) * 1103515245 + 54321) % 2147483647) % 1000 AS u
       FROM documents
     )
     SELECT doc_id, lang, source, n_chars, p_permille,
@@ -1945,8 +1945,17 @@ def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("n_chars") >= 300, 150).otherwise(0),
         F.lit(950),
     )
+    # pre-reduce the id mod the Mersenne prime BEFORE the LCG multiply:
+    # id * 1103515245 overflows int64 for id ≳ 8.4e9 (silent wrap in
+    # non-ANSI Spark, an ERROR in DuckDB — a cross-engine divergence at
+    # exactly the 100 TB id ranges this gate exists for); the reduced
+    # product is < 2^62, exact in both engines at any id
     u = F.pmod(
-        F.pmod(F.col("doc_id") * 1103515245 + 54321, F.lit((1 << 31) - 1)), F.lit(1000)
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit((1 << 31) - 1)) * 1103515245 + 54321,
+            F.lit((1 << 31) - 1),
+        ),
+        F.lit(1000),
     )
     return (
         docs.withColumn("p_permille", p.cast("long"))

@@ -646,6 +646,8 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(moments, schema="n long, s array<double>, ss array<double>")
         .collect()  # bounded: one row per task, O(dim^2) doubles each
     )
+    if not partials:
+        raise ValueError("ml_pca_project: embeddings table is empty")
     n = sum(p["n"] for p in partials)
     s = np.sum([np.asarray(p["s"]) for p in partials], axis=0)
     ss = np.sum([np.asarray(p["ss"]).reshape(dim, dim) for p in partials], axis=0)

@@ -295,7 +295,7 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_seeded",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
-    WHERE ((o_orderkey * 1103515245 + 12345) % 2147483647) % 10 = 0
+    WHERE (((o_orderkey % 2147483647) * 1103515245 + 12345) % 2147483647) % 10 = 0
     """,
 )
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +308,14 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen by AQE. Hash-gating is stable across partitioning, engines
     (exact SQL twin), and reruns."""
     orders = load_table(spark, sf_dir, "orders")
-    h = F.pmod(F.col("o_orderkey") * F.lit(1103515245) + F.lit(12345), F.lit((1 << 31) - 1))
+    # id reduced mod the Mersenne prime BEFORE the multiply: the raw
+    # product overflows int64 for keys ≳ 8.4e9 (silent wrap in
+    # non-ANSI Spark vs an overflow ERROR in DuckDB)
+    h = F.pmod(
+        F.pmod(F.col("o_orderkey"), F.lit((1 << 31) - 1)) * F.lit(1103515245)
+        + F.lit(12345),
+        F.lit((1 << 31) - 1),
+    )
     return orders.filter(F.pmod(h, F.lit(10)) == 0).select("o_orderkey", "o_totalprice")
 
 

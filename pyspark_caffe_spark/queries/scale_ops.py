@@ -897,7 +897,15 @@ def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.count()  # one action; metrics ride the same pass
     m = obs.get
+    # zero matching rows → sum metrics come back None; the SQL contract
+    # (and the oracle: SUM over no rows is NULL) is then (0, NULL, NULL)
     return spark.createDataFrame(
-        [(int(m["n_rows"]), int(m["n_bulk"]), float(m["revenue"]))],
+        [
+            (
+                int(m["n_rows"] or 0),
+                int(m["n_bulk"]) if m["n_bulk"] is not None else None,
+                float(m["revenue"]) if m["revenue"] is not None else None,
+            )
+        ],
         "n_rows bigint, n_bulk bigint, revenue double",
     )

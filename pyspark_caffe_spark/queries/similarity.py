@@ -123,7 +123,9 @@ def sim_optimizer_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`pyspark_caffe_spark.optimizer.try_rewrite_similarity_join`
     pattern-matches the analyzed logical plan (semanticEquals against
     the canonical cosine template, sameResult to prove the self-join)
-    and swaps in auto_threshold_pairs' routed plan.  The physical plan
+    and swaps in threshold_pairs' EXACT tiered plan (broadcast tier,
+    distributed block-pair tier over the cap — never the approximate-
+    recall LSH tier, which would change results).  The physical plan
     must therefore contain NO BroadcastNestedLoopJoin / CartesianProduct
     (plan-locked in tests/test_plans.py; the unrewritten spelling
     measured 20.5 s at 2k×2k, BASELINE.md).  The rewrite is asserted to

@@ -816,9 +816,13 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         while time.time() < deadline:
             epochs = os.path.join(sink_dir, "_EPOCHS")
             if os.path.exists(epochs):
-                total = sum(
-                    int(line.split(",")[1]) for line in open(epochs) if line.strip()
-                )
+                # the driver thread appends concurrently — tolerate a
+                # torn final line instead of crashing the drain
+                total = 0
+                for line in open(epochs):
+                    parts = line.strip().split(",")
+                    if len(parts) == 2 and parts[1].isdigit():
+                        total += int(parts[1])
                 if total >= 500:
                     break
             time.sleep(0.3)

@@ -298,6 +298,24 @@ def test_similarity_rewrite_values_match_naive(spark, sf_dir):
     assert n == r
 
 
+def test_similarity_rewrite_exact_over_broadcast_cap(spark, sf_dir):
+    """A rewrite rule must be semantics-preserving at EVERY scale: force
+    the over-cap path (broadcast_max_rows=8 → exact distributed
+    block-pair tier) and assert the rewritten result still equals the
+    naive result row for row — i.e. the rule routes to the exact tier,
+    never the approximate-recall LSH tier."""
+    from pyspark_caffe_spark import optimizer
+
+    naive = _naive_cosine_join(spark, sf_dir)
+    routed = optimizer.try_rewrite_similarity_join(
+        naive, broadcast_max_rows=8, block_rows=16
+    )
+    assert routed is not None
+    n = sorted(tuple(r) for r in naive.collect())
+    r = sorted(tuple(r) for r in routed.collect())
+    assert n == r
+
+
 def test_catalyst_already_covers_global_topk(spark, sf_dir):
     """Documents WHY the optimizer module carries no global-window-topk
     rule: Spark 4's own LimitPushDownThroughWindow / WindowGroupLimit
