@@ -416,3 +416,47 @@ def test_importance_sample_ht_unbiased(spark):
     df = QUERIES["corpus_importance_sample"](spark, "/root/testdata/sf0.01")
     est = df.agg(F.sum("ips_weight")).collect()[0][0]
     assert abs(est - 500) / 500 < 0.10
+
+
+def test_user_similarity_degenerate_sequences(spark, tmp_path):
+    """End-to-end on a crafted fixture with 1-, 2-, and 3-event users:
+    the trigram builder must emit EMPTY sets below 3 events (Spark's
+    F.sequence descends when start > stop — unguarded, element_at(s,0)
+    throws) and the result must still match the DuckDB oracle."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark_caffe_spark.queries import ORACLES, QUERIES
+
+    rows = []
+    eid = 0
+    # users 0..3 with 1, 2, 3, 6 events respectively
+    for uid, n in [(0, 1), (1, 2), (2, 3), (3, 6)]:
+        for j in range(n):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=j),
+                    "user_id": uid,
+                    "event_type": ["view", "click", "purchase"][j % 3],
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    sf = tmp_path / "degenerate_sf"
+    sf.mkdir()
+    pdf.to_parquet(sf / "events.parquet")
+
+    got = sorted(
+        tuple(r) for r in QUERIES["events_user_similarity"](spark, str(sf)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(ORACLES["events_user_similarity"]).fetchall())
+    assert got == want
+    # users 2 and 3 share the view>click>purchase trigram
+    assert any(r[0] == 2 and r[1] == 3 for r in got)
