@@ -1071,3 +1071,44 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+@query(
+    "api_pandas_on_spark",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS year,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18, 4))), 2)
+                AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY 1, 2
+    """,
+)
+def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third user API surface — pandas-on-Spark: a pandas-style
+    pipeline (boolean-mask filter, dt accessor for the year) compiles
+    to the SAME Catalyst plan as the DataFrame spelling, then
+    ``to_spark()`` hands the frame to the decimal-exact aggregation —
+    the documented interop pattern (pandas API for exploratory
+    transforms, DataFrame API where exact SQL semantics matter).
+
+    Scale note: pandas-on-Spark ops stay distributed — nothing here
+    materializes on the driver; the filter pushes to the scan exactly
+    as the native spelling does.  A user migrating a single-machine
+    pandas ETL to 100 TB changes the import line, not the pipeline."""
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    psdf = psdf[psdf["o_totalprice"] > 100000]
+    psdf["year"] = psdf["o_orderdate"].dt.year
+    sdf = psdf.to_spark()
+    return sdf.groupBy(
+        F.col("year").cast("long").alias("year"), "o_orderstatus"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
