@@ -670,11 +670,21 @@ def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = scaled.withColumn("zorder", _morton_interleave(F.col("ck_r"), F.col("tp_r")))
     path = _scratch("sink_zorder_" + os.path.basename(sf_dir.rstrip("/")))
+    # DETERMINISTIC range split: repartitionByRange picks boundaries by
+    # RANDOM-seed sampling, so file layouts (and their min/max spans)
+    # varied run to run — observed as a rare flake in the span test.
+    # The z-key's domain is exactly [0, 2^32): zorder >> 28 yields 16
+    # fixed buckets = (ck top 2 bits × tp top 2 bits), each spanning
+    # 1/4 of BOTH dimensions, every run identical.  partitionBy writes
+    # one directory per bucket (the repartition puts each bucket in one
+    # task → one file per bucket).
+    zb = z.withColumn("zbucket", F.shiftright(F.col("zorder"), 28).cast("int"))
     (
-        z.repartitionByRange(8, "zorder")
+        zb.repartition(16, "zbucket")
         .sortWithinPartitions("zorder")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "zbucket")
         .write.mode("overwrite")
+        .partitionBy("zbucket")
         .parquet(path)
     )
     back = spark.read.parquet(path).filter(

@@ -232,10 +232,14 @@ def test_sink_zorder_clusters_both_dims(spark, sf_dir):
     path = _scratch("sink_zorder_" + os.path.basename(sf_dir.rstrip("/")))
     spans = {"o_custkey": [], "o_totalprice": []}
     globals_ = {"o_custkey": [None, None], "o_totalprice": [None, None]}
-    for f in os.listdir(path):
-        if not f.endswith(".parquet"):
-            continue
-        meta = pq.ParquetFile(os.path.join(path, f)).metadata
+    files = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    for fp in files:
+        meta = pq.ParquetFile(fp).metadata
         schema_names = [meta.schema.column(i).name for i in range(meta.num_columns)]
         for col in spans:
             idx = schema_names.index(col)
