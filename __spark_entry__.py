@@ -61,6 +61,8 @@ _EXPENSIVE_LAST = [
     # round-7 iterative/inverted-index keys ≥ ~2 s at sf0.01
     "ml_train_tree",
     "events_user_similarity",
+    # round-8: batched IVF (centroid training + two-stream window merge)
+    "sim_knn_ivf_batch",
 ]
 
 

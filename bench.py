@@ -67,6 +67,9 @@ EXTRA = [
     "events_path_topk",        # 3-step journey mining
     "ml_pca_project",          # moment-partial PCA + projection
     "agg_percentile_exact",    # exact interpolated percentiles
+    # round-8 additions
+    "sim_bipartite_rewrite",   # bipartite A×B cosine rewrite (exact tier)
+    "sim_knn_ivf_batch",       # batched IVF serving, per-query recall
 ]
 
 

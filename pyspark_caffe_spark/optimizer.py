@@ -35,22 +35,41 @@ Matched shape (all checks required):
     Project(outs, Filter(cond, Join(Project(C) as L, Project(C') as R)))
 
 * join type Cross (or Inner with no condition) — the naive spelling;
-* ``L.child.sameResult(R.child)`` — provably the SAME corpus scan
-  (self-join), which is what the router computes;
-* ``cond`` is exactly two conjuncts: ``round(dot(va, vb), d) >= lit``
-  where the left side semantically equals the canonical zip_with/
-  aggregate cosine template over one array column from each side, and
-  an ``id_l < id_r`` ordering conjunct between one long column from
-  each side (either ``<`` spelling);
-* every output in ``outs`` is one of: the left id, the right id, or
-  an alias of the SAME rounded-cosine expression;
-* the id/vector aliases on both Projects resolve to the same base
-  column names in C.
+* **self-join form** — ``L.child.sameResult(R.child)`` proves the SAME
+  corpus scan on both sides; ``cond`` is exactly two conjuncts:
+  ``round(dot(va, vb), d) >= lit`` where the left side semantically
+  equals the canonical zip_with/aggregate cosine template over one
+  array column from each side, and an ``id_l < id_r`` ordering
+  conjunct between one long column from each side (either ``<``
+  spelling); routed to ``vecops.threshold_pairs`` (i<j pairs);
+* **bipartite form** (round-7 verdict #3) — the two scans are
+  DIFFERENT corpora (query set × corpus, the serving shape);
+  ``cond`` is exactly ONE conjunct, the rounded-cosine threshold —
+  there is no i<j dedup across distinct corpora, so an ordering
+  conjunct means the query is NOT the plain serving shape and the
+  rule declines; routed to ``vecops.bipartite_threshold_pairs``
+  (every qualifying cross pair once, right side broadcast under the
+  cap, grid tier above it);
+* every output in ``outs`` is one of: one column of the left side,
+  one column of the right side (exactly one distinct attribute per
+  side — carried through the routed plan and cast back to its
+  original type), or an alias of the SAME rounded-cosine expression;
+* each id/vector output resolves through its Project to a plain base
+  column; in the self-join form both sides must resolve to the SAME
+  base (id, vec) names.
 
-The rewrite preserves the result contract exactly: the router emits
-(i<j) pairs with the ROUNDED cosine at the same ``d`` digits compared
+The rewrite preserves the result contract exactly: both routes emit
+pairs with the ROUNDED cosine at the same ``d`` digits compared
 against the same ``tau`` — the rounding requirement is why a raw
 (unrounded) dot comparison is declined rather than rewritten.
+
+Version guard: the rule reaches JVM internals PySpark does not pledge
+stable (``_jdf.queryExecution()``, ``classic.Dataset.ofRows`` —
+pinned to PySpark 4.x classic; no Scala toolchain here for a real
+SparkSessionExtensions rule).  Every entry point therefore degrades
+to DECLINE (``None`` / pass-through) on AttributeError / ImportError /
+TypeError / Py4JError, so a Spark upgrade that moves an internal
+makes the naive plan run unchanged instead of raising mid-query.
 """
 
 from __future__ import annotations
@@ -59,6 +78,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pyspark_caffe_spark import vecops
+
+try:  # pragma: no cover - py4j ships with pyspark
+    from py4j.protocol import Py4JError
+except ImportError:  # pragma: no cover
+    class Py4JError(Exception):
+        """Fallback when py4j is absent (Spark Connect-only install)."""
+
+
+#: Exceptions that mean "a JVM internal this rule reaches moved" — the
+#: rule declines instead of surfacing them (the naive plan still runs).
+_INTERNAL_API_ERRORS = (AttributeError, ImportError, TypeError, Py4JError)
 
 
 def _seq(jseq) -> list:
@@ -113,10 +143,7 @@ def _alias_to_base(project, attr) -> str | None:
     return None
 
 
-def try_rewrite_similarity_join(df: DataFrame, **router_kwargs) -> DataFrame | None:
-    """Return the routed equivalent of a naive cosine-threshold
-    self-join, or ``None`` when the plan does not provably match (the
-    caller then runs the original plan)."""
+def _try_rewrite_impl(df: DataFrame, **router_kwargs) -> DataFrame | None:
     spark = df.sparkSession
     root = df._jdf.queryExecution().analyzed()
     if _cls(root) != "Project":
@@ -133,8 +160,9 @@ def try_rewrite_similarity_join(df: DataFrame, **router_kwargs) -> DataFrame | N
     jl, jr = join.left(), join.right()
     if _cls(jl) != "Project" or _cls(jr) != "Project":
         return None
-    if not jl.child().sameResult(jr.child()):
-        return None  # not a self-join: the router computes i<j over ONE corpus
+    # SAME corpus scan on both sides → self-join form (router computes
+    # i<j over ONE corpus); different scans → bipartite serving form.
+    self_join = bool(jl.child().sameResult(jr.child()))
 
     left_out, right_out = _seq(jl.output()), _seq(jr.output())
     names = [str(o.name()) for o in left_out + right_out]
@@ -144,22 +172,31 @@ def try_rewrite_similarity_join(df: DataFrame, **router_kwargs) -> DataFrame | N
     right_ids = {o.exprId().id(): o for o in right_out}
 
     conj = _conjuncts(filt.condition())
-    if len(conj) != 2:
-        return None
-    thresh = next((c for c in conj if _cls(c) == "GreaterThanOrEqual"), None)
-    order = next((c for c in conj if _cls(c) in ("LessThan", "GreaterThan")), None)
-    if thresh is None or order is None:
-        return None
+    id_l = id_r = None
+    if self_join:
+        if len(conj) != 2:
+            return None
+        thresh = next((c for c in conj if _cls(c) == "GreaterThanOrEqual"), None)
+        order = next((c for c in conj if _cls(c) in ("LessThan", "GreaterThan")), None)
+        if thresh is None or order is None:
+            return None
 
-    # --- ordering conjunct: id_left < id_right (either spelling) ---
-    o_l, o_r = order.left(), order.right()
-    if _cls(order) == "GreaterThan":  # idR > idL  ≡  idL < idR
-        o_l, o_r = o_r, o_l
-    if _cls(o_l) != "AttributeReference" or _cls(o_r) != "AttributeReference":
-        return None
-    if o_l.exprId().id() not in left_ids or o_r.exprId().id() not in right_ids:
-        return None
-    id_l, id_r = o_l, o_r
+        # --- ordering conjunct: id_left < id_right (either spelling) ---
+        o_l, o_r = order.left(), order.right()
+        if _cls(order) == "GreaterThan":  # idR > idL  ≡  idL < idR
+            o_l, o_r = o_r, o_l
+        if _cls(o_l) != "AttributeReference" or _cls(o_r) != "AttributeReference":
+            return None
+        if o_l.exprId().id() not in left_ids or o_r.exprId().id() not in right_ids:
+            return None
+        id_l, id_r = o_l, o_r
+    else:
+        # bipartite: exactly ONE conjunct (the threshold) — an i<j
+        # ordering across two distinct corpora is a different query,
+        # decline rather than guess
+        if len(conj) != 1 or _cls(conj[0]) != "GreaterThanOrEqual":
+            return None
+        thresh = conj[0]
 
     # --- threshold conjunct: Round(dot, d) >= Literal ---
     lit = thresh.right()
@@ -200,56 +237,110 @@ def try_rewrite_similarity_join(df: DataFrame, **router_kwargs) -> DataFrame | N
     # --- both Projects must alias the same base (id, vec) columns ---
     va_attr = next(o for o in left_out if str(o.name()) == va_name)
     vb_attr = next(o for o in right_out if str(o.name()) == vb_name)
+    # --- output projection: only ids and the rounded cosine.  In the
+    # self-join form the ids are pinned by the ordering conjunct; in
+    # the bipartite form they are DISCOVERED here — exactly one
+    # distinct attribute per side may appear (the pair identity the
+    # routed plan carries through), anything else declines. ---
+    out_map: list[tuple[str, str, str]] = []  # (routed col, out name, cast type)
+
+    def classify(attr) -> str | None:
+        nonlocal id_l, id_r
+        # pair identity must be a scalar column — a projected raw
+        # vector (or any nested type) is not the serving shape
+        if str(attr.dataType().simpleString()).startswith(("array<", "map<", "struct<")):
+            return None
+        eid = attr.exprId().id()
+        if eid in left_ids:
+            if id_l is None:
+                id_l = left_ids[eid]
+            return "id_a" if eid == id_l.exprId().id() else None
+        if eid in right_ids:
+            if id_r is None:
+                id_r = right_ids[eid]
+            return "id_b" if eid == id_r.exprId().id() else None
+        return None
+
+    for ne in _seq(root.projectList()):
+        kind = _cls(ne)
+        name = str(ne.name())
+        if kind == "AttributeReference":
+            side = classify(ne)
+            if side is None:
+                return None
+            out_map.append((side, name, str(ne.dataType().simpleString())))
+        elif kind == "Alias":
+            child = ne.child()
+            if _cls(child) == "AttributeReference":
+                side = classify(child)
+                if side is None:
+                    return None
+                out_map.append((side, name, str(child.dataType().simpleString())))
+            elif child.semanticEquals(cos_expr):
+                out_map.append(("cos", name, "double"))
+            else:
+                return None
+        else:
+            return None
+    if id_l is None or id_r is None:
+        return None  # pair identity not projected: not the serving shape
+
+    # --- each id/vec output must resolve to a plain base column; the
+    # self-join form additionally requires the SAME base names on both
+    # sides (it is one corpus) ---
+    va_attr = next(o for o in left_out if str(o.name()) == va_name)
+    vb_attr = next(o for o in right_out if str(o.name()) == vb_name)
     base_id_l = _alias_to_base(jl, id_l)
     base_id_r = _alias_to_base(jr, id_r)
     base_vec_l = _alias_to_base(jl, va_attr)
     base_vec_r = _alias_to_base(jr, vb_attr)
     if None in (base_id_l, base_id_r, base_vec_l, base_vec_r):
         return None
-    if base_id_l != base_id_r or base_vec_l != base_vec_r:
+    if self_join and (base_id_l != base_id_r or base_vec_l != base_vec_r):
         return None
 
-    # --- output projection: only ids and the rounded cosine ---
-    out_map: list[tuple[str, str]] = []  # (routed col, output name)
-    for ne in _seq(root.projectList()):
-        kind = _cls(ne)
-        name = str(ne.name())
-        if kind == "AttributeReference":
-            if ne.exprId().id() == id_l.exprId().id():
-                out_map.append(("id_a", name))
-            elif ne.exprId().id() == id_r.exprId().id():
-                out_map.append(("id_b", name))
-            else:
-                return None
-        elif kind == "Alias":
-            child = ne.child()
-            if _cls(child) == "AttributeReference":
-                if child.exprId().id() == id_l.exprId().id():
-                    out_map.append(("id_a", name))
-                elif child.exprId().id() == id_r.exprId().id():
-                    out_map.append(("id_b", name))
-                else:
-                    return None
-            elif child.semanticEquals(cos_expr):
-                out_map.append(("cos", name))
-            else:
-                return None
-        else:
-            return None
-
-    base = _of_rows(spark, jl.child()).select(base_id_l, base_vec_l)
     # A rewrite rule must be SEMANTICS-PRESERVING at every scale, so it
-    # routes to threshold_pairs (exact broadcast tier → exact
-    # distributed block-pair tier over the cap), NEVER to the LSH tier:
+    # routes to the EXACT tiers (bounded broadcast tier → distributed
+    # block/grid tier over the cap), NEVER to the LSH tier:
     # auto_threshold_pairs' banded route has approximate recall, which
     # is a fine opt-IN router trade-off but would make this rewrite
     # silently drop qualifying pairs exactly at the scale it targets.
-    routed = vecops.threshold_pairs(
-        base, tau=tau, vec_col=base_vec_l, id_col=base_id_l,
-        ndigits=ndigits, **router_kwargs,
-    )
-    cols: list[Column] = [F.col(src).alias(dst) for src, dst in out_map]
+    if self_join:
+        base = _of_rows(spark, jl.child()).select(base_id_l, base_vec_l)
+        routed = vecops.threshold_pairs(
+            base, tau=tau, vec_col=base_vec_l, id_col=base_id_l,
+            ndigits=ndigits, **router_kwargs,
+        )
+    else:
+        base_l = _of_rows(spark, jl.child()).select(base_id_l, base_vec_l)
+        base_r = _of_rows(spark, jr.child()).select(base_id_r, base_vec_r)
+        routed = vecops.bipartite_threshold_pairs(
+            base_l, base_r, tau,
+            vec_col_a=base_vec_l, id_col_a=base_id_l,
+            vec_col_b=base_vec_r, id_col_b=base_id_r,
+            ndigits=ndigits, **router_kwargs,
+        )
+    # cast ids back to their ORIGINAL attribute types: the routed tiers
+    # normalize ids to long, but a rewrite must not change the schema
+    # (an int32 id column stays int32)
+    cols: list[Column] = [
+        F.col(src).cast(typ).alias(dst) for src, dst, typ in out_map
+    ]
     return routed.select(*cols)
+
+
+def try_rewrite_similarity_join(df: DataFrame, **router_kwargs) -> DataFrame | None:
+    """Return the routed equivalent of a naive cosine-threshold join
+    (self-join OR bipartite form), or ``None`` when the plan does not
+    provably match (the caller then runs the original plan).
+
+    Degrades to ``None`` when a JVM internal this rule reaches has
+    moved (AttributeError / ImportError / TypeError / Py4JError) — a
+    Spark upgrade must make the rule decline, never raise mid-query."""
+    try:
+        return _try_rewrite_impl(df, **router_kwargs)
+    except _INTERNAL_API_ERRORS:
+        return None
 
 
 def rewrite_similarity_join(df: DataFrame, **router_kwargs) -> DataFrame:

@@ -1420,10 +1420,17 @@ def ml_train_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Invariant-literal oracle (split choices are histogram-binning
     specific, not portable SQL): seeded fit, then hash-checked flags —
-    tree depth within the configured bound, train accuracy above a
-    0.15 floor (10-class random baseline 0.10), feature importances a
-    valid distribution (non-negative, sum ≈ 1).  Exact companion:
-    training-set size."""
+    tree depth within the configured bound, TRAIN accuracy above a
+    floor, feature importances a valid distribution (non-negative,
+    sum ≈ 1).  Exact companion: training-set size.
+
+    Floor calibration: 10-class random baseline is 0.10; the seeded
+    fit currently lands well above 0.15 on its own training set, but
+    the exact value depends on MLlib's histogram binning and can move
+    a few points across Spark/MLlib versions.  The floor is therefore
+    0.12 — enough margin that only a genuinely broken fit (predicting
+    at or below chance) trips the flag, while a version-bump shift in
+    binning does not fail the value-hash oracle spuriously."""
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.functions import array_to_vector
 
@@ -1446,7 +1453,7 @@ def ml_train_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc = pred.filter(F.col("prediction") == F.col("label")).count() / n_train
         imp = model.featureImportances.toArray()
         imp_ok = bool((imp >= -1e-12).all() and abs(float(imp.sum()) - 1.0) < 1e-6)
-        row = (n_train, bool(depth_ok), bool(acc >= 0.15), imp_ok)
+        row = (n_train, bool(depth_ok), bool(acc >= 0.12), imp_ok)
     finally:
         emb.unpersist()
     return spark.createDataFrame(

@@ -1910,7 +1910,8 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE 250 END
                    + CASE WHEN n_chars >= 300 THEN 150 ELSE 0 END,
                    950) AS p_permille,
-             (((doc_id % 2147483647) * 1103515245 + 54321) % 2147483647) % 1000 AS u
+             ((((((doc_id % 2147483647) + 2147483647) % 2147483647)
+                * 1103515245 + 54321) % 2147483647) % 1000) AS u
       FROM documents
     )
     SELECT doc_id, lang, source, n_chars, p_permille,
@@ -1949,7 +1950,11 @@ def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # id * 1103515245 overflows int64 for id ≳ 8.4e9 (silent wrap in
     # non-ANSI Spark, an ERROR in DuckDB — a cross-engine divergence at
     # exactly the 100 TB id ranges this gate exists for); the reduced
-    # product is < 2^62, exact in both engines at any id
+    # product is < 2^62, exact in both engines.  Sign caveat: Spark's
+    # pmod returns a non-negative residue while SQL `%` keeps the
+    # dividend's sign, so for NEGATIVE ids the oracle applies the
+    # ((x % m) + m) % m idiom at the innermost mod (the only step whose
+    # dividend can be negative — after it, every operand is ≥ 0).
     u = F.pmod(
         F.pmod(
             F.pmod(F.col("doc_id"), F.lit((1 << 31) - 1)) * 1103515245 + 54321,

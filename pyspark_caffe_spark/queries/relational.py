@@ -1005,18 +1005,32 @@ try:  # pragma: no cover - import surface probed once
             return _JsonlCommitMessage(os.path.basename(tmp), n)
 
         def commit(self, messages):
+            # Mirror the streaming twin: a failed task can hand the
+            # driver a None message — skip it (m.tmp_name on None would
+            # raise AttributeError past the OSError-only guards and
+            # mask the real task failure); empty partitions delete
+            # their temp file instead of renaming a zero-row part in.
             total = 0
-            for i, m in enumerate(messages):
+            part = 0
+            for m in messages:
+                if m is None:
+                    continue
+                src = os.path.join(self.path, m.tmp_name)
+                if m.n_rows == 0:
+                    os.remove(src)
+                    continue
                 os.rename(
-                    os.path.join(self.path, m.tmp_name),
-                    os.path.join(self.path, f"part-{i:05d}.jsonl"),
+                    src, os.path.join(self.path, f"part-{part:05d}.jsonl")
                 )
+                part += 1
                 total += m.n_rows
             with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
                 f.write(str(total))
 
         def abort(self, messages):
             for m in messages:
+                if m is None:
+                    continue
                 try:
                     os.remove(os.path.join(self.path, m.tmp_name))
                 except OSError:

@@ -159,6 +159,66 @@ def sim_optimizer_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rewritten
 
 
+@query(
+    "sim_bipartite_rewrite",
+    oracle="""
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           ROUND(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a, embeddings b
+    WHERE a.label <= 1 AND b.label >= 2
+      AND ROUND(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+)
+def sim_bipartite_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BIPARTITE form of the similarity rewrite rule (round-7
+    verdict #3): a naive A×B cosine join — a query SET against a
+    DIFFERENT corpus, the serving shape — spelled as crossJoin +
+    zip_with/aggregate cosine + threshold.  sim_optimizer_rewrite's
+    self-join matcher declined this (the two scans are not
+    ``sameResult``), so before this round the spelling ran as a
+    BroadcastNestedLoopJoin.  The generalized rule recognizes the
+    two-corpus pattern — exactly ONE threshold conjunct, one id
+    projected per side — and routes to
+    :func:`pyspark_caffe_spark.vecops.bipartite_threshold_pairs`:
+    right side broadcast as a matrix under the row cap (the correct
+    asymmetry — queries/benchmark small, corpus 100 TB and never
+    materialized), exact grid tier above it.  Plan-locked: no
+    BroadcastNestedLoopJoin / CartesianProduct.
+
+    Oracle: the exact cross-pair cosine ≥ 0.4 edge set between the
+    label ≤ 1 slice (queries) and the label ≥ 2 slice (corpus) — the
+    rewrite is exact, so the rewritten query is value-identical to
+    the naive spelling."""
+    from pyspark_caffe_spark import optimizer
+
+    emb = _load_emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("label") <= 1).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb")
+    )
+    corpus_df = emb.filter(F.col("label") >= 2).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    naive = (
+        queries_df.crossJoin(corpus_df)
+        .filter(F.round(dot, 6) >= 0.4)
+        .select("qid", "cid", F.round(dot, 6).alias("cos"))
+    )
+    rewritten = optimizer.try_rewrite_similarity_join(naive)
+    if rewritten is None:
+        raise RuntimeError(
+            "sim_bipartite_rewrite: the rewrite rule failed to match the "
+            "bipartite cosine-join pattern — refusing to run the quadratic plan"
+        )
+    return rewritten
+
+
 def _mllib_lsh_pairs(emb: DataFrame) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approximate similarity join
     (Vector columns — array_to_vector first). Euclidean distance

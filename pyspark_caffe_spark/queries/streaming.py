@@ -734,6 +734,18 @@ try:  # pragma: no cover - import surface probed once
             return _EpochCommitMessage(os.path.basename(tmp), n)
 
         def commit(self, messages, batchId: int) -> None:
+            import glob as _glob
+
+            # Idempotent per batchId: a micro-batch replayed after a
+            # crash between sink commit and offset-log write must
+            # OVERWRITE the first attempt, not add to it — drop any
+            # epoch files a prior attempt left (the replay may produce
+            # fewer non-empty partitions) and rewrite, not append, this
+            # batch's manifest line.
+            for stale in _glob.glob(
+                os.path.join(self.path, f"epoch-{batchId:05d}-*.jsonl")
+            ):
+                os.remove(stale)
             total = 0
             part = 0
             for m in messages:
@@ -749,8 +761,19 @@ try:  # pragma: no cover - import surface probed once
                 )
                 part += 1
                 total += m.n_rows
-            with open(os.path.join(self.path, "_EPOCHS"), "a") as f:
-                f.write(f"{batchId},{total}\n")
+            manifest = os.path.join(self.path, "_EPOCHS")
+            lines: list[str] = []
+            if os.path.exists(manifest):
+                with open(manifest) as f:
+                    lines = [
+                        ln
+                        for ln in f.read().splitlines()
+                        if ln and ln.split(",", 1)[0] != str(batchId)
+                    ]
+            lines.append(f"{batchId},{total}")
+            with open(manifest + ".tmp", "w") as f:
+                f.write("\n".join(lines) + "\n")
+            os.replace(manifest + ".tmp", manifest)
 
         def abort(self, messages, batchId: int) -> None:
             for m in messages:

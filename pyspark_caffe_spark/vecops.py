@@ -370,6 +370,133 @@ def _threshold_pairs_blocked(
     return rep.groupBy("_gi", "_gj").applyInPandas(group_pairs, schema=schema)
 
 
+def bipartite_threshold_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    tau: float,
+    vec_col_a: str = "emb",
+    id_col_a: str = "vec_id",
+    vec_col_b: str | None = None,
+    id_col_b: str | None = None,
+    ndigits: int = 6,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    block_rows: int = BLOCK_ROWS,
+) -> DataFrame:
+    """All cross pairs (a ∈ left, b ∈ right) with rounded cosine ≥ tau
+    — the TWO-CORPUS serving shape (query set × corpus, train ×
+    benchmark) the self-join tiers cannot express: there is no i<j
+    dedup because the sides are distinct, every qualifying (a, b) pair
+    is emitted exactly once.
+
+    Tiers mirror threshold_pairs:
+      * bounded broadcast tier — the RIGHT side is collected into a
+        broadcast matrix under the row cap and the LEFT side streams
+        through one mapInPandas matmul.  This is the right asymmetry
+        at scale: put the SMALL side (queries, benchmark shingles) on
+        the right and the 100 TB side on the left — the big side is
+        never materialized anywhere.
+      * distributed grid tier (over-cap right side) — left blocks ×
+        right blocks, each (ga, gb) cell one applyInPandas group:
+        left rows replicate B_b times, right rows B_a times, the
+        exact-all-pairs shuffle volume spread evenly by hash blocking.
+        No driver materialization of either side.
+
+    Tier dispatch runs NO separate count scan: the broadcast tier's
+    bounded ``limit(cap+1)`` collect doubles as the size probe (same
+    contract as threshold_pairs)."""
+    vec_col_b = vec_col_b or vec_col_a
+    id_col_b = id_col_b or id_col_a
+    try:
+        return _bipartite_broadcast(
+            left, right, tau, vec_col_a, id_col_a, vec_col_b, id_col_b,
+            ndigits, max_rows=broadcast_max_rows,
+        )
+    except CorpusOverCapError:
+        return _bipartite_blocked(
+            left, right, tau, vec_col_a, id_col_a, vec_col_b, id_col_b,
+            ndigits, block_rows,
+        )
+
+
+def _bipartite_broadcast(
+    left, right, tau, vec_col_a, id_col_a, vec_col_b, id_col_b, ndigits,
+    max_rows: int = BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    ids_b, mat_b, _ = _collect_matrix(right, id_col_b, vec_col_b, max_rows=max_rows)
+    bc = left.sparkSession.sparkContext.broadcast((ids_b, mat_b))
+
+    def over_tau(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col_a].to_numpy()).astype(np.float64)
+            my_ids = pdf[id_col_a].to_numpy()
+            scores = round_half_away(x @ all_mat.T, ndigits)
+            r, c = np.nonzero(scores >= tau)
+            if len(r) == 0:
+                continue
+            yield pd.DataFrame(
+                {"id_a": my_ids[r], "id_b": all_ids[c], "cos": scores[r, c]}
+            )
+
+    return left.select(id_col_a, vec_col_a).mapInPandas(
+        over_tau, schema="id_a long, id_b long, cos double"
+    )
+
+
+def _bipartite_blocked(
+    left, right, tau, vec_col_a, id_col_a, vec_col_b, id_col_b, ndigits, block_rows
+) -> DataFrame:
+    na, nb = left.count(), right.count()
+    ba = max(1, math.ceil(na / block_rows))
+    bb = max(1, math.ceil(nb / block_rows))
+    a_rep = (
+        left.select(
+            F.col(id_col_a).cast("long").alias("_id"),
+            F.col(vec_col_a).cast("array<double>").alias("_vec"),
+        )
+        .withColumn("_ga", F.pmod(F.xxhash64(F.col("_id")), F.lit(ba)).cast("int"))
+        .withColumn("_gb", F.explode(F.sequence(F.lit(0), F.lit(bb - 1))))
+        .withColumn("_side", F.lit(0))
+    )
+    b_rep = (
+        right.select(
+            F.col(id_col_b).cast("long").alias("_id"),
+            F.col(vec_col_b).cast("array<double>").alias("_vec"),
+        )
+        .withColumn("_gb", F.pmod(F.xxhash64(F.col("_id")), F.lit(bb)).cast("int"))
+        .withColumn("_ga", F.explode(F.sequence(F.lit(0), F.lit(ba - 1))))
+        .withColumn("_side", F.lit(1))
+    )
+    rep = a_rep.select("_ga", "_gb", "_side", "_id", "_vec").unionByName(
+        b_rep.select("_ga", "_gb", "_side", "_id", "_vec")
+    )
+
+    def cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["_side"] == 0]
+        b = pdf[pdf["_side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        mat_a = np.stack(a["_vec"].to_numpy()).astype(np.float64)
+        mat_b = np.stack(b["_vec"].to_numpy()).astype(np.float64)
+        scores = round_half_away(mat_a @ mat_b.T, ndigits)
+        r, c = np.nonzero(scores >= tau)
+        if len(r) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        return pd.DataFrame(
+            {
+                "id_a": a["_id"].to_numpy()[r],
+                "id_b": b["_id"].to_numpy()[c],
+                "cos": scores[r, c],
+            }
+        )
+
+    return rep.groupBy("_ga", "_gb").applyInPandas(
+        cell_pairs, schema="id_a long, id_b long, cos double"
+    )
+
+
 def lsh_bucket(
     df: DataFrame, planes: np.ndarray, vec_col: str = "emb", out_col: str = "bucket"
 ) -> DataFrame:

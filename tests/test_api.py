@@ -276,3 +276,82 @@ def test_stream_source_checkpoint_resume(spark, tmp_path):
     assert sorted(ids) == list(range(500)), (
         f"{len(ids)} rows, {len(set(ids))} distinct — duplicate or lost offsets"
     )
+
+
+def test_epoch_sink_commit_is_idempotent(tmp_path):
+    """ADVICE round 7: a micro-batch replayed after a crash between
+    sink commit and offset-log write must OVERWRITE the first
+    attempt.  Simulate the replay directly against the writer: commit
+    batch 0 with three partitions, then re-commit the same batchId
+    with only two (a replay can produce fewer non-empty partitions) —
+    the first attempt's third epoch file must be gone and _EPOCHS must
+    carry exactly one line for batch 0, with the replay's count."""
+    import glob
+    import os as _os
+
+    from pyspark_caffe_spark.queries.streaming import (
+        _EpochCommitMessage,
+        _EpochJsonlStreamWriter,
+    )
+
+    path = str(tmp_path / "epochs")
+    w = _EpochJsonlStreamWriter(path)
+    _os.makedirs(path, exist_ok=True)
+
+    def mk(name, n):
+        with open(_os.path.join(path, name), "w") as f:
+            for i in range(n):
+                f.write('{"v": %d}\n' % i)
+        return _EpochCommitMessage(name, n)
+
+    w.commit([mk("_tmp-a", 2), mk("_tmp-b", 3), mk("_tmp-c", 4)], 0)
+    assert len(glob.glob(_os.path.join(path, "epoch-00000-*.jsonl"))) == 3
+
+    # replay of batch 0 after a simulated crash: fewer partitions
+    w.commit([mk("_tmp-d", 2), mk("_tmp-e", 3)], 0)
+    files = sorted(glob.glob(_os.path.join(path, "epoch-00000-*.jsonl")))
+    assert len(files) == 2, f"first attempt's files survived the replay: {files}"
+    rows = sum(sum(1 for _ in open(p)) for p in files)
+    assert rows == 5
+    lines = open(_os.path.join(path, "_EPOCHS")).read().splitlines()
+    assert lines == ["0,5"], f"manifest not idempotent per batchId: {lines}"
+
+    # a later batch appends normally and leaves batch 0 untouched
+    w.commit([mk("_tmp-f", 1)], 1)
+    lines = open(_os.path.join(path, "_EPOCHS")).read().splitlines()
+    assert lines == ["0,5", "1,1"]
+
+
+def test_batch_sink_commit_guards_none_and_empty(tmp_path):
+    """ADVICE round 7: the batch sink's commit/abort must skip None
+    commit messages (a failed task's slot) instead of raising
+    AttributeError past the OSError guard, and must delete zero-row
+    temp files rather than renaming empty parts into the visible set."""
+    import glob
+    import os as _os
+
+    from pyspark_caffe_spark.queries.relational import (
+        _JsonlCommitMessage,
+        _ScratchJsonlWriter,
+    )
+
+    path = str(tmp_path / "scratch")
+    w = _ScratchJsonlWriter(path)
+    _os.makedirs(path, exist_ok=True)
+
+    def mk(name, n):
+        with open(_os.path.join(path, name), "w") as f:
+            for i in range(n):
+                f.write('{"v": %d}\n' % i)
+        return _JsonlCommitMessage(name, n)
+
+    w.commit([mk("_tmp-a", 2), None, mk("_tmp-empty", 0), mk("_tmp-b", 1)])
+    parts = sorted(glob.glob(_os.path.join(path, "part-*.jsonl")))
+    assert len(parts) == 2, f"zero-row temp renamed into the visible set: {parts}"
+    assert not glob.glob(_os.path.join(path, "_tmp-*"))
+    assert int(open(_os.path.join(path, "_MANIFEST")).read()) == 3
+
+    # abort with a None slot must not raise and must sweep temps
+    m = mk("_tmp-c", 1)
+    w.abort([None, m])
+    assert not glob.glob(_os.path.join(path, "_tmp-*"))

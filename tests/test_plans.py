@@ -59,6 +59,7 @@ CASES = [
     ("join_interval_overlap", None, r"BroadcastNestedLoopJoin|CartesianProduct", "interval overlap rides the bucket equi-join"),
     ("sink_sorted_stats", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", None, "read-back filter reaches the sorted parquet row groups"),
     ("sim_optimizer_rewrite", None, r"BroadcastNestedLoopJoin|CartesianProduct", "naive crossJoin+cosine spelling rewritten to the routed plan"),
+    ("sim_bipartite_rewrite", None, r"BroadcastNestedLoopJoin|CartesianProduct", "naive two-corpus cosine spelling rewritten to the bipartite tier"),
     ("agg_bitmap_distinct", r"HashAggregate(.|\n)*HashAggregate", r"Expand", "bitmap distinct: two-level agg, never the countDistinct Expand rewrite"),
     ("fn_xml", None, r"BatchEvalPython|ArrowEvalPython|Exchange", "xpath extraction is JVM-side and a pure map stage"),
     ("sink_zorder", r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_custkey", None, "2-D box filter pushed to the z-ordered parquet"),
@@ -347,3 +348,105 @@ def test_catalyst_already_covers_global_topk(spark, sf_dir):
     # and rank() gets the same treatment via WindowGroupLimit
     ranked = orders.withColumn("rk", F.rank().over(w)).filter(F.col("rk") <= 25)
     assert re.search(r"WindowGroupLimit|TakeOrderedAndProject", plan_of(ranked))
+
+
+def _naive_bipartite_join(spark, sf_dir, *, with_order=False, project_extra=False):
+    """The naive TWO-CORPUS (query set × corpus) cosine spelling the
+    bipartite rewrite targets, plus near-miss variants."""
+    from pyspark.sql import functions as F
+
+    from pyspark_caffe_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    q = emb.filter(F.col("label") <= 1).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb")
+    )
+    c = emb.filter(F.col("label") >= 2).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cond = F.round(dot, 6) >= 0.4
+    if with_order:
+        cond = cond & (F.col("qid") < F.col("cid"))
+    out = ["qid", "cid", F.round(dot, 6).alias("cos")]
+    if project_extra:
+        out.append("q_emb")
+    return q.crossJoin(c).filter(cond).select(*out)
+
+
+def test_bipartite_rewrite_fires_and_values_match(spark, sf_dir):
+    """Round-7 verdict #3: the two-corpus serving shape (query set ×
+    corpus) must also escape the BroadcastNestedLoopJoin.  The rule
+    matches the single-threshold-conjunct bipartite pattern, the
+    routed plan has no BNLJ/cartesian node, and the result equals the
+    naive plan row for row."""
+    from pyspark_caffe_spark import optimizer
+
+    naive = _naive_bipartite_join(spark, sf_dir)
+    assert re.search(r"BroadcastNestedLoopJoin|CartesianProduct", plan_of(naive))
+    routed = optimizer.try_rewrite_similarity_join(naive)
+    assert routed is not None, "rule failed to match the bipartite serving shape"
+    routed_plan = plan_of(routed)
+    assert not re.search(r"BroadcastNestedLoopJoin|CartesianProduct", routed_plan)
+    assert routed.schema == naive.schema, "rewrite changed the output schema"
+    n = sorted(tuple(r) for r in naive.collect())
+    r = sorted(tuple(r) for r in routed.collect())
+    assert n == r
+
+
+def test_bipartite_rewrite_exact_over_broadcast_cap(spark, sf_dir):
+    """Force the over-cap grid tier (broadcast_max_rows=8) and assert
+    the rewritten bipartite result still equals the naive result —
+    the rule routes to the exact grid tier, never an approximate one."""
+    from pyspark_caffe_spark import optimizer
+
+    naive = _naive_bipartite_join(spark, sf_dir)
+    routed = optimizer.try_rewrite_similarity_join(
+        naive, broadcast_max_rows=8, block_rows=16
+    )
+    assert routed is not None
+    n = sorted(tuple(r) for r in naive.collect())
+    r = sorted(tuple(r) for r in routed.collect())
+    assert n == r
+
+
+def test_bipartite_rewrite_declines_near_misses(spark, sf_dir):
+    """Conservative in the bipartite form too: an i<j ordering conjunct
+    across two DISTINCT corpora is a different query (decline, don't
+    guess), and a projected raw vector column is not the serving
+    shape."""
+    from pyspark_caffe_spark import optimizer
+
+    assert optimizer.try_rewrite_similarity_join(
+        _naive_bipartite_join(spark, sf_dir, with_order=True)
+    ) is None
+    assert optimizer.try_rewrite_similarity_join(
+        _naive_bipartite_join(spark, sf_dir, project_extra=True)
+    ) is None
+
+
+def test_rewrite_declines_when_jvm_internal_moves(spark, sf_dir, monkeypatch):
+    """Version guard (round-7 verdict #5): the rule reaches JVM
+    internals PySpark does not pledge stable; when one moves (simulated
+    by breaking optimizer._of_rows the way a relocated
+    classic.Dataset.ofRows would), try_rewrite must DECLINE — and the
+    pass-through wrapper must hand back the original naive plan, which
+    still returns correct rows."""
+    from pyspark_caffe_spark import optimizer
+
+    def broken(*a, **k):
+        raise AttributeError("org.apache.spark.sql.classic.Dataset moved")
+
+    monkeypatch.setattr(optimizer, "_of_rows", broken)
+    naive = _naive_cosine_join(spark, sf_dir)
+    assert optimizer.try_rewrite_similarity_join(naive) is None
+    out = optimizer.rewrite_similarity_join(naive)
+    assert out is naive
+    rows = out.limit(5).collect()
+    assert all(r.cos >= 0.4 for r in rows)

@@ -257,3 +257,53 @@ def test_sink_zorder_clusters_both_dims(spark, sf_dir):
             f"{col}: mean per-file span {mean_span} vs global {global_span} — "
             "z-order clustering not effective on this dimension"
         )
+
+
+def test_ivf_batch_recall_independent(spark, sf_dir):
+    """Deep check behind sim_knn_ivf_batch's per-query flags: rebuild
+    the index OUTSIDE the query (same deterministic training sample,
+    same Lloyd, same probe logic in plain numpy), brute-force every
+    query's exact top-10 from the parquet, and assert the ≥9/10
+    overlap holds per query — proving the in-plan booleans describe
+    real recall, not a vacuous comparison.  Then assert the key's own
+    output carries exactly those queries, all flagged true."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspark_caffe_spark.queries.scale_ops import _lloyd_spherical
+    from pyspark_caffe_spark.tables import load_table
+
+    nlist, nprobe, k, m_assign = 16, 10, 10, 3
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.array(r.emb) for r in rows])
+    train = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) == 0)
+        .orderBy("vec_id").limit(4096).collect()
+    )
+    cents = _lloyd_spherical(np.stack([np.array(r.emb) for r in train]), nlist)
+
+    qsel = ids % 20 == 3
+    Q, qid, C, cid = X[qsel], ids[qsel], X[~qsel], ids[~qsel]
+    pr = np.argsort(-(Q @ cents.T), axis=1)[:, :nprobe]
+    pmask = np.zeros((len(Q), nlist), bool)
+    np.put_along_axis(pmask, pr, True, axis=1)
+    topm = np.argsort(-(C @ cents.T), axis=1)[:, :m_assign]
+    cand = pmask[:, topm].any(axis=2)
+    scores = np.round(Q @ C.T, 6)
+    for qi in range(len(Q)):
+        col = scores[qi]
+        exact = set(cid[np.lexsort((cid, -col))[:k]].tolist())
+        ci = np.nonzero(cand[qi])[0]
+        ivf = set(cid[ci][np.lexsort((cid[ci], -col[ci]))[:k]].tolist())
+        assert len(exact & ivf) >= 9, (
+            f"query {qid[qi]}: independent recall "
+            f"{len(exact & ivf)}/10 below the in-plan bar"
+        )
+
+    out = {r.qid: r for r in QUERIES["sim_knn_ivf_batch"](spark, sf_dir).collect()}
+    assert sorted(out) == sorted(qid.tolist())
+    assert all(r.recall_ok and r.k == 10 for r in out.values())

@@ -44,6 +44,9 @@ OFFSETS = {
 
 
 def replicate(src: str, dst: str, k: int) -> None:
+    """Stream each replica straight to a ParquetWriter: peak memory is
+    ONE replica regardless of k (the round-7 concat_tables version
+    materialized all k replicas — fine at 10×, not at 100×)."""
     import os
 
     os.makedirs(dst, exist_ok=True)
@@ -53,13 +56,14 @@ def replicate(src: str, dst: str, k: int) -> None:
             pq.write_table(t, f"{dst}/{name}.parquet")
             print(f"{name}: {t.num_rows} rows (dim, not replicated)")
             continue
-        parts = []
+        writer = pq.ParquetWriter(f"{dst}/{name}.parquet", t.schema)
         for i in range(k):
             rep = t
             for col in keys:
                 idx = rep.schema.get_field_index(col)
-                shifted = pc.add(rep.column(col), i * OFF)
-                rep = rep.set_column(idx, rep.schema.field(col), shifted)
+                field = rep.schema.field(col)
+                shifted = pc.add(rep.column(col), i * OFF).cast(field.type)
+                rep = rep.set_column(idx, field, shifted)
             if name == "documents" and i > 0:
                 idx = rep.schema.get_field_index("text")
                 texts = rep.column("text").to_pylist()
@@ -67,10 +71,9 @@ def replicate(src: str, dst: str, k: int) -> None:
                 rep = rep.set_column(
                     idx, rep.schema.field("text"), pa.array(pref, type=pa.string())
                 )
-            parts.append(rep)
-        out = pa.concat_tables(parts)
-        pq.write_table(out, f"{dst}/{name}.parquet")
-        print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
+            writer.write_table(rep)
+        writer.close()
+        print(f"{name}: {t.num_rows} -> {t.num_rows * k} rows")
 
 
 if __name__ == "__main__":
