@@ -22,9 +22,10 @@ from pyspark_caffe_spark.tables import load_table
     "agg_hash_groupby",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 4)                                  AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4)                             AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)          AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18, 4))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18, 4))) AS DOUBLE)                 AS sum_disc_price,
            ROUND(AVG(l_quantity), 6)                                  AS avg_qty,
            ROUND(AVG(l_extendedprice), 6)                             AS avg_price,
            ROUND(AVG(l_discount), 6)                                  AS avg_disc,
@@ -40,16 +41,30 @@ def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     The flagship query. Partial aggregation reduces 600k (→ billions)
     rows to 6 groups before the shuffle; the date filter is pushed to
     the parquet scan.
-    """
+
+    The monetary sums are cast PER-ROW to DECIMAL(18,4) — a lossless
+    cast here (quantities are integral, prices 2dp, price×(1−disc)
+    exactly 4dp), so the decimal group sum is one exact value in any
+    summation order and the final cast back to double is deterministic
+    on both engines.  Found the hard way: the round-8 100× parity
+    sweep (BENCH_SUPER100_r08.json) caught the previous double-sum
+    spelling diverging from DuckDB in the 4th decimal at ~3e11
+    magnitudes — 60M-row float sums are summation-order-dependent
+    beyond double's ~16 significant digits, so ROUND(sum, 4) stops
+    being cross-engine-stable exactly when the data gets big.  The
+    averages stay double: their magnitude keeps the order-dependent
+    error ~10 digits below the 6dp rounding.  Same fix as the rest of
+    the TPC-H family (tpch_ext.py, round 7)."""
     li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,4)")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),

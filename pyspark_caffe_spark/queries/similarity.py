@@ -219,6 +219,44 @@ def sim_bipartite_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rewritten
 
 
+@query(
+    "sim_bipartite_auto",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a, embeddings b
+    WHERE a.label <= 4 AND b.label >= 5
+      AND ROUND(LIST_DOT_PRODUCT(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.38
+    """,
+)
+def sim_bipartite_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-corpus similarity ROUTER —
+    :func:`pyspark_caffe_spark.vecops.auto_bipartite_threshold_pairs`:
+    exact broadcast tier while EITHER side fits the row cap (the
+    smaller side is broadcast, swapping roles if needed), banded
+    bipartite sign-LSH + exact verify when both sides are over cap
+    (huge query log × huge corpus — neither materializable).  Both
+    corpora hash with the SAME hyperplanes, so cross-side candidates
+    are one equi-join on (band, sig) — never a cross join; every
+    emitted pair is exactly verified, only recall is approximate on
+    the both-huge route.  Completes the serving dispatch surface:
+    sim_auto_threshold routes the self-join shape, this key routes the
+    bipartite shape, and the optimizer rule (sim_bipartite_rewrite)
+    catches users who spell it naively.
+
+    Oracle: the exact cross-pair edge set at τ=0.38 between the
+    label ≤ 4 and label ≥ 5 halves — at fixture scale the router takes
+    the exact broadcast route, so the result is value-identical;
+    tests/test_api.py forces the swapped-broadcast and LSH routes and
+    checks exactness/soundness/recall there."""
+    emb = _load_emb(spark, sf_dir)
+    left = emb.filter(F.col("label") <= 4)
+    right = emb.filter(F.col("label") >= 5)
+    return vecops.auto_bipartite_threshold_pairs(left, right, tau=0.38)
+
+
 def _mllib_lsh_pairs(emb: DataFrame) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH approximate similarity join
     (Vector columns — array_to_vector first). Euclidean distance

@@ -497,6 +497,141 @@ def _bipartite_blocked(
     )
 
 
+def lsh_bipartite_threshold_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    tau: float,
+    vec_col_a: str = "emb",
+    id_col_a: str = "vec_id",
+    vec_col_b: str | None = None,
+    id_col_b: str | None = None,
+    dim: int = 64,
+    planes_per_band: int = 4,
+    bands: int = 16,
+    seed: int = 97,
+    ndigits: int = 6,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Banded sign-LSH candidate generation ACROSS two corpora + exact
+    verification — the serving path when BOTH sides are too large to
+    broadcast (huge query log × huge corpus).
+
+    Both sides hash with the SAME hyperplanes, so two vectors collide
+    in a band iff their signatures match regardless of which side they
+    sit on; candidates are the cross pairs sharing any (band, sig)
+    bucket — one explode to N×B rows per side + one equi-join on the
+    bucket key, never a cross join.  ``max_bucket`` caps a degenerate
+    bucket's PER-SIDE size, bounding any bucket's pair contribution at
+    max_bucket² exactly like the self-join tier.  Verify stage joins
+    candidates back to both corpora and keeps rounded exact cosine ≥
+    tau (JVM-side dot, O(|candidates|)): every emitted pair is exactly
+    correct, only recall is approximate — same banding math as
+    lsh_threshold_pairs ((1−θ/π)^P per band, OR over B bands)."""
+    vec_col_b = vec_col_b or vec_col_a
+    id_col_b = id_col_b or id_col_a
+    rng = np.random.default_rng(seed)
+    planes = np.round(rng.standard_normal((bands, planes_per_band, dim)), 6)
+
+    def banded(df, id_col, vec_col, out_id):
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    sum(
+                        [
+                            F.when(
+                                dot_with(vec_col, planes[b][p]) > 0, F.lit(1 << p)
+                            ).otherwise(0)
+                            for p in range(planes_per_band)
+                        ],
+                        F.lit(0),
+                    ).alias("sig"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(band_structs).alias("bs")
+        ).select(out_id, "bs.band", "bs.sig")
+
+    ba = banded(left, id_col_a, vec_col_a, "id_a")
+    bb = banded(right, id_col_b, vec_col_b, "id_b")
+    # per-side bucket membership with the skew cap applied per side
+    buckets_a = (
+        ba.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("id_a")).alias("ids_a"))
+        .filter(F.size("ids_a") <= max_bucket)
+    )
+    buckets_b = (
+        bb.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("id_b")).alias("ids_b"))
+        .filter(F.size("ids_b") <= max_bucket)
+    )
+    cand = (
+        buckets_a.join(buckets_b, ["band", "sig"])
+        .select(
+            F.explode("ids_a").alias("id_a"), F.col("ids_b")
+        )
+        .select("id_a", F.explode("ids_b").alias("id_b"))
+        .distinct()
+    )
+    a = left.select(F.col(id_col_a).alias("id_a"), F.col(vec_col_a).alias("_va"))
+    b = right.select(F.col(id_col_b).alias("id_b"), F.col(vec_col_b).alias("_vb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(dot, ndigits).alias("cos"))
+        .filter(F.col("cos") >= tau)
+    )
+
+
+def auto_bipartite_threshold_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    tau: float,
+    vec_col_a: str = "emb",
+    id_col_a: str = "vec_id",
+    vec_col_b: str | None = None,
+    id_col_b: str | None = None,
+    exact_max_rows: int = BROADCAST_MAX_ROWS,
+    ndigits: int = 6,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Two-corpus similarity-join ROUTER: exact broadcast tier while
+    EITHER side fits the row cap (broadcast the side that does —
+    swapping roles and transposing the output is free), banded
+    bipartite LSH + exact verify when both sides are over cap.
+    Emitted pairs are exactly correct on every route; only recall
+    becomes approximate on the both-sides-huge route.  The bounded
+    ``limit(cap+1)`` collects double as the size probes — no separate
+    count jobs."""
+    vec_col_b = vec_col_b or vec_col_a
+    id_col_b = id_col_b or id_col_a
+    try:
+        return _bipartite_broadcast(
+            left, right, tau, vec_col_a, id_col_a, vec_col_b, id_col_b,
+            ndigits, max_rows=exact_max_rows,
+        )
+    except CorpusOverCapError:
+        pass
+    try:
+        swapped = _bipartite_broadcast(
+            right, left, tau, vec_col_b, id_col_b, vec_col_a, id_col_a,
+            ndigits, max_rows=exact_max_rows,
+        )
+        return swapped.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cos"
+        )
+    except CorpusOverCapError:
+        return lsh_bipartite_threshold_pairs(
+            left, right, tau, vec_col_a, id_col_a, vec_col_b, id_col_b,
+            ndigits=ndigits, **lsh_kwargs,
+        )
+
+
 def lsh_bucket(
     df: DataFrame, planes: np.ndarray, vec_col: str = "emb", out_col: str = "bucket"
 ) -> DataFrame:

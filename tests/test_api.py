@@ -355,3 +355,93 @@ def test_batch_sink_commit_guards_none_and_empty(tmp_path):
     m = mk("_tmp-c", 1)
     w.abort([None, m])
     assert not glob.glob(_os.path.join(path, "_tmp-*"))
+
+
+def _bipartite_want(mat, left_ids, right_ids, tau):
+    scores = np.round(mat[left_ids] @ mat[right_ids].T, 6)
+    return {
+        (int(left_ids[i]), int(right_ids[j]))
+        for i, j in zip(*np.nonzero(scores >= tau))
+    }
+
+
+def test_vecops_bipartite_broadcast_matches_numpy(spark, emb_df):
+    df, mat = emb_df
+    left = df.filter(F.col("vec_id") < 15)
+    right = df.filter(F.col("vec_id") >= 15)
+    tau = 0.3
+    want = _bipartite_want(mat, np.arange(15), np.arange(15, 40), tau)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in vecops.bipartite_threshold_pairs(left, right, tau).collect()
+    }
+    assert got == want
+
+
+def test_vecops_bipartite_grid_tier_matches_numpy(spark, emb_df):
+    """Force the distributed grid tier (broadcast cap 0) — exact
+    left×right result, every qualifying cross pair exactly once."""
+    df, mat = emb_df
+    left = df.filter(F.col("vec_id") < 15)
+    right = df.filter(F.col("vec_id") >= 15)
+    tau = 0.3
+    want = _bipartite_want(mat, np.arange(15), np.arange(15, 40), tau)
+    rows = vecops.bipartite_threshold_pairs(
+        left, right, tau, broadcast_max_rows=0, block_rows=7
+    ).collect()
+    got = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(got) == len(set(got)), "grid tier emitted a pair twice"
+    assert set(got) == want
+
+
+def test_vecops_lsh_bipartite_sound_and_recalls(spark, emb_df):
+    """Cross-corpus banded LSH: every emitted pair must be exactly
+    correct (cosine ≥ tau — soundness), and recall vs the exact
+    bipartite edge set ≥ 0.8 at this similarity level."""
+    df, mat = emb_df
+    left = df.filter(F.col("vec_id") < 15)
+    right = df.filter(F.col("vec_id") >= 15)
+    tau = 0.3
+    want = _bipartite_want(mat, np.arange(15), np.arange(15, 40), tau)
+    rows = vecops.lsh_bipartite_threshold_pairs(
+        left, right, tau, dim=8, planes_per_band=4, bands=16
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got <= want, f"unsound pairs emitted: {got - want}"
+    assert want, "degenerate fixture: no exact pairs to recall"
+    assert len(got) / len(want) >= 0.8, (len(got), len(want))
+
+
+def test_vecops_auto_bipartite_routes(spark, emb_df):
+    """Router tiers: exact when the right side fits the cap; exact with
+    SWAPPED broadcast when only the left side fits; banded LSH when
+    neither does (soundness holds there too)."""
+    df, mat = emb_df
+    left = df.filter(F.col("vec_id") < 15)
+    right = df.filter(F.col("vec_id") >= 15)
+    tau = 0.3
+    want = _bipartite_want(mat, np.arange(15), np.arange(15, 40), tau)
+    # right (25 rows) fits a cap of 30 → broadcast-right exact route
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in vecops.auto_bipartite_threshold_pairs(
+            left, right, tau, exact_max_rows=30
+        ).collect()
+    }
+    assert got == want
+    # cap 20: right (25) over, left (15) under → swapped broadcast,
+    # output must still be (left id, right id)
+    got_swap = {
+        (r["id_a"], r["id_b"])
+        for r in vecops.auto_bipartite_threshold_pairs(
+            left, right, tau, exact_max_rows=20
+        ).collect()
+    }
+    assert got_swap == want
+    # cap 5: both sides over → LSH route; sound subset with recall
+    rows = vecops.auto_bipartite_threshold_pairs(
+        left, right, tau, exact_max_rows=5, dim=8, planes_per_band=4, bands=16
+    ).collect()
+    got_lsh = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got_lsh <= want
+    assert len(got_lsh) / len(want) >= 0.8

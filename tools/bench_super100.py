@@ -82,18 +82,24 @@ def calib_probe(spark) -> float:
     return round(sorted(samples)[1], 3)
 
 
-def run_suite(spark, names, sf_dir, passes=3):
+def run_suite(spark, names, sf_dir, passes=3, track_spill=False):
     med = {}
+    spill = {}
     for name in names:
         samples = []
+        before = total_spilled(spark) if track_spill else 0
         for _ in range(passes):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+        if track_spill:
+            delta = total_spilled(spark) - before
+            if delta:
+                spill[name] = delta
         samples.sort()
         med[name] = round(samples[len(samples) // 2], 3)
         print(f"  {name}: {med[name]} s", file=sys.stderr)
-    return med
+    return med, spill
 
 
 def parity_at_super(spark, super_dir):
@@ -156,10 +162,10 @@ def main() -> None:
     calib_open = calib_probe(spark)
     print(f"calib open: {calib_open}", file=sys.stderr)
     print("== base sf0.1 ==", file=sys.stderr)
-    base = run_suite(spark, names, BASE_DIR)
+    base, _ = run_suite(spark, names, BASE_DIR)
     spill_before = total_spilled(spark)
     print("== super 100x ==", file=sys.stderr)
-    sup = run_suite(spark, names, super_dir)
+    sup, spill_by_query = run_suite(spark, names, super_dir, track_spill=True)
     spill_after = total_spilled(spark)
     joins_base = join_strategy_evidence(spark, BASE_DIR)
     joins_super = join_strategy_evidence(spark, super_dir)
@@ -192,6 +198,7 @@ def main() -> None:
         "queries_base": base,
         "growth_ratio": growth,
         "spill_bytes_during_super_suite": spill_after - spill_before,
+        "spill_bytes_by_query_100x": spill_by_query,
         "join_multiway_strategies": {"sf0.1": joins_base, "x100": joins_super},
         "parity_at_100x": parity,
     }

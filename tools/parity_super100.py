@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Broad value-parity sweep AT 100× scale (round 8): re-run the full
+DuckDB value-exact comparison for every swept key on the
+100×-replicated sf0.1 dataset, not the sf0.01 the driver uses.
+
+Why: the round-8 100× spot-check caught a real scale-only bug
+(agg_hash_groupby's double sums diverging in the 4th decimal at
+~3e11 magnitudes — invisible at sf0.01).  This sweep hunts for more
+of that class: rounding on big-magnitude float aggregates, window
+frames over 100× partitions, join results crossing broadcast/SMJ
+strategy changes, overflow in hash gates.
+
+Scope: every registered key EXCEPT
+  * keys whose cost is quadratic in corpus size by design (exact
+    all-pairs similarity / embedding dedup at 200k vectors);
+  * streaming replay keys (each rewrites the 10M-row events table
+    into a .scratch replay dir — infrastructure cost, not a parity
+    risk distinct from their batch twins);
+  * roundtrip/sink keys that rewrite the 100× dataset to disk in a
+    slow format (csv/json/xml of 60M rows);
+  * keys whose OUTPUT is the full table (row guard: a result larger
+    than ROW_CAP rows is skipped — python-side normalization of 60M
+    rows is the harness's cost, not the engine's).
+Every skip is recorded with its reason — no silent truncation.
+
+Usage: python tools/parity_super100.py [super_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+from pyspark_caffe_spark import get_spark  # noqa: E402
+from pyspark_caffe_spark.queries import ORACLES, QUERIES  # noqa: E402
+
+ROW_CAP = 200_000
+
+# keys excluded up front, with the reason recorded in the artifact
+EXCLUDE = {
+    # quadratic-in-corpus by design (200k vectors → 2e10 pairs)
+    "sim_knn_exact": "O(N^2) exact all-pairs by design",
+    "sim_threshold_join": "O(N^2) exact all-pairs by design",
+    "sim_optimizer_rewrite": "routes to the O(N^2) exact tier by contract",
+    "dedup_embed_cosine": "O(N^2) exact embedding all-pairs by design",
+    "sim_knn_lsh": "MLlib approxSimilarityJoin at 200k vectors: hours-class",
+    "sim_lsh_bucketed": "banded all-bucket pair gen at 200k vectors: heavy",
+    "sim_auto_threshold": "routes to LSH pair-gen at this size: heavy",
+    # streaming replay: rewrites the 10M-row events table per key
+    **{k: "streaming replay infra rewrites 10M events per key" for k in [
+        "stream_tumbling", "stream_sliding", "stream_session",
+        "stream_watermark_late", "stream_dedup", "stream_stateful",
+        "stream_join_stream", "stream_join_static", "stream_foreachbatch",
+        "stream_recovery", "stream_union",
+    ]},
+    # slow-format roundtrips of the 100× tables
+    "scan_csv_roundtrip": "rewrites 60M rows to csv",
+    "scan_json_roundtrip": "rewrites 10M rows to json",
+    "scan_xml_roundtrip": "rewrites rows to xml",
+    "text_common_spans": "cross-doc span self-join at 500k docs: heavy",
+}
+
+
+def main() -> None:
+    super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        _REPO, "PARITY100_r08.json"
+    )
+    import duckdb
+
+    from parity import assert_parity
+
+    spark = get_spark("parity-super100")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{super_dir}/{t}.parquet')"
+        )
+
+    results: dict[str, dict] = {}
+    for key in QUERIES:
+        if key in EXCLUDE:
+            results[key] = {"status": "excluded", "reason": EXCLUDE[key]}
+            continue
+        if key not in ORACLES:
+            results[key] = {"status": "excluded", "reason": "no oracle"}
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = QUERIES[key](spark, super_dir)
+            n = df.count()
+            if n > ROW_CAP:
+                results[key] = {
+                    "status": "skipped_large_output",
+                    "rows": n,
+                    "sec": round(time.perf_counter() - t0, 1),
+                }
+                print(f"{key}: SKIP large output ({n} rows)", file=sys.stderr)
+                continue
+            assert_parity(df, con, ORACLES[key], key)
+            results[key] = {
+                "status": "pass",
+                "rows": n,
+                "sec": round(time.perf_counter() - t0, 1),
+            }
+        except AssertionError as exc:
+            results[key] = {
+                "status": "FAIL",
+                "detail": str(exc)[:400],
+                "sec": round(time.perf_counter() - t0, 1),
+            }
+        except Exception as exc:  # noqa: BLE001 - record, keep sweeping
+            results[key] = {
+                "status": "ERROR",
+                "detail": f"{type(exc).__name__}: {str(exc)[:300]}",
+                "sec": round(time.perf_counter() - t0, 1),
+            }
+        print(f"{key}: {results[key]['status']} "
+              f"({results[key].get('sec')} s)", file=sys.stderr)
+
+    counts = {}
+    for r in results.values():
+        counts[r["status"]] = counts.get(r["status"], 0) + 1
+    out = {
+        "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
+        "round": 8,
+        "sf": "sf0.1 x100",
+        "row_cap": ROW_CAP,
+        "counts": counts,
+        "results": results,
+    }
+    with open(out_json, "w") as f:
+        f.write(json.dumps(out, indent=1) + "\n")
+    print(json.dumps({"written": out_json, "counts": counts}))
+
+
+if __name__ == "__main__":
+    main()
