@@ -504,7 +504,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     )
     SELECT segment_version, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE) AS total
     FROM orders JOIN dim
       ON o_custkey = c_custkey
      AND o_orderdate BETWEEN valid_from AND valid_to
@@ -543,7 +543,11 @@ def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("segment_version").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        # per-row DECIMAL(18,4) (lossless: totalprice is 2dp) — exact
+        # in any summation order; ROUND(SUM(double), 4) failed the
+        # round-8 100× parity sweep at ~1e12 group magnitudes
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double").alias("total"),
     )
 
 
@@ -853,7 +857,9 @@ def join_q20_semichain(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_q17_small_qty",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly, COUNT(*) AS n_lines
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))) AS DOUBLE) / 7.0,
+                 4) AS avg_yearly,
+           COUNT(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#1'
@@ -891,7 +897,17 @@ def agg_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            # per-row DECIMAL(18,4) (lossless: prices are 2dp) — the
+            # decimal sum is one exact value in any summation order,
+            # so the /7 quotient and its rounding start from the SAME
+            # double on both engines at any scale.  The previous
+            # ROUND(SUM(double)/7, 4) failed the round-8 100× parity
+            # sweep at ~1e10 magnitudes (order-dependent float sum).
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double") / 7.0,
+                4,
+            ).alias("avg_yearly"),
             F.count("*").alias("n_lines"),
         )
     )

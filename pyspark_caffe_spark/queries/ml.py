@@ -464,7 +464,7 @@ def ml_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
-      FROM embeddings WHERE vec_id % 50 = 0
+      FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000
     ),
     c AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
@@ -499,9 +499,16 @@ def ml_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction.  The corpus never shuffles: scoring is
     broadcast×scan, and everything after the top-k cut is
     queries×k rows.  Rounded scores + id/label tiebreaks keep the
-    vote oracle-stable."""
+    vote oracle-stable.
+
+    The query slice is BOUNDED (`vec_id < 2000` — a no-op at every
+    fixture SF, whose ids stop below 2000): a query set defined as a
+    fixed FRACTION of the corpus makes broadcast×scan quadratic in
+    corpus size — the round-8 100× sweep measured exactly that (4000
+    queries × 200k corpus = 8×10⁸ scored rows).  The serving contract
+    is a bounded query set against an unbounded corpus."""
     emb = emb_double(_emb(spark, sf_dir))
-    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+    q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000)).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("true_label"),

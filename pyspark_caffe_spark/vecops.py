@@ -506,7 +506,7 @@ def lsh_bipartite_threshold_pairs(
     vec_col_b: str | None = None,
     id_col_b: str | None = None,
     dim: int = 64,
-    planes_per_band: int = 4,
+    planes_per_band: int | None = None,
     bands: int = 16,
     seed: int = 97,
     ndigits: int = 6,
@@ -526,9 +526,26 @@ def lsh_bipartite_threshold_pairs(
     candidates back to both corpora and keeps rounded exact cosine ≥
     tau (JVM-side dot, O(|candidates|)): every emitted pair is exactly
     correct, only recall is approximate — same banding math as
-    lsh_threshold_pairs ((1−θ/π)^P per band, OR over B bands)."""
+    lsh_threshold_pairs ((1−θ/π)^P per band, OR over B bands).
+
+    ``planes_per_band`` must SCALE with corpus size: a band has only
+    2^P signatures, so P planes can separate at most ~2^P·max_bucket
+    rows per side before the skew cap silently drops EVERY bucket and
+    recall collapses to zero (measured: P=4 → 16 signatures leaves all
+    buckets of a 100k-row uniform corpus over a 4096 cap).  Default is
+    therefore auto-sized from the larger side's count:
+    P = clamp(4..12, ⌈log2(N / (max_bucket/4))⌉) — average bucket
+    ~max_bucket/4, well under the cap, two cheap count jobs.  Pass an
+    explicit P to skip the counts.  Raising P lowers per-band recall
+    ((1−θ/π)^P), so at scale ``bands`` must rise with it to hold the
+    OR-recall at a moderate τ — the standard banding dial; near-dup
+    thresholds (cos ≳ 0.9) stay high-recall even at P=12."""
     vec_col_b = vec_col_b or vec_col_a
     id_col_b = id_col_b or id_col_a
+    if planes_per_band is None:
+        n_max = max(left.count(), right.count())
+        target = max(1, max_bucket // 4)
+        planes_per_band = min(12, max(4, math.ceil(math.log2(max(2, n_max / target)))))
     rng = np.random.default_rng(seed)
     planes = np.round(rng.standard_normal((bands, planes_per_band, dim)), 6)
 

@@ -286,7 +286,7 @@ def test_ivf_batch_recall_independent(spark, sf_dir):
     )
     cents = _lloyd_spherical(np.stack([np.array(r.emb) for r in train]), nlist)
 
-    qsel = ids % 20 == 3
+    qsel = (ids % 20 == 3) & (ids < 2000)
     Q, qid, C, cid = X[qsel], ids[qsel], X[~qsel], ids[~qsel]
     pr = np.argsort(-(Q @ cents.T), axis=1)[:, :nprobe]
     pmask = np.zeros((len(Q), nlist), bool)

@@ -52,6 +52,7 @@ EXCLUDE = {
     "sim_knn_lsh": "MLlib approxSimilarityJoin at 200k vectors: hours-class",
     "sim_lsh_bucketed": "banded all-bucket pair gen at 200k vectors: heavy",
     "sim_auto_threshold": "routes to LSH pair-gen at this size: heavy",
+    "sim_bipartite_auto": "ORACLE is the quadratic side: 1e10 DuckDB dot products",
     # streaming replay: rewrites the 10M-row events table per key
     **{k: "streaming replay infra rewrites 10M events per key" for k in [
         "stream_tumbling", "stream_sliding", "stream_session",
@@ -85,6 +86,24 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{super_dir}/{t}.parquet')"
         )
 
+    def flush(results: dict) -> None:
+        # incremental write after EVERY key: a killed sweep keeps all
+        # completed evidence (a 30-min quadratic-oracle surprise cost a
+        # full run's results before this)
+        counts: dict[str, int] = {}
+        for r in results.values():
+            counts[r["status"]] = counts.get(r["status"], 0) + 1
+        with open(out_json, "w") as f:
+            f.write(json.dumps({
+                "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
+                "round": 8,
+                "sf": "sf0.1 x100",
+                "row_cap": ROW_CAP,
+                "complete": False,
+                "counts": counts,
+                "results": results,
+            }, indent=1) + "\n")
+
     results: dict[str, dict] = {}
     for key in QUERIES:
         if key in EXCLUDE:
@@ -98,12 +117,19 @@ def main() -> None:
             df = QUERIES[key](spark, super_dir)
             n = df.count()
             if n > ROW_CAP:
+                # too big to hash python-side, but the COUNT is free on
+                # both engines: downgrade to a rows-only check instead
+                # of learning nothing
+                d = con.execute(
+                    f"SELECT COUNT(*) FROM ({ORACLES[key]})"
+                ).fetchone()[0]
                 results[key] = {
-                    "status": "skipped_large_output",
+                    "status": "rows_only_pass" if n == d else "rows_only_FAIL",
                     "rows": n,
+                    "oracle_rows": d,
                     "sec": round(time.perf_counter() - t0, 1),
                 }
-                print(f"{key}: SKIP large output ({n} rows)", file=sys.stderr)
+                print(f"{key}: {results[key]['status']} ({n} rows)", file=sys.stderr)
                 continue
             assert_parity(df, con, ORACLES[key], key)
             results[key] = {
@@ -125,6 +151,7 @@ def main() -> None:
             }
         print(f"{key}: {results[key]['status']} "
               f"({results[key].get('sec')} s)", file=sys.stderr)
+        flush(results)
 
     counts = {}
     for r in results.values():
@@ -134,6 +161,7 @@ def main() -> None:
         "round": 8,
         "sf": "sf0.1 x100",
         "row_cap": ROW_CAP,
+        "complete": True,
         "counts": counts,
         "results": results,
     }
