@@ -133,7 +133,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18, 4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -141,10 +142,17 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP — subtotals + grand total in one pass (Expand operator
-    replicates each row per grouping set before the hash agg)."""
+    replicates each row per grouping set before the hash agg).
+
+    Revenue sums per-row DECIMAL(18,4) casts (lossless: the product of
+    a 2dp price and a 2dp discount complement is exactly 4dp) — the
+    grand-total row aggregates the WHOLE table, so the rounded
+    double-sum spelling diverged cross-engine at 100× (round-8 sweep,
+    ~5e11 magnitudes)."""
     li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        F.sum(rev).cast("double").alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -182,16 +190,29 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates incl. EXACT interpolated percentiles
-    (Spark 4 ``percentile`` == DuckDB ``quantile_cont``). At 100 TB
-    prefer ``percentile_approx`` (mergeable sketch) — exact percentile
-    materializes per-group sorted values."""
+    (== DuckDB ``quantile_cont``), computed SCALABLY: the percentiles
+    come from :func:`pyspark_caffe_spark.quantiles.exact_percentiles`
+    — sketch-bracket + exact rank lookup, bounded memory — instead of
+    the built-in ``percentile``, whose buffer-every-group-value
+    execution OOM'd an 8 GB heap on the 60M-row 100× dataset during
+    the round-8 parity sweep (java.lang.OutOfMemoryError; the group
+    COUNT here is 3, but each group's VALUE COUNT is a third of the
+    table — unboundable).  Identical values, provably exact (the
+    bracket's rank containment is verified with exact counts before
+    any value is read from it)."""
+    from pyspark_caffe_spark.quantiles import exact_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    moments = li.groupBy("l_returnflag").agg(
         F.round(F.min("l_extendedprice"), 4).alias("min_price"),
         F.round(F.max("l_extendedprice"), 4).alias("max_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+    pcts = exact_percentiles(li, "l_returnflag", "l_extendedprice", [0.5, 0.9])
+    return moments.join(F.broadcast(pcts), "l_returnflag").select(
+        "l_returnflag", "min_price", "max_price", "sd_price",
+        F.round(F.col("p_0"), 4).alias("median_price"),
+        F.round(F.col("p_1"), 4).alias("p90_price"),
     )
 
 
@@ -743,21 +764,22 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch where they are not — the same exact/approx pairing as
     agg_distinct / agg_approx_distinct.
 
-    One pass, one buffer: the three quantiles come from a SINGLE
-    ``percentile(col, array(...))`` aggregate — three scalar
-    ``percentile`` calls would each keep their own copy of every
-    group's values (3× the agg memory and sort work for identical
-    results; was the slowest registry key at 2.79 s before this)."""
+    Computed via :func:`pyspark_caffe_spark.quantiles.exact_percentiles`
+    (sketch-bracket + exact rank lookup): the built-in ``percentile``
+    buffers every group's values — 20M doubles per group at 100×,
+    which OOM'd an 8 GB heap in the round-8 parity sweep (agg_stats,
+    same data).  The bracketed path proves rank containment with
+    exact counts, sorts only ~0.4% of each group, and returns the
+    same interpolated values."""
+    from pyspark_caffe_spark.quantiles import exact_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    pcts = F.expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(pcts.alias("_p"), F.count("*").alias("n"))
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("_p", 1), 4).alias("p50"),
-            F.round(F.element_at("_p", 2), 4).alias("p90"),
-            F.round(F.element_at("_p", 3), 4).alias("p99"),
-            "n",
-        )
+    counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    pcts = exact_percentiles(li, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99])
+    return counts.join(F.broadcast(pcts), "l_returnflag").select(
+        "l_returnflag",
+        F.round(F.col("p_0"), 4).alias("p50"),
+        F.round(F.col("p_1"), 4).alias("p90"),
+        F.round(F.col("p_2"), 4).alias("p99"),
+        "n",
     )

@@ -850,7 +850,7 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     by_flag AS (
       SELECT COUNT(*) AS n_rows,
-             ROUND(SUM(l_extendedprice), 4) AS sum_price
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 4))) AS DOUBLE) AS sum_price
       FROM base
     ),
     by_supp AS (
@@ -878,7 +878,11 @@ def pipeline_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         a = base.agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            # per-row DECIMAL(18,4): the whole-table sum reaches ~2e12
+            # at 100×, where a rounded double sum is summation-order-
+            # dependent (round-8 parity sweep finding)
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double").alias("sum_price"),
         )
         b = base.agg(
             F.countDistinct("l_suppkey").alias("n_supp"),

@@ -645,7 +645,8 @@ def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_overwrite_dynamic",
     oracle="""
-    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE) AS total
     FROM (
       SELECT * FROM orders WHERE o_orderstatus <> 'F'
       UNION ALL
@@ -678,7 +679,11 @@ def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total")
+        F.count("*").alias("n"),
+        # per-row DECIMAL(18,4): order-independent exact sum (the
+        # rounded double sum diverged at 100×, ~1e12 magnitudes)
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double").alias("total"),
     )
 
 

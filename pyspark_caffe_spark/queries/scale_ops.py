@@ -25,7 +25,8 @@ from pyspark_caffe_spark.tables import load_table
 @query(
     "sink_bucketed",
     oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 4))) AS DOUBLE) AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -74,7 +75,10 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total"),
+            # per-row DECIMAL(18,4): order-independent exact sum (the
+            # rounded double sum diverged at 100×, ~7e11 magnitudes)
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").alias("total"),
         )
     )
 

@@ -445,3 +445,62 @@ def test_vecops_auto_bipartite_routes(spark, emb_df):
     got_lsh = {(r["id_a"], r["id_b"]) for r in rows}
     assert got_lsh <= want
     assert len(got_lsh) / len(want) >= 0.8
+
+
+def test_exact_percentiles_matches_builtin(spark):
+    """quantiles.exact_percentiles must be VALUE-IDENTICAL to the
+    buffering built-in `percentile` — including interpolated (fractional
+    rank) and integral-rank targets, duplicate-heavy values, and a
+    group whose values are all equal."""
+    import numpy as np
+
+    from pyspark_caffe_spark import quantiles
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g, n in [("a", 1001), ("b", 400), ("c", 7)]:
+        vals = np.round(rng.uniform(0, 1000, n), 2)
+        if g == "b":
+            vals = np.repeat(np.round(rng.uniform(0, 10, 40), 1), 10)  # ties
+        if g == "c":
+            vals = np.full(7, 42.5)
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.5, 0.9, 0.25]
+    got = {
+        r["g"]: (r["p_0"], r["p_1"], r["p_2"])
+        # buffer_threshold=0 forces the bracketed path (the size router
+        # would otherwise hand this tiny frame to the built-in)
+        for r in quantiles.exact_percentiles(
+            df, "g", "v", ps, buffer_threshold=0
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["q0"], r["q1"], r["q2"])
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", F.lit(p)).alias(f"q{i}") for i, p in enumerate(ps)])
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            assert a == b, (g, got[g], want[g])
+
+
+def test_exact_percentiles_survives_coarse_sketch(spark):
+    """Correctness must never ride on the sketch: with a deliberately
+    terrible accuracy the bracket-containment proof fails, the retry
+    widens, and the result is STILL exact."""
+    import numpy as np
+
+    from pyspark_caffe_spark import quantiles
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [("x", float(v)) for v in rng.uniform(0, 100, 500)], "g string, v double"
+    )
+    got = quantiles.exact_percentiles(
+        df, "g", "v", [0.5], accuracy=1, delta=1e-6, buffer_threshold=0
+    ).collect()[0]["p_0"]
+    want = df.agg(F.percentile("v", F.lit(0.5))).collect()[0][0]
+    assert got == want

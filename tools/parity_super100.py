@@ -104,14 +104,50 @@ def main() -> None:
                 "results": results,
             }, indent=1) + "\n")
 
+    # resume: keep green results from an earlier (possibly killed or
+    # session-crashed) run; re-run only FAIL/ERROR/missing keys
     results: dict[str, dict] = {}
+    if os.path.exists(out_json):
+        try:
+            with open(out_json) as f:
+                prior = json.load(f).get("results", {})
+            results = {
+                k: v for k, v in prior.items()
+                if v.get("status") in ("pass", "rows_only_pass")
+            }
+            print(f"resume: {len(results)} green keys carried over", file=sys.stderr)
+        except (OSError, ValueError):
+            pass
+
+    def ensure_alive():
+        nonlocal spark
+        try:
+            spark.range(1).count()
+        except Exception:
+            # a prior key OOM'd the JVM: rebuild the session so one bad
+            # key cannot void the rest of the sweep
+            print("SparkContext dead — rebuilding session", file=sys.stderr)
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            if active is not None:
+                try:
+                    active.stop()
+                except Exception:
+                    pass
+            spark = get_spark("parity-super100-revived")
+            spark.sparkContext.setLogLevel("ERROR")
+
     for key in QUERIES:
+        if key in results:
+            continue
         if key in EXCLUDE:
             results[key] = {"status": "excluded", "reason": EXCLUDE[key]}
             continue
         if key not in ORACLES:
             results[key] = {"status": "excluded", "reason": "no oracle"}
             continue
+        ensure_alive()
         t0 = time.perf_counter()
         try:
             df = QUERIES[key](spark, super_dir)
