@@ -73,7 +73,15 @@ def exact_percentiles(
     spark = df.sparkSession
     base = df.select(F.col(group_col).alias("g"), F.col(val_col).alias("v"))
 
-    for attempt in range(max_retries + 1):
+    # routing pass: a plain codegen'd count (NOT the sketch — paying a
+    # KLL build just to learn the data is small doubled the cost of
+    # the small case)
+    sizes = base.groupBy("g").agg(F.count("v").alias("n")).collect()
+    if all(r["n"] <= buffer_threshold for r in sizes):
+        ok = False
+        spec = None
+    else:
+      for attempt in range(max_retries + 1):
         probes: list[float] = []
         for p in ps:
             probes += [max(0.0, p - delta), min(1.0, p + delta)]
@@ -87,10 +95,6 @@ def exact_percentiles(
             )
             .collect()
         )
-        if all(r["n"] <= buffer_threshold for r in stats):
-            ok = False
-            spec = None
-            break  # small groups: the buffering built-in wins
         # spec per (group, p): bracket + target ranks
         spec = []
         for r in stats:
@@ -125,18 +129,27 @@ def exact_percentiles(
         if ok:
             break
         delta *= 4  # sketch missed: widen the bracket and re-prove
-    else:
-        spec = None  # pragma: no cover - safety net
+      else:  # pragma: no cover - safety net (retries exhausted)
+        spec = None
     if spec is None or not ok:
         # correctness never rides on the sketch: fall back to the
-        # buffering exact percentile (small data is the only way to
-        # get here in practice)
-        return df.groupBy(F.col(group_col).alias("g")).agg(
-            *[
-                F.percentile(val_col, F.lit(p)).alias(f"p_{i}")
-                for i, p in enumerate(ps)
-            ]
-        ).withColumnRenamed("g", group_col)
+        # buffering exact percentile — ONE array-percentile buffer,
+        # not |ps| scalar buffers (small data is the only way to get
+        # here in practice)
+        arr = F.percentile(
+            val_col, F.array(*[F.lit(float(p)) for p in ps])
+        ).alias("_p")
+        return (
+            df.groupBy(F.col(group_col))
+            .agg(arr)
+            .select(
+                group_col,
+                *[
+                    F.element_at("_p", i + 1).alias(f"p_{i}")
+                    for i in range(len(ps))
+                ],
+            )
+        )
 
     spec_df = spark.createDataFrame(
         [(s["g"], s["pi"], s["lo"], s["hi"],
