@@ -113,7 +113,7 @@ def main() -> None:
                 prior = json.load(f).get("results", {})
             results = {
                 k: v for k, v in prior.items()
-                if v.get("status") in ("pass", "rows_only_pass")
+                if v.get("status") in ("pass", "digest_pass")
             }
             print(f"resume: {len(results)} green keys carried over", file=sys.stderr)
         except (OSError, ValueError):
@@ -153,19 +153,68 @@ def main() -> None:
             df = QUERIES[key](spark, super_dir)
             n = df.count()
             if n > ROW_CAP:
-                # too big to hash python-side, but the COUNT is free on
-                # both engines: downgrade to a rows-only check instead
-                # of learning nothing
-                d = con.execute(
-                    f"SELECT COUNT(*) FROM ({ORACLES[key]})"
-                ).fetchone()[0]
+                # too big to hash python-side: compare an ORDER-
+                # INSENSITIVE EXACT DIGEST instead — row count plus,
+                # per column, the non-null count and (where an exact
+                # cross-engine sum exists) a DECIMAL(38,0) sum of the
+                # value / its length / its epoch-micros.  Integer
+                # decimal sums are exact in both engines, so a digest
+                # mismatch is always a real divergence; float columns
+                # contribute only their null layout (their value check
+                # is what the ≤ROW_CAP full-hash path is for).
+                s_exprs, d_exprs = ["COUNT(*)"], ["COUNT(*)"]
+                for f in df.schema.fields:
+                    c = f.name
+                    t = f.dataType.simpleString()
+                    s_exprs.append(f"COUNT(`{c}`)")
+                    d_exprs.append(f'COUNT("{c}")')
+                    if t in ("tinyint", "smallint", "int", "bigint"):
+                        s_exprs.append(f"SUM(CAST(`{c}` AS DECIMAL(38,0)))")
+                        d_exprs.append(f'SUM(CAST("{c}" AS DECIMAL(38,0)))')
+                    elif t == "boolean":
+                        s_exprs.append(f"SUM(CAST(`{c}` AS INT))")
+                        d_exprs.append(f'SUM(CAST("{c}" AS INT))')
+                    elif t == "string":
+                        s_exprs.append(f"SUM(CAST(LENGTH(`{c}`) AS DECIMAL(38,0)))")
+                        d_exprs.append(f'SUM(CAST(LENGTH("{c}") AS DECIMAL(38,0)))')
+                    elif t.startswith("timestamp"):
+                        # NTZ → TIMESTAMP cast is identity in this UTC-
+                        # pinned session; unix_micros only takes LTZ
+                        s_exprs.append(
+                            f"SUM(CAST(UNIX_MICROS(CAST(`{c}` AS TIMESTAMP)) "
+                            "AS DECIMAL(38,0)))"
+                        )
+                        d_exprs.append(f'SUM(CAST(EPOCH_US("{c}") AS DECIMAL(38,0)))')
+                    elif t == "date":
+                        s_exprs.append(
+                            f"SUM(CAST(DATEDIFF(`{c}`, DATE '1970-01-01') "
+                            "AS DECIMAL(38,0)))"
+                        )
+                        d_exprs.append(
+                            f'SUM(CAST(("{c}" - DATE \'1970-01-01\') AS DECIMAL(38,0)))'
+                        )
+                s_digest = [
+                    None if v is None else int(v)
+                    for v in df.selectExpr(*s_exprs).collect()[0]
+                ]
+                d_digest = [
+                    None if v is None else int(v)
+                    for v in con.execute(
+                        f"SELECT {', '.join(d_exprs)} FROM ({ORACLES[key]})"
+                    ).fetchone()
+                ]
+                match = s_digest == d_digest
                 results[key] = {
-                    "status": "rows_only_pass" if n == d else "rows_only_FAIL",
+                    "status": "digest_pass" if match else "digest_FAIL",
                     "rows": n,
-                    "oracle_rows": d,
+                    "digest_terms": len(s_digest),
                     "sec": round(time.perf_counter() - t0, 1),
                 }
-                print(f"{key}: {results[key]['status']} ({n} rows)", file=sys.stderr)
+                if not match:
+                    results[key]["spark_digest"] = s_digest
+                    results[key]["oracle_digest"] = d_digest
+                print(f"{key}: {results[key]['status']} ({n} rows, "
+                      f"{len(s_digest)} terms)", file=sys.stderr)
                 continue
             assert_parity(df, con, ORACLES[key], key)
             results[key] = {
