@@ -45,6 +45,17 @@ def get_spark(app_name: str = "pyspark-caffe-spark", cpus: int | None = None) ->
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE convert a planned sort-merge join to a shuffled-hash
+        # join when the RUNTIME build-side partitions fit this bound —
+        # skipping the SMJ sort entirely.  Measured at 100× sf0.1
+        # (PERF.md round 8): join_multiway's AQE-demoted customer join
+        # went 5.25 s / 6.7 GB sort-spill (SMJ) → ~4.2-4.5 s / ZERO
+        # spill.  Safer than preferSortMergeJoin=false (same speedup
+        # measured) because the decision uses measured partition sizes
+        # — an oversized or skewed build side keeps the spill-graceful
+        # SMJ.  0 (off) is Spark's default only for plan-stability
+        # conservatism.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # RocksDB state store: bounded-memory streaming state (the JVM
         # heap store OOMs once state exceeds executor memory at real
