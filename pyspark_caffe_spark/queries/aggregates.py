@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_caffe_spark.money import exact_money_sum
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 
@@ -42,29 +43,27 @@ def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows to 6 groups before the shuffle; the date filter is pushed to
     the parquet scan.
 
-    The monetary sums are cast PER-ROW to DECIMAL(18,4) — a lossless
-    cast here (quantities are integral, prices 2dp, price×(1−disc)
-    exactly 4dp), so the decimal group sum is one exact value in any
-    summation order and the final cast back to double is deterministic
-    on both engines.  Found the hard way: the round-8 100× parity
-    sweep (BENCH_SUPER100_r08.json) caught the previous double-sum
-    spelling diverging from DuckDB in the 4th decimal at ~3e11
-    magnitudes — 60M-row float sums are summation-order-dependent
-    beyond double's ~16 significant digits, so ROUND(sum, 4) stops
-    being cross-engine-stable exactly when the data gets big.  The
+    The monetary sums are EXACT and order-independent: each value
+    lives on the 4-decimal grid (quantities integral, prices 2dp,
+    price×(1−disc) exactly 4dp), so it is summed as LONG
+    ten-thousandths via money.exact_money_sum — the same value as the
+    round-8 per-row DECIMAL(18,4) spelling (which the 100× parity
+    sweep demanded after double sums diverged in the 4th decimal at
+    ~3e11 magnitudes), without the per-row BigDecimal.add that made
+    the decimal spelling 1.9× slower (BENCH_r08 1.04 s vs r07
+    0.55 s).  The hi/lo radix split inside exact_money_sum keeps the
+    long sums exact to ~9e13 rows per group — see money.py.  The
     averages stay double: their magnitude keeps the order-dependent
-    error ~10 digits below the 6dp rounding.  Same fix as the rest of
-    the TPC-H family (tpch_ext.py, round 7)."""
+    error ~10 digits below the 6dp rounding."""
     li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c: c.cast("decimal(18,4)")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
+            exact_money_sum(F.col("l_quantity"), "sum_qty"),
+            exact_money_sum(F.col("l_extendedprice"), "sum_base_price"),
+            exact_money_sum(disc_price, "sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -144,15 +143,17 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP — subtotals + grand total in one pass (Expand operator
     replicates each row per grouping set before the hash agg).
 
-    Revenue sums per-row DECIMAL(18,4) casts (lossless: the product of
-    a 2dp price and a 2dp discount complement is exactly 4dp) — the
-    grand-total row aggregates the WHOLE table, so the rounded
-    double-sum spelling diverged cross-engine at 100× (round-8 sweep,
-    ~5e11 magnitudes)."""
+    Revenue is exact-summed as LONG ten-thousandths
+    (money.exact_money_sum; lossless: the product of a 2dp price and
+    a 2dp discount complement is exactly 4dp) — the grand-total row
+    aggregates the WHOLE table, so the rounded double-sum spelling
+    diverged cross-engine at 100× (round-8 sweep, ~5e11 magnitudes)
+    and the round-8 per-row DECIMAL fix paid BigDecimal per row; the
+    long split-sum is both (see money.py)."""
     li = load_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(rev).cast("double").alias("revenue"),
+        exact_money_sum(rev, "revenue"),
         F.count("*").alias("n"),
     )
 
