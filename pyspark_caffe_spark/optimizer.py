@@ -126,6 +126,21 @@ def _cosine_template(joined: DataFrame, va: str, vb: str, ndigits: int):
     return ref._jdf.queryExecution().analyzed().expressions().head().child()
 
 
+#: id column types the routed tiers actually support: every tier
+#: normalizes the pair identity to long (_bipartite_broadcast declares
+#: ``id_a long`` Arrow schemas, _bipartite_blocked does .cast("long")),
+#: so only integral ids round-trip losslessly.  A string/date id would
+#: fail at runtime instead of declining, and a fractional double id
+#: would be silently truncated then cast back — wrong values.  The
+#: rewrite is semantics-preserving ONLY on these types; anything else
+#: declines and the naive plan runs unchanged.
+_INTEGRAL_ID_TYPES = frozenset(("tinyint", "smallint", "int", "bigint"))
+
+
+def _is_integral_id(attr) -> bool:
+    return str(attr.dataType().simpleString()) in _INTEGRAL_ID_TYPES
+
+
 def _alias_to_base(project, attr) -> str | None:
     """Resolve an output attribute of a Project node back to the base
     column NAME it projects (Alias-of-AttributeReference or a direct
@@ -189,6 +204,8 @@ def _try_rewrite_impl(df: DataFrame, **router_kwargs) -> DataFrame | None:
             return None
         if o_l.exprId().id() not in left_ids or o_r.exprId().id() not in right_ids:
             return None
+        if not (_is_integral_id(o_l) and _is_integral_id(o_r)):
+            return None  # non-integral pair identity: tiers can't carry it
         id_l, id_r = o_l, o_r
     else:
         # bipartite: exactly ONE conjunct (the threshold) — an i<j
@@ -246,9 +263,11 @@ def _try_rewrite_impl(df: DataFrame, **router_kwargs) -> DataFrame | None:
 
     def classify(attr) -> str | None:
         nonlocal id_l, id_r
-        # pair identity must be a scalar column — a projected raw
-        # vector (or any nested type) is not the serving shape
-        if str(attr.dataType().simpleString()).startswith(("array<", "map<", "struct<")):
+        # pair identity must be an INTEGRAL scalar column — the routed
+        # tiers normalize ids to long (see _INTEGRAL_ID_TYPES), so a
+        # string/date/double id (and any nested type) declines rather
+        # than erroring or truncating at runtime
+        if not _is_integral_id(attr):
             return None
         eid = attr.exprId().id()
         if eid in left_ids:

@@ -56,6 +56,7 @@ def exact_percentiles(
     delta: float = 0.002,
     max_retries: int = 3,
     buffer_threshold: int = 2_000_000,
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """Exact interpolated percentiles per group, bounded memory.
 
@@ -75,8 +76,23 @@ def exact_percentiles(
 
     # routing pass: a plain codegen'd count (NOT the sketch — paying a
     # KLL build just to learn the data is small doubled the cost of
-    # the small case)
-    sizes = base.groupBy("g").agg(F.count("v").alias("n")).collect()
+    # the small case).  limit(max_groups+1) keeps the collect BOUNDED
+    # the same way vecops caps its broadcast tier: driver state here
+    # is O(|groups|·|ps|), so a high-cardinality group key must raise
+    # with a route, not OOM the driver.
+    sizes = (
+        base.groupBy("g")
+        .agg(F.count("v").alias("n"))
+        .limit(max_groups + 1)
+        .collect()
+    )
+    if len(sizes) > max_groups:
+        raise ValueError(
+            f"exact_percentiles: more than {max_groups} groups — driver "
+            "bracket state is O(|groups|*|ps|) and would not be bounded. "
+            "For high-cardinality group keys use percentile_approx (the "
+            "mergeable sketch) or raise max_groups explicitly."
+        )
     if all(r["n"] <= buffer_threshold for r in sizes):
         ok = False
         spec = None
@@ -95,7 +111,11 @@ def exact_percentiles(
             )
             .collect()
         )
-        # spec per (group, p): bracket + target ranks
+        # spec per (group, p): bracket + target ranks.  Groups whose
+        # val_col is all-NULL (n == 0) get no bracket — they are
+        # re-emitted as null rows at the end (the built-in returns a
+        # null row for them, so dropping them would change the result)
+        null_groups = [r["g"] for r in stats if r["n"] == 0]
         spec = []
         for r in stats:
             for i, p in enumerate(ps):
@@ -110,10 +130,21 @@ def exact_percentiles(
                     {"g": r["g"], "pi": i, "lo": float(lo), "hi": float(hi),
                      "rf": rf, "rc": rc, "frac": float(k - math.floor(k))}
                 )
-        # exact containment proof: n(v < lo) and n(v ≤ hi) per bracket
+        if not spec:
+            # every group is all-NULL in val_col: zero containment
+            # expressions would make agg(*checks) raise — route to the
+            # built-in, which returns the per-group null rows
+            ok = False
+            spec = None
+            break
+        # exact containment proof: n(v < lo) and n(v ≤ hi) per bracket.
+        # eqNullSafe: a NULL group key must still satisfy its own
+        # containment proof (g == NULL is never true, which would send
+        # the WHOLE frame to the buffering fallback after retries —
+        # exactly the OOM path this module exists to avoid)
         checks = []
         for j, s in enumerate(spec):
-            gm = F.col("g") == F.lit(s["g"])
+            gm = F.col("g").eqNullSafe(F.lit(s["g"]))
             checks.append(
                 F.sum(F.when(gm & (F.col("v") < s["lo"]), 1).otherwise(0)).alias(f"lt_{j}")
             )
@@ -159,7 +190,8 @@ def exact_percentiles(
     )
     brkt = base.join(
         F.broadcast(spec_df.withColumnRenamed("g", "sg")),
-        (F.col("g") == F.col("sg")) & F.col("v").between(F.col("lo"), F.col("hi")),
+        F.col("g").eqNullSafe(F.col("sg"))
+        & F.col("v").between(F.col("lo"), F.col("hi")),
     )
     w = Window.partitionBy("g", "pi").orderBy("v")
     picked = (
@@ -179,4 +211,13 @@ def exact_percentiles(
         *[F.max(F.when(F.col("pi") == i, F.col("val"))).alias(f"p_{i}")
           for i in range(len(ps))]
     )
+    if null_groups:
+        nulls = spark.createDataFrame(
+            [(g,) for g in null_groups],
+            schema=f"g {base.schema['g'].dataType.simpleString()}",
+        ).select(
+            "g",
+            *[F.lit(None).cast("double").alias(f"p_{i}") for i in range(len(ps))],
+        )
+        out = out.unionByName(nulls)
     return out.withColumnRenamed("g", group_col)

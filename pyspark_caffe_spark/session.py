@@ -17,6 +17,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _parse_mib(size: str) -> int:
+    """JVM memory string ('8g', '512m', '1024') → MiB (bare = MiB)."""
+    s = size.strip().lower()
+    mult = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(float(s))
+
+
 def get_spark(app_name: str = "pyspark-caffe-spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) the configured SparkSession.
 
@@ -36,6 +45,17 @@ def get_spark(app_name: str = "pyspark-caffe-spark", cpus: int | None = None) ->
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # AQE SMJ→SHJ conversion bound (see the .config comment below).
+    # A ShuffledHashJoin build side CANNOT spill, so this is
+    # un-spillable heap: up to threshold × concurrent-tasks (128m × 32
+    # tasks = 4 GiB on this box's 8 GiB heap — the memory floor the
+    # round-8 zero-spill measurement was taken on).  Gate it on the
+    # per-core heap actually configured: below ~256 MiB/core the
+    # conservative Spark default (0 = off, SMJ keeps its spill path)
+    # is restored rather than trading a sort-spill for an OOM.
+    heap_mib = _parse_mib(driver_mem)
+    shj_threshold = "128m" if heap_mib >= 256 * cpus else "0"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -55,7 +75,10 @@ def get_spark(app_name: str = "pyspark-caffe-spark", cpus: int | None = None) ->
         # — an oversized or skewed build side keeps the spill-graceful
         # SMJ.  0 (off) is Spark's default only for plan-stability
         # conservatism.
-        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            shj_threshold,
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # RocksDB state store: bounded-memory streaming state (the JVM
         # heap store OOMs once state exceeds executor memory at real
@@ -64,7 +87,7 @@ def get_spark(app_name: str = "pyspark-caffe-spark", cpus: int | None = None) ->
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

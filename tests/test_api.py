@@ -504,3 +504,59 @@ def test_exact_percentiles_survives_coarse_sketch(spark):
     ).collect()[0]["p_0"]
     want = df.agg(F.percentile("v", F.lit(0.5))).collect()[0][0]
     assert got == want
+
+
+def test_exact_percentiles_null_group_and_null_values(spark):
+    """Round-9 advice: (a) a NULL group key must satisfy its own
+    containment proof (eqNullSafe) — previously it could never match,
+    silently sending the WHOLE frame to the buffering fallback after
+    retries; (b) an all-NULL-values group must yield a null row like
+    the built-in, not vanish; (c) an ALL-groups-all-null frame must
+    not raise on the zero-expression containment aggregate."""
+    from pyspark_caffe_spark import quantiles
+
+    rows = (
+        [("a", float(v)) for v in range(101)]
+        + [(None, float(v * 2)) for v in range(51)]
+        + [("empty", None)] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: r["p_0"]
+        for r in quantiles.exact_percentiles(
+            df, "g", "v", [0.5], buffer_threshold=0
+        ).collect()
+    }
+    want = {
+        r["g"]: r["q"]
+        for r in df.groupBy("g")
+        .agg(F.percentile("v", F.lit(0.5)).alias("q"))
+        .collect()
+    }
+    assert got == want  # includes None: 50.0 and "empty": None
+    # (c): every group all-null — bracketed path must fall back cleanly
+    all_null = spark.createDataFrame(
+        [("x", None), ("y", None)], "g string, v double"
+    )
+    got2 = {
+        r["g"]: r["p_0"]
+        for r in quantiles.exact_percentiles(
+            all_null, "g", "v", [0.5], buffer_threshold=0
+        ).collect()
+    }
+    assert got2 == {"x": None, "y": None}
+
+
+def test_exact_percentiles_group_cap_raises(spark):
+    """Driver bracket state is O(|groups|*|ps|): past max_groups the
+    helper must raise with a route to percentile_approx, not collect
+    unbounded state (vecops' cap-and-raise discipline)."""
+    import pytest
+
+    from pyspark_caffe_spark import quantiles
+
+    df = spark.range(100).selectExpr("id as g", "cast(id as double) as v")
+    with pytest.raises(ValueError, match="percentile_approx"):
+        quantiles.exact_percentiles(
+            df, "g", "v", [0.5], buffer_threshold=0, max_groups=10
+        )

@@ -212,6 +212,87 @@ def test_aqe_skew_join_split(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_aqe_shj_demotion_declines_on_skewed_build_side(spark):
+    """Round-9 verdict #6: session.py enables AQE SMJ→SHJ conversion
+    (maxShuffledHashJoinLocalMapThreshold) on the claim that the
+    decision uses MEASURED partition sizes, so a skewed build side
+    keeps the spill-graceful SMJ.  Demonstrate both directions at a
+    test-sized threshold (256KB stands in for the production 128m):
+
+      * uniform build side, every shuffle partition under the bound →
+        the final adaptive plan IS a ShuffledHashJoin (conversion
+        fires, the SMJ sort is skipped);
+      * same join with ONE planted hot key whose partition exceeds the
+        bound → conversion does NOT fire, the plan stays SortMergeJoin
+        (which can spill its sort), and the aggregate over the join is
+        exact in both cases.
+
+    Payloads are sha2 hex (incompressible enough that shuffle-file
+    bytes track logical size) and are consumed by the aggregate so
+    column pruning cannot drop them from the shuffle — both found
+    necessary while building this test: compressible or pruned
+    payloads make every partition "small" and the demotion never
+    declines."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "256KB",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pay = F.sha2(F.col("id").cast("string"), 512)  # 128 hex chars
+        # probe side partitions ~190KB raw: never a valid build side,
+        # so the table under test is the only conversion candidate
+        probe = spark.range(64 * 1500).select(
+            (F.col("id") % 64).alias("k"), pay.alias("probe_pay")
+        )
+
+        def run(build):
+            j = probe.join(build, "k").agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("pay")).alias("lp"),
+                F.sum(F.length("probe_pay")).alias("lq"),
+            )
+            row = j.collect()[0]
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            return row, plan.split("== Initial Plan ==")[0]
+
+        uni = spark.range(64 * 200).select(
+            (F.col("id") % 64).alias("k"), pay.alias("pay")
+        )
+        row_u, plan_u = run(uni)
+        assert "ShuffledHashJoin" in plan_u, plan_u
+        assert "SortMergeJoin" not in plan_u, plan_u
+        # 200 build rows per key × 1500 probe rows × 64 keys
+        assert row_u["n"] == 64 * 200 * 1500
+        assert row_u["lp"] == row_u["lq"] == row_u["n"] * 128
+
+        hot = 20_000  # hot key partition ~2.5MB raw ≫ 256KB bound
+        sk = spark.range(64 * 200 + hot).select(
+            F.when(F.col("id") < hot, F.lit(0))
+            .otherwise(F.col("id") % 64)
+            .alias("k"),
+            pay.alias("pay"),
+        )
+        row_s, plan_s = run(sk)
+        assert "SortMergeJoin" in plan_s, plan_s
+        assert "ShuffledHashJoin" not in plan_s, plan_s
+        assert row_s["n"] == (64 * 200 + hot) * 1500
+        assert row_s["lp"] == row_s["lq"] == row_s["n"] * 128
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def _naive_cosine_join(spark, sf_dir, *, rounded=True, self_join=True,
                        extra_conjunct=False, project_extra=False):
     """The naive all-pairs spelling (and near-miss variants) used by the
@@ -429,6 +510,50 @@ def test_bipartite_rewrite_declines_near_misses(spark, sf_dir):
     assert optimizer.try_rewrite_similarity_join(
         _naive_bipartite_join(spark, sf_dir, project_extra=True)
     ) is None
+
+
+def test_rewrite_declines_non_integral_ids(spark, sf_dir):
+    """Round-9 advice: the routed tiers normalize pair ids to LONG
+    ('id_a long' Arrow schemas / .cast('long')), so a matching plan
+    projecting a string id must DECLINE — not fail at runtime with an
+    Arrow/ANSI cast error — and a fractional double id must DECLINE —
+    not silently truncate to wrong values.  Both forms, both types."""
+    from pyspark.sql import functions as F
+
+    from pyspark_caffe_spark import optimizer
+    from pyspark_caffe_spark.tables import load_table
+
+    def naive_with_id_type(cast_to, *, self_join):
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").cast(cast_to).alias("vid"),
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
+        a = emb.select(F.col("vid").alias("id_a"), F.col("emb").alias("emb_a"))
+        b_src = emb if self_join else emb.limit(400)
+        b = b_src.select(F.col("vid").alias("id_b"), F.col("emb").alias("emb_b"))
+        dot = F.aggregate(
+            F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cond = F.round(dot, 6) >= 0.4
+        if self_join:
+            cond = cond & (F.col("id_a") < F.col("id_b"))
+        return (
+            a.crossJoin(b)
+            .filter(cond)
+            .select("id_a", "id_b", F.round(dot, 6).alias("cos"))
+        )
+
+    for cast_to in ("string", "double"):
+        for self_join in (True, False):
+            assert optimizer.try_rewrite_similarity_join(
+                naive_with_id_type(cast_to, self_join=self_join)
+            ) is None, f"{cast_to} id must decline (self_join={self_join})"
+    # integral-but-not-bigint ids still match (int is lossless in long)
+    assert optimizer.try_rewrite_similarity_join(
+        naive_with_id_type("int", self_join=False)
+    ) is not None
 
 
 def test_rewrite_declines_when_jvm_internal_moves(spark, sf_dir, monkeypatch):
