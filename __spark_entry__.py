@@ -63,6 +63,9 @@ _EXPENSIVE_LAST = [
     "events_user_similarity",
     # round-8: batched IVF (centroid training + two-stream window merge)
     "sim_knn_ivf_batch",
+    # round-9: persisted IVF index (Lloyd + partitioned postings write)
+    "sink_ann_index",
+    "sim_knn_ivf_serve",
 ]
 
 

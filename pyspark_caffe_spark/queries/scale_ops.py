@@ -1061,3 +1061,327 @@ def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows bigint, n_bulk bigint, revenue double",
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: build ONCE as parquet, serve query batches from it
+# (round-9 verdict #3 — sim_knn_ivf_batch re-trained centroids and
+# re-assigned the corpus inside every query; real ANN serving amortizes
+# the index build across query batches)
+# ---------------------------------------------------------------------------
+
+#: shared IVF geometry for the persisted index.  nprobe/m follow the
+#: measured sim_knn_ivf_batch sweep: these near-uniform 64-d fixtures
+#: are the IVF worst case, and 16/10/3 is the narrowest setting where
+#: every query clears the 0.9-recall bar with margin.
+_ANN_NLIST, _ANN_NPROBE, _ANN_K, _ANN_M = 16, 10, 10, 3
+
+
+def _ann_index_paths(sf_dir: str) -> tuple[str, str]:
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    root = _scratch(f"ann_index_{tag}")
+    return os.path.join(root, "centroids"), os.path.join(root, "postings")
+
+
+def _build_ann_index(spark: SparkSession, sf_dir: str) -> tuple[int, int, str, str]:
+    """Build and PERSIST the IVF index: a centroids table (nlist tiny
+    rows) and a postings table — every corpus vector stored under its
+    top-m cells — written ``partitionBy("cell")`` so a probe is a
+    PARTITION-PRUNED scan of nprobe directories, not a corpus scan.
+
+    The build is one bounded driver-side Lloyd (≤4096-row hash sample,
+    the FAISS recipe) plus ONE corpus pass for assignment; the m×
+    postings blow-up is the standard IVF storage trade (FAISS stores
+    vectors inside the inverted lists for the same reason: the serve
+    path then never touches the base table).  Returns
+    ``(nlist, m, centroids_path, postings_path)``."""
+    nlist, m = _ANN_NLIST, _ANN_M
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    train = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) == 0)
+        .orderBy("vec_id").limit(4096).collect()
+    )
+    sample = np.stack([np.array(r["emb"]) for r in train])
+    if len(sample) < nlist:
+        nlist = max(1, len(sample))
+    m = min(m, nlist)
+    centroids = _lloyd_spherical(sample, nlist, iters=10)
+    cpath, ppath = _ann_index_paths(sf_dir)
+    spark.createDataFrame(
+        [(int(i), centroids[i].tolist()) for i in range(nlist)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(cpath)
+
+    bc = spark.sparkContext.broadcast((centroids, m))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents, m_a = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            top_m = np.argsort(-(x @ cents.T), axis=1)[:, :m_a]
+            reps = np.repeat(np.arange(len(pdf)), m_a)
+            yield pd.DataFrame(
+                {
+                    "cell": top_m.reshape(-1).astype("int32"),
+                    "vec_id": np.repeat(ids, m_a),
+                    "emb": [x[i] for i in reps],
+                }
+            )
+
+    (
+        emb.mapInPandas(assign, schema="cell int, vec_id long, emb array<double>")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(ppath)
+    )
+    return nlist, m, cpath, ppath
+
+
+@query(
+    "sink_ann_index",
+    oracle="""
+    SELECT COUNT(*) AS n_vectors,
+           CAST(3 AS INT) AS postings_per_vector,
+           CAST(3 AS BIGINT) * COUNT(*) AS n_postings,
+           true AS coverage_ok,
+           true AS cells_ok
+    FROM embeddings
+    """,
+)
+def sink_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the IVF index to parquet and AUDIT it from the
+    persisted files (everything below reads what was written, not the
+    in-memory build state).
+
+    Invariant-literal oracle (cell assignment is engine-specific):
+    the emitted row carries the DuckDB-reproducible facts — corpus
+    size, postings-per-vector (m), total postings — plus two in-plan
+    audit booleans: ``coverage_ok`` (every corpus vector appears under
+    EXACTLY m distinct cells — no vector dropped or duplicated within
+    a cell) and ``cells_ok`` (every posting's cell id is a real
+    centroid row and the centroid table has exactly nlist rows).  Any
+    lost vector, stray cell id, or truncated centroid write breaks
+    the hash."""
+    nlist, m, cpath, ppath = _build_ann_index(spark, sf_dir)
+    post = spark.read.parquet(ppath)
+    cents = spark.read.parquet(cpath)
+    per_vec = post.groupBy("vec_id").agg(
+        F.count("*").alias("npost"),
+        F.countDistinct("cell").alias("ncells"),
+    )
+    vec_stats = per_vec.agg(
+        F.count("*").alias("n_vectors"),
+        F.lit(m).cast("int").alias("postings_per_vector"),
+        F.sum("npost").alias("n_postings"),
+        F.bool_and(
+            (F.col("npost") == m) & (F.col("ncells") == m)
+        ).alias("coverage_ok"),
+    )
+    cell_stats = (
+        post.select("cell")
+        .agg(
+            F.min("cell").alias("_cmin"),
+            F.max("cell").alias("_cmax"),
+        )
+        .crossJoin(F.broadcast(cents.agg(F.count("*").alias("_ncent"))))
+        .select(
+            (
+                (F.col("_cmin") >= 0)
+                & (F.col("_cmax") < nlist)
+                & (F.col("_ncent") == nlist)
+            ).alias("cells_ok")
+        )
+    )
+    return vec_stats.crossJoin(F.broadcast(cell_stats)).select(
+        "n_vectors", "postings_per_vector", "n_postings", "coverage_ok", "cells_ok"
+    )
+
+
+@query(
+    "sim_knn_ivf_serve",
+    oracle="""
+    SELECT vec_id AS qid, CAST(10 AS INT) AS k, true AS recall_ok
+    FROM embeddings
+    WHERE vec_id % 20 = 3 AND vec_id < 2000
+    """,
+)
+def sim_knn_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve a query batch from the PERSISTED IVF index — the
+    amortized counterpart of sim_knn_ivf_batch (which trains centroids
+    and assigns the corpus inside every query).
+
+    Serve path, in order: (1) read the tiny centroids table and the
+    broadcast-capped query matrix; (2) compute per-query probe sets
+    driver-side (nq × nlist booleans); (3) scan ONLY the probed cells
+    of the postings table — ``cell`` is the parquet partition column,
+    so the ``isin`` filter is partition pruning: unprobed cell
+    directories are never opened (the on-disk analogue of FAISS's
+    inverted-list seek); (4) one mapInPandas over the pruned postings
+    scores each row against only the queries that probed its cell and
+    emits per-batch per-query top-k — a multi-assigned vector can
+    surface from two probed cells, so candidates are deduped within
+    the batch and again globally (groupBy max-cos) before the window
+    top-k.  Shuffle volume is bounded by batches·k·|Q| regardless of
+    corpus size.
+
+    The recall flag is computed against an exact one-pass baseline
+    over the corpus (same local-top-k + global-window-merge shape as
+    sim_knn_ivf_batch's exact stream), and the oracle is the same
+    invariant-literal: one row per query, recall ≥ 0.9 per query.
+    Candidate sets are identical to sim_knn_ivf_batch's (same
+    training sample, same geometry), so the measured 10/10 recall
+    carries over — but nothing rides on that: the flag is computed.
+
+    The driver key rebuilds the index each run (a stale on-disk index
+    from older code must never feed the correctness gate); the serve
+    path itself is the pure read-only ``_serve_from_ann_index``, so
+    the amortization measurement (PERF.md round 9) times build and
+    serve separately."""
+    _build_ann_index(spark, sf_dir)
+    return _serve_from_ann_index(spark, sf_dir)
+
+
+def _serve_from_ann_index(
+    spark: SparkSession, sf_dir: str, with_recall: bool = True
+) -> DataFrame:
+    """Pure read path: answer the query batch from the PERSISTED index
+    files only (raises if the index has not been built).
+
+    ``with_recall=False`` returns the served answers themselves
+    (qid, vec_id, cos — top-k per query) WITHOUT the exact-baseline
+    corpus pass that backs the recall flag: that pass is a full scan
+    by definition (it is the thing the index exists to avoid), so the
+    driver key keeps it for the correctness gate while the
+    amortization measurement (PERF.md round 9) times the product
+    path."""
+    nprobe, k = _ANN_NPROBE, _ANN_K
+    cpath, ppath = _ann_index_paths(sf_dir)
+    if not (os.path.isdir(cpath) and os.path.isdir(ppath)):
+        raise FileNotFoundError(
+            "ANN index not built — run sink_ann_index/_build_ann_index first"
+        )
+
+    from pyspark_caffe_spark import vecops
+
+    cent_rows = spark.read.parquet(cpath).orderBy("cell").collect()
+    centroids = np.stack([np.array(r["centroid"]) for r in cent_rows])
+    nprobe = min(nprobe, len(centroids))  # degenerate tiny-corpus index
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # bounded query slice (same contract as sim_knn_ivf_batch: a fixed
+    # hash-exact slice, capped so the serving pass is O(N), not O(N²))
+    qpred = (F.pmod(F.col("vec_id"), F.lit(20)) == 3) & (F.col("vec_id") < 2000)
+    queries_df = emb.filter(qpred)
+    qids, qmat, _ = vecops._collect_matrix(queries_df, "vec_id", "emb")
+
+    probe_rank = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    probe_mask = np.zeros((len(qids), len(centroids)), dtype=bool)
+    np.put_along_axis(probe_mask, probe_rank, True, axis=1)
+    probed_cells = sorted({int(c) for c in probe_rank.reshape(-1)})
+
+    post = (
+        spark.read.parquet(ppath)
+        # partition pruning: only the probed cell directories are read
+        .filter(F.col("cell").isin(probed_cells))
+        # the query slice is not part of the served corpus (mirror of
+        # sim_knn_ivf_batch's corpus = emb \ queries)
+        .filter(~((F.pmod(F.col("vec_id"), F.lit(20)) == 3) & (F.col("vec_id") < 2000)))
+    )
+    bc = spark.sparkContext.broadcast((qids, qmat, probe_mask))
+
+    def serve(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat, p_mask = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            cells = pdf["cell"].to_numpy().astype(np.int64)
+            cand = p_mask[:, cells]            # [nq × rows]
+            scores = np.round(x @ q_mat.T, 6)  # [rows × nq]
+            out_q, out_id, out_cos = [], [], []
+            for qi in range(len(q_ids)):
+                cidx = np.nonzero(cand[qi])[0]
+                if not len(cidx):
+                    continue
+                # within-batch dedup (a vector can arrive from two
+                # probed cells) so duplicates can't crowd the local
+                # top-k; scores for a duplicate are identical
+                uniq_ids, first = np.unique(ids[cidx], return_index=True)
+                sub = scores[cidx, qi][first]
+                sel = np.lexsort((uniq_ids, -sub))[: min(k, len(uniq_ids))]
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_id.extend(uniq_ids[sel])
+                out_cos.extend(sub[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {"qid": out_q, "vec_id": out_id, "cos": out_cos}
+                )
+
+    from pyspark.sql import Window
+
+    cand = post.mapInPandas(serve, schema="qid long, vec_id long, cos double")
+    # global dedup across batches/cells, then the bounded top-k merge
+    best = cand.groupBy("qid", "vec_id").agg(F.max("cos").alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    ivf_ranked = best.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    if not with_recall:
+        return ivf_ranked.select("qid", "vec_id", "cos")
+    ivf_top = ivf_ranked.select("qid", "vec_id")
+
+    # exact baseline: one corpus pass, per-batch local top-k per query,
+    # global window merge (provably contains the true top-k)
+    corpus = emb.filter(~qpred)
+    bc_q = spark.sparkContext.broadcast((qids, qmat))
+
+    def exact(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_mat = bc_q.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            scores = np.round(x @ q_mat.T, 6)
+            out_q, out_id, out_cos = [], [], []
+            for qi in range(len(q_ids)):
+                col = scores[:, qi]
+                sel = np.lexsort((ids, -col))[: min(k, len(col))]
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_id.extend(ids[sel])
+                out_cos.extend(col[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {"qid": out_q, "vec_id": out_id, "cos": out_cos}
+                )
+
+    ex = corpus.mapInPandas(exact, schema="qid long, vec_id long, cos double")
+    exact_top = (
+        ex.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "vec_id")
+    )
+    hits = (
+        ivf_top.join(exact_top, ["qid", "vec_id"], "inner")
+        .groupBy("qid")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        queries_df.select(F.col("vec_id").alias("qid"))
+        .join(F.broadcast(hits), "qid", "left")
+        .select(
+            "qid",
+            F.lit(k).alias("k"),
+            (F.coalesce(F.col("_hits"), F.lit(0)) >= int(0.9 * k)).alias("recall_ok"),
+        )
+    )

@@ -307,3 +307,36 @@ def test_ivf_batch_recall_independent(spark, sf_dir):
     out = {r.qid: r for r in QUERIES["sim_knn_ivf_batch"](spark, sf_dir).collect()}
     assert sorted(out) == sorted(qid.tolist())
     assert all(r.recall_ok and r.k == 10 for r in out.values())
+
+
+def test_ann_index_persisted_and_serve_prunes_partitions(spark, sf_dir):
+    """Round-9 verdict #3: the IVF index is built ONCE on disk and the
+    serve path answers from it.  Three claims checked:
+
+    * sink_ann_index's audit row is all-green (full coverage, valid
+      cells) and the parquet artifacts exist on disk with the
+      cell-partitioned layout;
+    * sim_knn_ivf_serve's plan PARTITION-PRUNES the postings scan —
+      the cell isin filter must reach PartitionFilters, i.e. unprobed
+      cell directories are never opened;
+    * every query row comes back with recall_ok (the ≥0.9-recall
+      in-plan flag vs the exact baseline)."""
+    import os
+
+    from pyspark_caffe_spark.queries.scale_ops import _ann_index_paths
+
+    audit = QUERIES["sink_ann_index"](spark, sf_dir).collect()[0]
+    assert audit.coverage_ok and audit.cells_ok
+    assert audit.n_postings == audit.n_vectors * audit.postings_per_vector
+    cpath, ppath = _ann_index_paths(sf_dir)
+    assert os.path.isdir(cpath)
+    cells = [d for d in os.listdir(ppath) if d.startswith("cell=")]
+    assert len(cells) > 1, "postings not partitioned by cell on disk"
+
+    served = QUERIES["sim_knn_ivf_serve"](spark, sf_dir)
+    plan = _plan(served)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200], (
+        "postings scan is not partition-pruned:\n" + plan
+    )
+    rows = served.collect()
+    assert rows and all(r.recall_ok and r.k == 10 for r in rows)
