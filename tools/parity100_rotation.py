@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""PARITY100 exclusion-rotation quota (round-9 verdict #8).
+
+The 100× batch sweep (parity_super100.py) excludes 23 keys for
+reasoned cost, but a permanent exclusion list ossifies: nothing ever
+re-examines whether the reason still holds or whether a bounded
+version of the check is affordable.  This tool is the per-round
+quota: EVERY round, 2–3 excluded keys are upgraded to a full-parity
+or digest-tier check — either run directly at 100× (when the original
+exclusion reason turns out to price the SCAN, not the work: the
+roundtrip keys filter to a few-thousand-row slice before writing) or
+on a BOUNDED SLICE of the 100× data that still exceeds the sf0.1
+fixture severalfold.  Results land in PARITY100_ROTATION_r{N}.json;
+the streaming quota lives in parity_super100_streaming.py.
+
+Round-9 quota:
+* scan_csv_roundtrip / scan_json_roundtrip / scan_xml_roundtrip —
+  run DIRECTLY at 100×: their "rewrites 60M rows" exclusion reason
+  was wrong (each filters to ≤ ~4k rows before the write; only the
+  scan is 100×-sized), so these graduate to full value-hash parity.
+* sim_auto_threshold — the router key (exact tier + forced-LSH tier
+  in one plan) on an 8192-vector slice: 4× the sf0.1 corpus, 16× the
+  pair count, while the quadratic DuckDB oracle stays ~2e9 flops.
+
+Usage: python tools/parity100_rotation.py [super_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+from pyspark_caffe_spark import get_spark  # noqa: E402
+from pyspark_caffe_spark.queries import ORACLES, QUERIES  # noqa: E402
+
+
+def main() -> None:
+    super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        _REPO, "PARITY100_ROTATION_r09.json"
+    )
+    import duckdb
+
+    from parity import assert_parity
+
+    spark = get_spark("parity100-rotation")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # bounded embeddings slice for the quadratic-oracle key
+    slice_dir = "/tmp/superscale_100x_emb8k"
+    os.makedirs(slice_dir, exist_ok=True)
+    emb_pq = os.path.join(slice_dir, "embeddings.parquet")
+    pre = duckdb.connect()
+    if not os.path.exists(emb_pq):
+        pre.execute(
+            f"COPY (SELECT * FROM read_parquet('{super_dir}/embeddings.parquet') "
+            f"WHERE vec_id < 8192 ORDER BY vec_id) TO '{emb_pq}' (FORMAT PARQUET)"
+        )
+    pre.close()
+
+    # (key, data dir, note) — the quota for this round
+    QUOTA = [
+        ("scan_csv_roundtrip", super_dir,
+         "direct at 100x: write is a ~4k-row slice, only the scan is 60M"),
+        ("scan_json_roundtrip", super_dir,
+         "direct at 100x: write is a 2k-row slice"),
+        ("scan_xml_roundtrip", super_dir,
+         "direct at 100x: write is a sub-1k-row slice"),
+        ("sim_auto_threshold", slice_dir,
+         "8192-vector bounded slice (4x the sf0.1 corpus)"),
+    ]
+
+    results: dict[str, dict] = {}
+    for key, data_dir, note in QUOTA:
+        con = duckdb.connect()
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"]:
+            p = os.path.join(data_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+        t0 = time.perf_counter()
+        try:
+            df = QUERIES[key](spark, data_dir)
+            n = df.count()
+            assert_parity(df, con, ORACLES[key], key)
+            results[key] = {
+                "status": "pass", "rows": n, "note": note,
+                "sec": round(time.perf_counter() - t0, 1),
+            }
+        except AssertionError as exc:
+            results[key] = {
+                "status": "FAIL", "detail": str(exc)[:400], "note": note,
+                "sec": round(time.perf_counter() - t0, 1),
+            }
+        except Exception as exc:  # noqa: BLE001 - record, keep sweeping
+            results[key] = {
+                "status": "ERROR", "note": note,
+                "detail": f"{type(exc).__name__}: {str(exc)[:300]}",
+                "sec": round(time.perf_counter() - t0, 1),
+            }
+        finally:
+            con.close()
+        print(f"{key}: {results[key]['status']} "
+              f"({results[key]['sec']} s)", file=sys.stderr)
+
+    counts: dict[str, int] = {}
+    for r in results.values():
+        counts[r["status"]] = counts.get(r["status"], 0) + 1
+    out = {
+        "metric": "PARITY100 exclusion-rotation quota (bounded upgrades "
+                  "of permanently-excluded keys)",
+        "round": 9,
+        "counts": counts,
+        "results": results,
+    }
+    with open(out_json, "w") as f:
+        f.write(json.dumps(out, indent=1) + "\n")
+    print(json.dumps({"written": out_json, "counts": counts}))
+
+
+if __name__ == "__main__":
+    main()

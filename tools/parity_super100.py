@@ -53,25 +53,74 @@ EXCLUDE = {
     "sim_lsh_bucketed": "banded all-bucket pair gen at 200k vectors: heavy",
     "sim_auto_threshold": "routes to LSH pair-gen at this size: heavy",
     "sim_bipartite_auto": "ORACLE is the quadratic side: 1e10 DuckDB dot products",
-    # streaming replay: rewrites the 10M-row events table per key
-    **{k: "streaming replay infra rewrites 10M events per key" for k in [
+    # streaming replay: rewrites the 10M-row events table per key.
+    # Round-9 coverage: stream_dedup / stream_stateful / stream_tumbling
+    # and a true session_window drain run at 100× DENSITY on a 2M-event
+    # contiguous slice in parity_super100_streaming.py (all green,
+    # PARITY100_STREAMING_r09.json) — the exclusion here prices the
+    # full-table replay infra, not an untested operator.
+    **{k: "streaming replay infra rewrites 10M events per key "
+          "(density-sliced coverage: parity_super100_streaming.py)" for k in [
         "stream_tumbling", "stream_sliding", "stream_session",
         "stream_watermark_late", "stream_dedup", "stream_stateful",
         "stream_join_stream", "stream_join_static", "stream_foreachbatch",
         "stream_recovery", "stream_union",
     ]},
-    # slow-format roundtrips of the 100× tables
-    "scan_csv_roundtrip": "rewrites 60M rows to csv",
-    "scan_json_roundtrip": "rewrites 10M rows to json",
-    "scan_xml_roundtrip": "rewrites rows to xml",
+    # scan_csv/json/xml_roundtrip: EX-exclusions.  Round 9's rotation
+    # quota (parity100_rotation.py) showed the r8 reasons were wrong —
+    # each key filters to a few-thousand-row slice BEFORE writing, so
+    # the 100× cost is one scan.  They now run in the main sweep.
     "text_common_spans": "cross-doc span self-join at 500k docs: heavy",
 }
+
+
+def digest_exprs(schema) -> tuple[list[str], list[str]]:
+    """Order-insensitive EXACT digest expression lists (Spark, DuckDB)
+    for a result schema: row count plus, per column, the non-null
+    count and — where an exact cross-engine sum exists — a
+    DECIMAL(38,0) sum of the value / its length / its epoch-micros.
+    Integer decimal sums are exact in both engines, so a digest
+    mismatch is always a real divergence; float columns contribute
+    only their null layout.  Shared by the oversized-result tier of
+    the batch sweep and the round-9 streaming parity harness."""
+    s_exprs, d_exprs = ["COUNT(*)"], ["COUNT(*)"]
+    for f in schema.fields:
+        c = f.name
+        t = f.dataType.simpleString()
+        s_exprs.append(f"COUNT(`{c}`)")
+        d_exprs.append(f'COUNT("{c}")')
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            s_exprs.append(f"SUM(CAST(`{c}` AS DECIMAL(38,0)))")
+            d_exprs.append(f'SUM(CAST("{c}" AS DECIMAL(38,0)))')
+        elif t == "boolean":
+            s_exprs.append(f"SUM(CAST(`{c}` AS INT))")
+            d_exprs.append(f'SUM(CAST("{c}" AS INT))')
+        elif t == "string":
+            s_exprs.append(f"SUM(CAST(LENGTH(`{c}`) AS DECIMAL(38,0)))")
+            d_exprs.append(f'SUM(CAST(LENGTH("{c}") AS DECIMAL(38,0)))')
+        elif t.startswith("timestamp"):
+            # NTZ → TIMESTAMP cast is identity in this UTC-pinned
+            # session; unix_micros only takes LTZ
+            s_exprs.append(
+                f"SUM(CAST(UNIX_MICROS(CAST(`{c}` AS TIMESTAMP)) "
+                "AS DECIMAL(38,0)))"
+            )
+            d_exprs.append(f'SUM(CAST(EPOCH_US("{c}") AS DECIMAL(38,0)))')
+        elif t == "date":
+            s_exprs.append(
+                f"SUM(CAST(DATEDIFF(`{c}`, DATE '1970-01-01') "
+                "AS DECIMAL(38,0)))"
+            )
+            d_exprs.append(
+                f'SUM(CAST(("{c}" - DATE \'1970-01-01\') AS DECIMAL(38,0)))'
+            )
+    return s_exprs, d_exprs
 
 
 def main() -> None:
     super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        _REPO, "PARITY100_r08.json"
+        _REPO, "PARITY100_r09.json"
     )
     import duckdb
 
@@ -96,7 +145,7 @@ def main() -> None:
         with open(out_json, "w") as f:
             f.write(json.dumps({
                 "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
-                "round": 8,
+                "round": 9,
                 "sf": "sf0.1 x100",
                 "row_cap": ROW_CAP,
                 "complete": False,
@@ -162,37 +211,7 @@ def main() -> None:
                 # mismatch is always a real divergence; float columns
                 # contribute only their null layout (their value check
                 # is what the ≤ROW_CAP full-hash path is for).
-                s_exprs, d_exprs = ["COUNT(*)"], ["COUNT(*)"]
-                for f in df.schema.fields:
-                    c = f.name
-                    t = f.dataType.simpleString()
-                    s_exprs.append(f"COUNT(`{c}`)")
-                    d_exprs.append(f'COUNT("{c}")')
-                    if t in ("tinyint", "smallint", "int", "bigint"):
-                        s_exprs.append(f"SUM(CAST(`{c}` AS DECIMAL(38,0)))")
-                        d_exprs.append(f'SUM(CAST("{c}" AS DECIMAL(38,0)))')
-                    elif t == "boolean":
-                        s_exprs.append(f"SUM(CAST(`{c}` AS INT))")
-                        d_exprs.append(f'SUM(CAST("{c}" AS INT))')
-                    elif t == "string":
-                        s_exprs.append(f"SUM(CAST(LENGTH(`{c}`) AS DECIMAL(38,0)))")
-                        d_exprs.append(f'SUM(CAST(LENGTH("{c}") AS DECIMAL(38,0)))')
-                    elif t.startswith("timestamp"):
-                        # NTZ → TIMESTAMP cast is identity in this UTC-
-                        # pinned session; unix_micros only takes LTZ
-                        s_exprs.append(
-                            f"SUM(CAST(UNIX_MICROS(CAST(`{c}` AS TIMESTAMP)) "
-                            "AS DECIMAL(38,0)))"
-                        )
-                        d_exprs.append(f'SUM(CAST(EPOCH_US("{c}") AS DECIMAL(38,0)))')
-                    elif t == "date":
-                        s_exprs.append(
-                            f"SUM(CAST(DATEDIFF(`{c}`, DATE '1970-01-01') "
-                            "AS DECIMAL(38,0)))"
-                        )
-                        d_exprs.append(
-                            f'SUM(CAST(("{c}" - DATE \'1970-01-01\') AS DECIMAL(38,0)))'
-                        )
+                s_exprs, d_exprs = digest_exprs(df.schema)
                 s_digest = [
                     None if v is None else int(v)
                     for v in df.selectExpr(*s_exprs).collect()[0]
@@ -243,7 +262,7 @@ def main() -> None:
         counts[r["status"]] = counts.get(r["status"], 0) + 1
     out = {
         "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
-        "round": 8,
+        "round": 9,
         "sf": "sf0.1 x100",
         "row_cap": ROW_CAP,
         "complete": True,

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Streaming digest parity AT 100× density (round-9 verdict #4).
+
+The batch sweep (parity_super100.py) excludes the 13 streaming keys
+because each rewrites the 10M-row 100× events table into a replay
+directory — infrastructure cost, not evidence.  This harness closes
+the gap the honest way the verdict prescribed: a SAMPLED REPLAY — a
+~2M-event CONTIGUOUS slice of the 100× events table (the first six
+days, so the events/hour density is exactly the 100× density; a
+row-sampled slice would thin the density and change session/watermark
+behavior) — drained through FULL Structured Streaming availableNow
+pipelines and compared EXACTLY against DuckDB batch twins on the same
+slice:
+
+* ``stream_dedup`` — the registered key itself: the slice is
+  rewritten with every event duplicated, streamed through
+  ``dropDuplicates`` with a full drain; output is the 2M-row slice →
+  exact-digest tier (decimal counts/sums per column, a mismatch is
+  always a real divergence).
+* ``stream_stateful`` — the registered key: per-user running totals
+  via ``applyInPandasWithState`` (RocksDB-backed GroupState) over the
+  slice; 150k user rows → full value-hash parity.
+* ``stream_session_drain`` — the registered ``stream_session`` key
+  executes the session_window operator on the BATCH DataFrame (its
+  documented availableNow-tail caveat), so for THIS harness the same
+  session_window aggregation runs as a real streaming drain in
+  complete output mode and is compared against the key's own
+  lag/gap/cumsum DuckDB oracle; 1.9M session rows → exact-digest
+  tier.
+* ``stream_tumbling`` — the registered key: watermarked 1-hour
+  tumbling counts, full drain; small output → full value-hash.
+
+Usage: python tools/parity_super100_streaming.py [super_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import uuid
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+from pyspark_caffe_spark import get_spark  # noqa: E402
+from pyspark_caffe_spark.queries import ORACLES, QUERIES  # noqa: E402
+
+from parity_super100 import ROW_CAP, digest_exprs  # noqa: E402
+
+CUTOFF = "2024-01-07"  # first 6 of 30 days ≈ 2M of the 10M 100× events
+
+
+def main() -> None:
+    super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        _REPO, "PARITY100_STREAMING_r09.json"
+    )
+    import duckdb
+
+    from parity import assert_parity
+
+    # --- build the density-preserving slice (idempotent) ---
+    slice_dir = "/tmp/superscale_100x_stream_slice"
+    os.makedirs(slice_dir, exist_ok=True)
+    slice_pq = os.path.join(slice_dir, "events.parquet")
+    con = duckdb.connect()
+    if not os.path.exists(slice_pq):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{super_dir}/events.parquet') "
+            f"WHERE ts < TIMESTAMP '{CUTOFF}' ORDER BY event_id) "
+            f"TO '{slice_pq}' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{slice_pq}')"
+    )
+    n_slice = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+
+    spark = get_spark("parity-super100-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, dict] = {}
+
+    def record(key: str, df, oracle_sql: str) -> None:
+        t0 = time.perf_counter()
+        try:
+            n = df.count()
+            if n > ROW_CAP:
+                s_exprs, d_exprs = digest_exprs(df.schema)
+                s_digest = [
+                    None if v is None else int(v)
+                    for v in df.selectExpr(*s_exprs).collect()[0]
+                ]
+                d_digest = [
+                    None if v is None else int(v)
+                    for v in con.execute(
+                        f"SELECT {', '.join(d_exprs)} FROM ({oracle_sql})"
+                    ).fetchone()
+                ]
+                match = s_digest == d_digest
+                results[key] = {
+                    "status": "digest_pass" if match else "digest_FAIL",
+                    "rows": n,
+                    "digest_terms": len(s_digest),
+                    "sec": round(time.perf_counter() - t0, 1),
+                }
+                if not match:
+                    results[key]["spark_digest"] = s_digest
+                    results[key]["oracle_digest"] = d_digest
+            else:
+                assert_parity(df, con, oracle_sql, key)
+                results[key] = {
+                    "status": "pass",
+                    "rows": n,
+                    "sec": round(time.perf_counter() - t0, 1),
+                }
+        except AssertionError as exc:
+            results[key] = {
+                "status": "FAIL",
+                "detail": str(exc)[:400],
+                "sec": round(time.perf_counter() - t0, 1),
+            }
+        except Exception as exc:  # noqa: BLE001 - record, keep sweeping
+            results[key] = {
+                "status": "ERROR",
+                "detail": f"{type(exc).__name__}: {str(exc)[:300]}",
+                "sec": round(time.perf_counter() - t0, 1),
+            }
+        print(f"{key}: {results[key]['status']} "
+              f"({results[key].get('rows', '?')} rows, "
+              f"{results[key]['sec']} s)", file=sys.stderr)
+
+    # --- registered keys, run verbatim against the slice dir ---
+    for key in ("stream_dedup", "stream_stateful", "stream_tumbling"):
+        record(key, QUERIES[key](spark, slice_dir), ORACLES[key])
+
+    # --- session_window as a REAL streaming drain (complete mode) ---
+    from pyspark.sql import functions as F
+
+    from pyspark_caffe_spark.queries.streaming import _drain, _read_events_stream
+
+    ev = _read_events_stream(spark, slice_pq)
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    drained = _drain(
+        sess, f"mem_sess100_{uuid.uuid4().hex[:8]}", "complete", partitions=8
+    )
+    record("stream_session_drain", drained, ORACLES["stream_session"])
+
+    counts: dict[str, int] = {}
+    for r in results.values():
+        counts[r["status"]] = counts.get(r["status"], 0) + 1
+    out = {
+        "metric": "streaming availableNow-drain parity at 100x density "
+                  "(contiguous 6-day slice of the 100x events table)",
+        "round": 9,
+        "slice_rows": n_slice,
+        "slice_cutoff": CUTOFF,
+        "row_cap": ROW_CAP,
+        "counts": counts,
+        "results": results,
+    }
+    with open(out_json, "w") as f:
+        f.write(json.dumps(out, indent=1) + "\n")
+    print(json.dumps({"written": out_json, "counts": counts}))
+
+
+if __name__ == "__main__":
+    main()
