@@ -497,6 +497,31 @@ def _bipartite_blocked(
     )
 
 
+def auto_bands(tau: float, planes_per_band: int, target_recall: float = 0.9) -> int:
+    """Band count for an OR-recall ``target_recall`` at threshold τ.
+
+    Sign-LSH identity: a pair at cosine exactly τ matches one band's
+    P-bit signature with p = (1−arccos(τ)/π)^P; B independent bands
+    give recall 1−(1−p)^B, so B = ⌈ln(1−R)/ln(1−p)⌉ — sized at the
+    threshold, the worst case (higher-cosine pairs collide more).
+    Clamped to [8, 96]: below 8 the OR gives away variance for
+    nothing, above 96 the caller is in a regime banding cannot serve
+    (the candidate load grows linearly in B while per-band junk stays
+    |A|·|B|/2^P — see the round-9 100× measurement in PERF.md).
+    Validated at 100k×100k: predicted 0.507/0.899 vs measured
+    0.545/0.909 (τ=0.4, P=7, B=16/52), predicted 0.994 vs measured
+    0.990 (τ=0.9 planted near-dups, P=12, B=auto→14)."""
+    p_band = (
+        1.0 - math.acos(min(1.0, max(-1.0, tau))) / math.pi
+    ) ** planes_per_band
+    if p_band >= 1.0:
+        return 8
+    return min(
+        96,
+        max(8, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band))),
+    )
+
+
 def lsh_bipartite_threshold_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -507,10 +532,11 @@ def lsh_bipartite_threshold_pairs(
     id_col_b: str | None = None,
     dim: int = 64,
     planes_per_band: int | None = None,
-    bands: int = 16,
+    bands: int | None = 16,
     seed: int = 97,
     ndigits: int = 6,
     max_bucket: int = 4096,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Banded sign-LSH candidate generation ACROSS two corpora + exact
     verification — the serving path when BOTH sides are too large to
@@ -536,16 +562,36 @@ def lsh_bipartite_threshold_pairs(
     therefore auto-sized from the larger side's count:
     P = clamp(4..12, ⌈log2(N / (max_bucket/4))⌉) — average bucket
     ~max_bucket/4, well under the cap, two cheap count jobs.  Pass an
-    explicit P to skip the counts.  Raising P lowers per-band recall
-    ((1−θ/π)^P), so at scale ``bands`` must rise with it to hold the
-    OR-recall at a moderate τ — the standard banding dial; near-dup
-    thresholds (cos ≳ 0.9) stay high-recall even at P=12."""
+    explicit P to skip the counts.
+
+    P is ALSO the candidate-volume dial: two unrelated vectors
+    (θ≈π/2) share a band signature with probability ~2^-P, so the
+    expected junk-candidate load is ≈ bands·|A|·|B|/2^P — at
+    100k×100k and P=7 that is 10^9-class pairs per 16 bands, which no
+    verify stage should be asked to eat.  At scale, size P for
+    candidate economy FIRST (P ≈ log2(bands·|A|·|B| / affordable
+    candidates)), then let ``bands`` recover the recall.
+
+    ``bands=None`` auto-sizes the band count for ``target_recall`` AT
+    the threshold: a pair at cosine exactly τ collides per band with
+    p = (1−arccos(τ)/π)^P (pairs above τ collide more often, so
+    sizing at τ is the worst case), and B bands give OR-recall
+    1−(1−p)^B, so B = ⌈ln(1−R)/ln(1−p)⌉, clamped to [8, 96].  The
+    round-9 100× measurement (PERF.md) validates the formula at
+    100k×100k and shows the regime split: near-dup thresholds
+    (τ ≳ 0.9) are servable with P=12/B≈14 at ~3×10^7 candidates,
+    while moderate-τ uniform corpora (τ≈0.4, the fixture worst case)
+    are fundamentally un-prunable by sign-LSH (0.9 recall needs B≈57
+    ⇒ ~10^10-class candidates) — route those to the exact
+    grid/broadcast tiers instead."""
     vec_col_b = vec_col_b or vec_col_a
     id_col_b = id_col_b or id_col_a
     if planes_per_band is None:
         n_max = max(left.count(), right.count())
         target = max(1, max_bucket // 4)
         planes_per_band = min(12, max(4, math.ceil(math.log2(max(2, n_max / target)))))
+    if bands is None:
+        bands = auto_bands(tau, planes_per_band, target_recall)
     rng = np.random.default_rng(seed)
     planes = np.round(rng.standard_normal((bands, planes_per_band, dim)), 6)
 

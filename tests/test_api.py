@@ -560,3 +560,39 @@ def test_exact_percentiles_group_cap_raises(spark):
         quantiles.exact_percentiles(
             df, "g", "v", [0.5], buffer_threshold=0, max_groups=10
         )
+
+
+def test_lsh_auto_bands_sizing(spark, sf_dir):
+    """Round-9 verdict #5 machinery: bands=None sizes the band count
+    from the (τ, P, target-recall) banding identity — the values the
+    100× measurement validated — and the auto-sized run still returns
+    a sound subset with recall over the fixture corpus."""
+    from pyspark_caffe_spark import vecops
+    from pyspark_caffe_spark.tables import load_table
+
+    # formula anchors (independently computed): near-dup regime is
+    # cheap, moderate-τ needs many bands, clamps hold
+    assert vecops.auto_bands(0.9, 12) == 14
+    assert vecops.auto_bands(0.4, 7) == 57
+    assert vecops.auto_bands(0.99, 4) == 8      # clamp low
+    assert vecops.auto_bands(0.1, 12) == 96     # clamp high (un-servable regime)
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    tau = 0.4
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in vecops.bipartite_threshold_pairs(left, right, tau).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in vecops.lsh_bipartite_threshold_pairs(
+            left, right, tau, planes_per_band=4, bands=None
+        ).collect()
+    }
+    assert got <= want, "LSH route emitted a non-pair (verify stage broken)"
+    if want:
+        assert len(got) / len(want) >= 0.8
