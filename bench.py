@@ -70,6 +70,9 @@ EXTRA = [
     # round-8 additions
     "sim_bipartite_rewrite",   # bipartite A×B cosine rewrite (exact tier)
     "sim_knn_ivf_batch",       # batched IVF serving, per-query recall
+    # round-9 additions
+    "sink_ann_index",          # persisted IVF index build + audit
+    "sim_knn_ivf_serve",       # serve query batch from the stored index
 ]
 
 

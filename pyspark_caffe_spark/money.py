@@ -58,7 +58,7 @@ def money_units(col: Column) -> Column:
     return F.round(col * TT).cast("long")
 
 
-def exact_money_sum(col: Column, alias: str) -> Column:
+def exact_money_sum(col: Column, alias: str | None = None) -> Column:
     """Order-independent EXACT sum of a 4dp-grid monetary expression,
     returned as double — same value as
     ``CAST(SUM(CAST(col AS DECIMAL(18,4))) AS DOUBLE)`` (and DuckDB's
@@ -72,4 +72,5 @@ def exact_money_sum(col: Column, alias: str) -> Column:
     hi = (q - lo) / F.lit(SPLIT)  # exact: q - lo is a multiple of SPLIT
     hi = hi.cast("long")
     total = F.sum(hi).cast("decimal(38,0)") * SPLIT + F.sum(lo)
-    return (total / TT).cast("double").alias(alias)
+    out = (total / TT).cast("double")
+    return out.alias(alias) if alias is not None else out

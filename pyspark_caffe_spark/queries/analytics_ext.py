@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_caffe_spark import textops
+from pyspark_caffe_spark.money import exact_money_sum
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.queries.streaming import _drain, _read_events_stream
 from pyspark_caffe_spark.tables import load_table
@@ -878,11 +879,9 @@ def pipeline_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         a = base.agg(
             F.count("*").alias("n_rows"),
-            # per-row DECIMAL(18,4): the whole-table sum reaches ~2e12
-            # at 100×, where a rounded double sum is summation-order-
-            # dependent (round-8 parity sweep finding)
-            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
-            .cast("double").alias("sum_price"),
+            # exact long split-sum (money.py): the whole-table sum
+            # reaches ~2e12 at 100× where rounded double sums diverge
+            exact_money_sum(F.col("l_extendedprice"), "sum_price"),
         )
         b = base.agg(
             F.countDistinct("l_suppkey").alias("n_supp"),

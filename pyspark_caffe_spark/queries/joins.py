@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_caffe_spark.money import exact_money_sum
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 
@@ -543,11 +544,10 @@ def join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("segment_version").agg(
         F.count("*").alias("n_orders"),
-        # per-row DECIMAL(18,4) (lossless: totalprice is 2dp) — exact
-        # in any summation order; ROUND(SUM(double), 4) failed the
-        # round-8 100× parity sweep at ~1e12 group magnitudes
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-        .cast("double").alias("total"),
+        # exact long split-sum (money.py) — same value as the per-row
+        # DECIMAL spelling that fixed the round-8 100× divergence, no
+        # per-row BigDecimal
+        exact_money_sum(F.col("o_totalprice"), "total"),
     )
 
 
@@ -904,8 +904,7 @@ def agg_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ROUND(SUM(double)/7, 4) failed the round-8 100× parity
             # sweep at ~1e10 magnitudes (order-dependent float sum).
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
-                .cast("double") / 7.0,
+                exact_money_sum(F.col("l_extendedprice")) / 7.0,
                 4,
             ).alias("avg_yearly"),
             F.count("*").alias("n_lines"),

@@ -13,6 +13,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_caffe_spark.money import exact_money_sum
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 
@@ -680,10 +681,9 @@ def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        # per-row DECIMAL(18,4): order-independent exact sum (the
-        # rounded double sum diverged at 100×, ~1e12 magnitudes)
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-        .cast("double").alias("total"),
+        # exact long split-sum (money.py): order-independent, no
+        # per-row BigDecimal
+        exact_money_sum(F.col("o_totalprice"), "total"),
     )
 
 
@@ -1127,7 +1127,5 @@ def api_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("year").cast("long").alias("year"), "o_orderstatus"
     ).agg(
         F.count("*").alias("n"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
-        .cast("double")
-        .alias("total"),
+        F.round(exact_money_sum(F.col("o_totalprice")), 2).alias("total"),
     )

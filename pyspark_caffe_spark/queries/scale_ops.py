@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_caffe_spark.money import exact_money_sum
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 
@@ -75,10 +76,9 @@ def sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            # per-row DECIMAL(18,4): order-independent exact sum (the
-            # rounded double sum diverged at 100×, ~7e11 magnitudes)
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("double").alias("total"),
+            # exact long split-sum (money.py): order-independent, no
+            # per-row BigDecimal
+            exact_money_sum(F.col("o_totalprice"), "total"),
         )
     )
 
@@ -1037,15 +1037,9 @@ def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("l_quantity") >= 30, 1).otherwise(0)).alias("n_bulk"),
         F.round(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,4)"
-                )
-            ),
+            exact_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
             2,
-        )
-        .cast("double")
-        .alias("revenue"),
+        ).alias("revenue"),
     )
     observed.count()  # one action; metrics ride the same pass
     m = obs.get

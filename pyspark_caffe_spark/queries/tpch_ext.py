@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_caffe_spark.money import exact_money_sum
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 
@@ -143,16 +144,14 @@ def join_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
+            # exact long split-sum (money.py): same value as the
+            # per-row DECIMAL spelling, no per-row BigDecimal
             F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(18,4)"
-                    )
+                exact_money_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
                 ),
                 4,
-            )
-            .cast("double")
-            .alias("revenue")
+            ).alias("revenue")
         )
     )
 
@@ -217,8 +216,8 @@ def agg_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    zero = F.lit(0).cast("decimal(18,4)")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    zero = F.lit(0.0)
     return (
         li.join(F.broadcast(part_keys), li.l_partkey == F.col("p_partkey"), "left_semi")
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -226,11 +225,12 @@ def agg_q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust_keys), orders.o_custkey == F.col("c_custkey"), "left_semi")
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
+            # both sums exact via the long split-sum, then one double
+            # division — the same two exact operands as the oracle's
+            # DECIMAL sums cast to double
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_7", vol).otherwise(zero)).cast(
-                    "double"
-                )
-                / F.sum(vol).cast("double"),
+                exact_money_sum(F.when(F.col("nation") == "NATION_7", vol).otherwise(zero))
+                / exact_money_sum(vol),
                 4,
             ).alias("mkt_share")
         )
@@ -290,10 +290,12 @@ def agg_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem")
+    # 4dp-grid amount (price 2dp x disc 2dp = 4dp; 0.5 x 2dp-retail x
+    # integral qty = 3dp) — exact via the long split-sum
     amount = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
-    ).cast("decimal(18,4)")
+    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -301,7 +303,7 @@ def agg_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "nation", F.year("o_orderdate").cast("long").alias("o_year")
         )
-        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .agg(F.round(exact_money_sum(amount), 2).alias("sum_profit"))
     )
 
 
@@ -354,15 +356,11 @@ def join_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(18,4)"
-                    )
+                exact_money_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
                 ),
                 2,
-            )
-            .cast("double")
-            .alias("revenue")
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -441,17 +439,15 @@ def agg_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    zero = F.lit(0).cast("decimal(18,4)")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    zero = F.lit(0.0)
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
-                    "double"
-                )
-                / F.sum(rev).cast("double"),
+                * exact_money_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                / exact_money_sum(rev),
                 4,
             ).alias("promo_revenue")
         )
@@ -558,15 +554,11 @@ def agg_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(branch)
         .agg(
             F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(18,4)"
-                    )
+                exact_money_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
                 ),
                 2,
-            )
-            .cast("double")
-            .alias("revenue")
+            ).alias("revenue")
         )
     )
 
