@@ -66,6 +66,8 @@ _EXPENSIVE_LAST = [
     # round-9: persisted IVF index (Lloyd + partitioned postings write)
     "sink_ann_index",
     "sim_knn_ivf_serve",
+    # round-9: complete-mode session drain (full streaming query)
+    "stream_session_drain",
 ]
 
 

@@ -717,10 +717,11 @@ def lsh_threshold_pairs(
     id_col: str = "vec_id",
     dim: int = 64,
     planes_per_band: int = 4,
-    bands: int = 16,
+    bands: int | None = 16,
     seed: int = 97,
     ndigits: int = 6,
     max_bucket: int = 4096,
+    target_recall: float = 0.9,
 ) -> DataFrame:
     """Banded sign-LSH candidate generation + EXACT verification — the
     at-scale replacement for an exact ``cosine ≥ tau`` all-pairs join.
@@ -739,7 +740,13 @@ def lsh_threshold_pairs(
     JVM-side zip_with/aggregate dot, cost O(|candidates|).  Output
     schema matches threshold_pairs' core columns (id_a, id_b, cos);
     every emitted pair is exactly correct, only recall is
-    approximate."""
+    approximate.
+
+    ``bands=None`` auto-sizes the band count for ``target_recall`` at
+    the threshold via :func:`auto_bands` — the formula the round-9
+    100× measurement validated (PERF.md)."""
+    if bands is None:
+        bands = auto_bands(tau, planes_per_band, target_recall)
     rng = np.random.default_rng(seed)
     planes = np.round(rng.standard_normal((bands, planes_per_band, dim)), 6)
     band_structs = F.array(
