@@ -68,6 +68,7 @@ _EXPENSIVE_LAST = [
     "sim_knn_ivf_serve",
     # round-9: complete-mode session drain (full streaming query)
     "stream_session_drain",
+    "stream_dedup_watermark",
 ]
 
 

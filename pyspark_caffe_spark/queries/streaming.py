@@ -403,6 +403,41 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(out, f"mem_dedup_{uuid.uuid4().hex[:8]}", "append", partitions=4)
 
 
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-BOUNDED streaming deduplication — the production
+    variant of stream_dedup: ``dropDuplicatesWithinWatermark`` only
+    guarantees dedup for duplicates arriving within the watermark
+    delay of each other, and in exchange the id-set state is EVICTED
+    as the watermark advances.  Plain ``dropDuplicates`` keys state on
+    every id ever seen — unbounded at 100 TB/day; this operator is
+    what an unbounded pipeline actually runs.
+
+    Replay: every event duplicated (duplicates share the event time,
+    so they always fall within the 1-hour delay and MUST be dropped);
+    one availableNow drain emits exactly the distinct events — the
+    batch table is the full oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    replay = _scratch("dedup_wm_replay_" + os.path.basename(sf_dir.rstrip("/")))
+    raw = ev.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long")).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    raw.unionByName(raw).coalesce(2).write.mode("overwrite").parquet(replay)
+
+    stream = (
+        _read_events_stream(spark, replay)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = stream.select("event_id", "user_id", "event_type", "value")
+    return _drain(out, f"mem_dedup_wm_{uuid.uuid4().hex[:8]}", "append", partitions=4)
+
+
 # transformWithStateInPandas needs google.protobuf (absent from this
 # container, installs forbidden) — register the operator only when the
 # dependency exists so the key never crashes the driver harness.
