@@ -63,8 +63,25 @@ def main() -> None:
             f"WHERE vec_id < 8192 ORDER BY vec_id) TO '{emb_pq}' (FORMAT PARQUET)"
         )
     pre.close()
+    # non-embeddings tables: symlink the FULL 100× versions (keys like
+    # dedup_embed_cosine join embeddings→documents; the quadratic part
+    # is the sliced embeddings side, the join side can stay full-size)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"]:
+        srcp = os.path.join(super_dir, f"{t}.parquet")
+        link = os.path.join(slice_dir, f"{t}.parquet")
+        if os.path.exists(srcp):
+            if os.path.lexists(link):
+                os.remove(link)
+            os.symlink(srcp, link)
 
-    # (key, data dir, note) — the quota for this round
+    # (key, data dir, note) — the quota for this round.  Round 9
+    # over-delivered on the 2-3/round minimum: the ENTIRE
+    # quadratic-exclusion class runs at the 8192-vector slice (4× the
+    # sf0.1 corpus, 16× the pair count, quadratic DuckDB oracle still
+    # ~2e9 flops), so every "excluded at 200k" key now carries bounded
+    # over-fixture-scale parity evidence.
+    sliced = "8192-vector bounded slice (4x the sf0.1 corpus)"
     QUOTA = [
         ("scan_csv_roundtrip", super_dir,
          "direct at 100x: write is a ~4k-row slice, only the scan is 60M"),
@@ -72,8 +89,14 @@ def main() -> None:
          "direct at 100x: write is a 2k-row slice"),
         ("scan_xml_roundtrip", super_dir,
          "direct at 100x: write is a sub-1k-row slice"),
-        ("sim_auto_threshold", slice_dir,
-         "8192-vector bounded slice (4x the sf0.1 corpus)"),
+        ("sim_auto_threshold", slice_dir, sliced),
+        ("sim_knn_exact", slice_dir, sliced),
+        ("sim_threshold_join", slice_dir, sliced),
+        ("sim_optimizer_rewrite", slice_dir, sliced),
+        ("sim_bipartite_auto", slice_dir, sliced),
+        ("dedup_embed_cosine", slice_dir, sliced),
+        ("sim_lsh_bucketed", slice_dir, sliced),
+        ("sim_knn_lsh", slice_dir, sliced + " (MLlib approxSimilarityJoin)"),
     ]
 
     results: dict[str, dict] = {}

@@ -44,7 +44,12 @@ ROW_CAP = 200_000
 
 # keys excluded up front, with the reason recorded in the artifact
 EXCLUDE = {
-    # quadratic-in-corpus by design (200k vectors → 2e10 pairs)
+    # quadratic-in-corpus by design (200k vectors → 2e10 pairs).
+    # Round-9 rotation coverage: EVERY key in this class passed full
+    # value-hash parity on an 8192-vector bounded slice (4× the sf0.1
+    # corpus, 16× the pairs) in parity100_rotation.py
+    # (PARITY100_ROTATION_r09.json) — the exclusion here prices the
+    # 200k quadratic ORACLE, not an untested operator.
     "sim_knn_exact": "O(N^2) exact all-pairs by design",
     "sim_threshold_join": "O(N^2) exact all-pairs by design",
     "sim_optimizer_rewrite": "routes to the O(N^2) exact tier by contract",
@@ -55,7 +60,8 @@ EXCLUDE = {
     "sim_bipartite_auto": "ORACLE is the quadratic side: 1e10 DuckDB dot products",
     # streaming replay: rewrites the 10M-row events table per key.
     # Round-9 coverage: stream_dedup / stream_stateful / stream_tumbling
-    # and a true session_window drain run at 100× DENSITY on a 2M-event
+    # and the WHOLE streaming family (12 keys incl. recovery, interval
+    # join, watermark late-drop) run at 100× DENSITY on a 2M-event
     # contiguous slice in parity_super100_streaming.py (all green,
     # PARITY100_STREAMING_r09.json) — the exclusion here prices the
     # full-table replay infra, not an untested operator.

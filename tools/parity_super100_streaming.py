@@ -29,6 +29,14 @@ slice:
   tier.
 * ``stream_tumbling`` — the registered key: watermarked 1-hour
   tumbling counts, full drain; small output → full value-hash.
+* round-9 extension: the REST of the streaming family runs verbatim
+  on the slice too — sliding windows, the 3-file watermark
+  late-drop replay, the watermarked stream-stream interval join, the
+  stream×static broadcast join (customer symlinked from the full
+  100× dataset), foreachBatch, the two-source union, the
+  checkpoint-restart recovery pair, and the watermark-bounded dedup —
+  so every excluded streaming key carries 100×-density drain
+  evidence, not just the four the verdict named.
 
 Usage: python tools/parity_super100_streaming.py [super_dir] [out_json]
 """
@@ -76,6 +84,20 @@ def main() -> None:
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{slice_pq}')"
     )
+    # non-events tables: symlink the FULL 100× versions into the slice
+    # dir (stream×static joins need them); oracle views point the same
+    # way — events is the slice, everything else the full table
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        srcp = os.path.join(super_dir, f"{t}.parquet")
+        link = os.path.join(slice_dir, f"{t}.parquet")
+        if os.path.exists(srcp):
+            if os.path.lexists(link):
+                os.remove(link)
+            os.symlink(srcp, link)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{srcp}')"
+            )
     n_slice = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
 
     spark = get_spark("parity-super100-streaming")
@@ -133,8 +155,23 @@ def main() -> None:
               f"{results[key]['sec']} s)", file=sys.stderr)
 
     # --- registered keys, run verbatim against the slice dir ---
-    for key in ("stream_dedup", "stream_stateful", "stream_tumbling"):
-        record(key, QUERIES[key](spark, slice_dir), ORACLES[key])
+    for key in (
+        "stream_dedup", "stream_stateful", "stream_tumbling",
+        "stream_sliding", "stream_watermark_late", "stream_join_stream",
+        "stream_join_static", "stream_foreachbatch", "stream_union",
+        "stream_recovery", "stream_dedup_watermark",
+    ):
+        if key not in QUERIES or key not in ORACLES:
+            continue
+        try:
+            df = QUERIES[key](spark, slice_dir)
+        except Exception as exc:  # noqa: BLE001 - record, keep sweeping
+            results[key] = {"status": "ERROR",
+                            "detail": f"{type(exc).__name__}: {str(exc)[:300]}",
+                            "sec": None}
+            print(f"{key}: ERROR (build)", file=sys.stderr)
+            continue
+        record(key, df, ORACLES[key])
 
     # --- session_window as a REAL streaming drain (complete mode) ---
     from pyspark.sql import functions as F
