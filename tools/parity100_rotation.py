@@ -75,6 +75,20 @@ def main() -> None:
                 os.remove(link)
             os.symlink(srcp, link)
 
+    # bounded documents slice for the span-mining key (its exclusion
+    # prices a 500k-doc cross-doc span self-join; 20k docs = 4× the
+    # sf0.1 corpus is the same upgrade ratio as the embeddings slice)
+    doc_dir = "/tmp/superscale_100x_docs20k"
+    os.makedirs(doc_dir, exist_ok=True)
+    doc_pq = os.path.join(doc_dir, "documents.parquet")
+    pre = duckdb.connect()
+    if not os.path.exists(doc_pq):
+        pre.execute(
+            f"COPY (SELECT * FROM read_parquet('{super_dir}/documents.parquet') "
+            f"ORDER BY doc_id LIMIT 20000) TO '{doc_pq}' (FORMAT PARQUET)"
+        )
+    pre.close()
+
     # (key, data dir, note) — the quota for this round.  Round 9
     # over-delivered on the 2-3/round minimum: the ENTIRE
     # quadratic-exclusion class runs at the 8192-vector slice (4× the
@@ -97,6 +111,8 @@ def main() -> None:
         ("dedup_embed_cosine", slice_dir, sliced),
         ("sim_lsh_bucketed", slice_dir, sliced),
         ("sim_knn_lsh", slice_dir, sliced + " (MLlib approxSimilarityJoin)"),
+        ("text_common_spans", doc_dir,
+         "20k-document bounded slice (4x the sf0.1 corpus)"),
     ]
 
     results: dict[str, dict] = {}
