@@ -689,6 +689,9 @@ def auto_bipartite_threshold_pairs(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cos"
         )
     except CorpusOverCapError:
+        # over-cap LSH tier: bands auto-size for the 0.9-recall target
+        # at this τ unless explicitly pinned (round-9 measured formula)
+        lsh_kwargs.setdefault("bands", None)
         return lsh_bipartite_threshold_pairs(
             left, right, tau, vec_col_a, id_col_a, vec_col_b, id_col_b,
             ndigits=ndigits, **lsh_kwargs,
@@ -820,12 +823,18 @@ def auto_threshold_pairs(
     probe (CorpusOverCapError → LSH route) — no separate probe job on
     either route.  Emitted pairs are exactly correct on BOTH routes
     (the LSH route verifies candidates); only recall becomes
-    approximate past the cutover."""
+    approximate past the cutover.
+
+    The LSH fallback defaults to ``bands=None`` (auto-sized from the
+    banding identity for a 0.9 recall target at τ — the formula the
+    round-9 100× measurement validated) unless the caller pins an
+    explicit band count."""
     try:
         return _threshold_pairs_broadcast(
             df, tau, vec_col, id_col, [], ndigits, max_rows=exact_max_rows
         )
     except CorpusOverCapError:
+        lsh_kwargs.setdefault("bands", None)
         return lsh_threshold_pairs(
             df, tau, vec_col, id_col, ndigits=ndigits, **lsh_kwargs
         )
