@@ -10,18 +10,16 @@ of that class: rounding on big-magnitude float aggregates, window
 frames over 100× partitions, join results crossing broadcast/SMJ
 strategy changes, overflow in hash gates.
 
-Scope: every registered key EXCEPT
-  * keys whose cost is quadratic in corpus size by design (exact
-    all-pairs similarity / embedding dedup at 200k vectors);
-  * streaming replay keys (each rewrites the 10M-row events table
-    into a .scratch replay dir — infrastructure cost, not a parity
-    risk distinct from their batch twins);
-  * roundtrip/sink keys that rewrite the 100× dataset to disk in a
-    slow format (csv/json/xml of 60M rows);
-  * keys whose OUTPUT is the full table (row guard: a result larger
-    than ROW_CAP rows is skipped — python-side normalization of 60M
-    rows is the harness's cost, not the engine's).
-Every skip is recorded with its reason — no silent truncation.
+Scope: every registered key EXCEPT the quadratic-ORACLE class (exact
+all-pairs similarity / embedding dedup — the 200k-vector DuckDB
+oracle is 2e10 dot products; every key in the class passes full
+value-hash parity on an 8192-vector slice in parity100_rotation.py)
+and text_common_spans (500k-doc span self-join; 20k-doc slice
+evidence likewise).  Round 9 graduated the ENTIRE streaming family
+and the text-format roundtrips into this sweep — measured affordable
+(2.6-113 s/key at 10M events).  Oversized results compare via the
+exact-digest tier (digest_exprs).  Every skip is recorded with its
+reason — no silent truncation.
 
 Usage: python tools/parity_super100.py [super_dir] [out_json]
 """
@@ -72,11 +70,7 @@ EXCLUDE = {
     # sessions and stream_dedup_watermark replayed 20M rows here).
     # The rest stay excluded for genuine replay/state cost, each with
     # density-sliced coverage in parity_super100_streaming.py.
-    **{k: "streaming replay/state cost at 10M events "
-          "(density-sliced coverage: parity_super100_streaming.py)" for k in [
-        "stream_watermark_late", "stream_dedup", "stream_stateful",
-        "stream_join_stream", "stream_recovery",
-    ]},
+
     # scan_csv/json/xml_roundtrip: EX-exclusions.  Round 9's rotation
     # quota (parity100_rotation.py) showed the r8 reasons were wrong —
     # each key filters to a few-thousand-row slice BEFORE writing, so
