@@ -254,6 +254,82 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.click_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT ts AS click_ts FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts + INTERVAL 2 HOUR
+      ORDER BY ABS(EPOCH_US(c.ts) - EPOCH_US(p.ts)), c.ts
+      LIMIT 1
+    ) c ON TRUE
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOLERANCE-BOUNDED nearest as-of join (pandas ``merge_asof
+    direction='nearest', tolerance=2h``): each purchase matched to
+    the closest click within ±2 hours, per user, NULL when no click
+    falls inside the window — the bound join_asof_nearest lacks, and
+    what telemetry alignment actually wants (an hours-stale match is
+    worse than no match).
+
+    Scalable decomposition: ONE shuffle on user_id, then TWO window
+    passes over the same partitioning — the backward pass carries the
+    latest click at-or-before each purchase forward (ts asc, click
+    sorts first on ties so an exactly-coincident click is seen), the
+    forward pass carries the earliest click at-or-after backward (ts
+    desc, same tie flag); the nearer of the two candidates inside the
+    tolerance wins, distance ties break to the EARLIER click —
+    matching the oracle's ``ORDER BY abs(Δt), ts``.  No range-join
+    blowup: cost is the sort, state is one timestamp per direction.
+    The lateral-scan oracle is the semantic spec; it would be
+    quadratic per user at scale, which is the point of this plan."""
+    tol_us = 2 * 3600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(1).alias("is_p"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id", "ts",
+        F.col("ts").alias("c_ts"),
+        F.lit(0).alias("is_p"),
+    )
+    unioned = purchases.unionByName(clicks)
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_p").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_p").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    back = F.last("c_ts", ignorenulls=True).over(w_back)
+    fwd = F.last("c_ts", ignorenulls=True).over(w_fwd)
+    d_back = F.unix_micros(F.col("ts")) - F.unix_micros(back)
+    d_fwd = F.unix_micros(fwd) - F.unix_micros(F.col("ts"))
+    ok_back = back.isNotNull() & (d_back <= tol_us)
+    ok_fwd = fwd.isNotNull() & (d_fwd <= tol_us)
+    nearest = (
+        F.when(ok_back & ok_fwd, F.when(d_back <= d_fwd, back).otherwise(fwd))
+        .when(ok_back, back)
+        .when(ok_fwd, fwd)
+    )
+    return (
+        unioned.withColumn("click_ts", nearest)
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "click_ts")
+    )
+
+
+@query(
     "join_q3_topk",
     oracle="""
     SELECT l_orderkey,

@@ -45,3 +45,21 @@ def test_split_reassembly_is_exact_at_large_totals(spark):
     got = df.agg(exact_money_sum(F.col("v"), "s")).collect()[0]["s"]
     exact = 2000 * 9_999_999_999  # ten-thousandths, exact int
     assert got == float(exact) / TT
+
+
+def test_null_semantics_match_decimal_sum(spark):
+    """SUM skips NULLs and returns NULL for all-NULL groups in both
+    the DECIMAL spelling and the split-long spelling — the hi/lo
+    parts are NULL exactly when the input is, so both long sums skip
+    the same rows."""
+    rows = [(0, 1.5), (0, None), (0, 2.25), (1, None), (1, None)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    fast = dict(
+        df.groupBy("g").agg(exact_money_sum(F.col("v"), "s")).collect()
+    )
+    slow = dict(
+        df.groupBy("g")
+        .agg(F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("s"))
+        .collect()
+    )
+    assert fast == slow == {0: 3.75, 1: None}
