@@ -1901,6 +1901,87 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_split_leakproof",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang, MD5(TRIM(LOWER(text))) AS fp FROM documents
+    ), u AS (
+      SELECT doc_id, lang, fp,
+             (ASCII(SUBSTR(fp,1,1)) - CASE WHEN ASCII(SUBSTR(fp,1,1)) >= 97 THEN 87 ELSE 48 END) * 4096
+           + (ASCII(SUBSTR(fp,2,1)) - CASE WHEN ASCII(SUBSTR(fp,2,1)) >= 97 THEN 87 ELSE 48 END) * 256
+           + (ASCII(SUBSTR(fp,3,1)) - CASE WHEN ASCII(SUBSTR(fp,3,1)) >= 97 THEN 87 ELSE 48 END) * 16
+           + (ASCII(SUBSTR(fp,4,1)) - CASE WHEN ASCII(SUBSTR(fp,4,1)) >= 97 THEN 87 ELSE 48 END) AS u16
+      FROM f
+    ), s AS (
+      SELECT *, CASE WHEN u16 < 52429 THEN 'train'
+                     WHEN u16 < 58982 THEN 'val'
+                     ELSE 'test' END AS split
+      FROM u
+    ), per AS (
+      SELECT split, COUNT(*) AS n_docs,
+             COUNT(DISTINCT fp) AS n_fingerprints
+      FROM s GROUP BY split
+    ), leak AS (
+      SELECT COUNT(*) = 0 AS leak_free FROM (
+        SELECT fp FROM s GROUP BY fp HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT split, n_docs, n_fingerprints, leak_free
+    FROM per CROSS JOIN leak
+    """,
+)
+def corpus_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test split (80/10/10): the split gate
+    hashes the CONTENT fingerprint (md5 of normalized text), not the
+    doc_id — so exact duplicates land in the SAME split by
+    construction and a near-miss eval set cannot be contaminated by a
+    re-crawled copy of a training document (the classic doc-id-split
+    leak).  The gate parses the first 4 hex chars of the fingerprint
+    into a uniform 16-bit integer with plain SUBSTR/ASCII arithmetic
+    — expressible IDENTICALLY in Spark and DuckDB, so the assignment
+    (not just the counts) is cross-engine exact.
+
+    Output: per-split doc and distinct-fingerprint counts plus a
+    computed ``leak_free`` flag (no fingerprint spans two splits) —
+    the design claim is verified in-plan, not assumed.  Scale shape:
+    one md5 projection, one groupBy(split) partial agg, one
+    groupBy(fp) for the leak proof — shuffle keys are 8-byte-class,
+    never the texts.  At 100 TB the split column is written
+    partitionBy so downstream readers partition-prune their split."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.lower(F.col("text"))))
+    hexval = lambda i: (
+        F.ascii(F.substring(F.col("fp"), i, 1))
+        - F.when(F.ascii(F.substring(F.col("fp"), i, 1)) >= 97, 87).otherwise(48)
+    )
+    s = (
+        docs.select("doc_id", fp.alias("fp"))
+        .withColumn(
+            "u16",
+            hexval(1) * 4096 + hexval(2) * 256 + hexval(3) * 16 + hexval(4),
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("u16") < 52429, "train")
+            .when(F.col("u16") < 58982, "val")
+            .otherwise("test"),
+        )
+    )
+    per = s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_fingerprints"),
+    )
+    leak = (
+        s.groupBy("fp")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .agg((F.count(F.when(F.col("_ns") > 1, 1)) == 0).alias("leak_free"))
+    )
+    return per.crossJoin(F.broadcast(leak)).select(
+        "split", "n_docs", "n_fingerprints", "leak_free"
+    )
+
+
+@query(
     "corpus_importance_sample",
     oracle="""
     WITH w AS (
