@@ -81,6 +81,8 @@ CASES = [
     ("corpus_importance_sample", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "hash-gated importance sampling is a scan-side filter"),
     ("events_path_topk", r"TakeOrderedAndProject", r"SinglePartition", "per-user window, never global; top-20 is TakeOrdered"),
     ("events_user_similarity", r"TakeOrderedAndProject", r"CartesianProduct|BroadcastNestedLoopJoin", "candidates from the trigram inverted-index equi-join, never all-pairs"),
+    ("join_asof_tolerance", r"Window(.|\n)*Window", r"hashpartitioning(.|\n)*hashpartitioning", "backward+forward tolerance passes share one user_id shuffle"),
+    ("corpus_split_leakproof", r"HashAggregate(.|\n)*HashAggregate", r"BatchEvalPython|ArrowEvalPython", "fingerprint split gate is JVM md5/ascii arithmetic, partial-agged"),
 ]
 
 
