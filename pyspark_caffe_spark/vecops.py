@@ -522,6 +522,59 @@ def auto_bands(tau: float, planes_per_band: int, target_recall: float = 0.9) -> 
     )
 
 
+def auto_geometry(
+    tau: float,
+    na: int,
+    nb: int,
+    max_bucket: int = 4096,
+    target_recall: float = 0.9,
+    candidate_budget_per_row: int = 256,
+) -> tuple[int, int, float]:
+    """Jointly size (planes_per_band, bands) for a banded sign-LSH run
+    over corpora of ``na`` × ``nb`` rows, and report the PREDICTED
+    recall at threshold τ — the full parameter story the round-9 100×
+    measurement validated, automated:
+
+      * P floor from bucket occupancy (2^P signatures must spread the
+        larger side under the skew cap — the recall-collapse guard);
+      * P raised for CANDIDATE ECONOMY: junk collisions ≈
+        bands·na·nb/2^P must fit a budget LINEAR in the corpus
+        (``candidate_budget_per_row``·(na+nb) — verify work per corpus
+        row stays constant at any scale);
+      * bands re-sized for the recall target at each P
+        (:func:`auto_bands`), iterated to the fixed point (monotone,
+        converges in ≤ a few steps).
+
+    The returned ``predicted_recall`` is the honest feasibility
+    signal: when the bands clamp (≤96) cannot reach the target at the
+    economy-forced P — moderate τ over a near-uniform corpus, the
+    regime the 100× measurement showed needs 10^9-class candidates —
+    it comes back BELOW target, and the caller should route to an
+    exact tier rather than silently under-recall.  At the measured
+    near-dup regime (τ=0.9, 100k×100k) this function reproduces
+    exactly the validated geometry: (P=12, B=14, predicted 0.907,
+    measured 0.990)."""
+    n_max = max(na, nb, 2)
+    target_occ = max(1, max_bucket // 4)
+    p_floor = min(12, max(4, math.ceil(math.log2(max(2, n_max / target_occ)))))
+    budget = candidate_budget_per_row * max(2, na + nb)
+    planes, bands = p_floor, auto_bands(tau, p_floor, target_recall)
+    for _ in range(6):
+        econ = math.ceil(
+            math.log2(max(2.0, bands * float(na) * float(nb) / budget))
+        )
+        p_new = min(24, max(p_floor, econ))
+        if p_new == planes:
+            break
+        planes = p_new
+        bands = auto_bands(tau, planes, target_recall)
+    p_band = (
+        1.0 - math.acos(min(1.0, max(-1.0, tau))) / math.pi
+    ) ** planes
+    predicted = 1.0 - (1.0 - p_band) ** bands
+    return planes, bands, predicted
+
+
 def lsh_bipartite_threshold_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -689,9 +742,30 @@ def auto_bipartite_threshold_pairs(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "cos"
         )
     except CorpusOverCapError:
-        # over-cap LSH tier: bands auto-size for the 0.9-recall target
-        # at this τ unless explicitly pinned (round-9 measured formula)
-        lsh_kwargs.setdefault("bands", None)
+        # over-cap: size the LSH tier's FULL geometry from the corpus
+        # counts and the banding identity (auto_geometry) unless the
+        # caller pinned it.  When even the clamped band count cannot
+        # reach the recall target at the economy-forced P (moderate τ
+        # over near-uniform data — the regime the round-9 100×
+        # measurement showed is un-prunable), route to the EXACT
+        # distributed grid tier instead of silently dropping pairs.
+        if "bands" not in lsh_kwargs and "planes_per_band" not in lsh_kwargs:
+            target = lsh_kwargs.get("target_recall", 0.9)
+            na, nb = left.count(), right.count()
+            planes, bands, predicted = auto_geometry(
+                tau, na, nb,
+                max_bucket=lsh_kwargs.get("max_bucket", 4096),
+                target_recall=target,
+            )
+            if predicted + 1e-9 < target:
+                return _bipartite_blocked(
+                    left, right, tau, vec_col_a, id_col_a,
+                    vec_col_b, id_col_b, ndigits, BLOCK_ROWS,
+                )
+            lsh_kwargs["planes_per_band"] = planes
+            lsh_kwargs["bands"] = bands
+        else:
+            lsh_kwargs.setdefault("bands", None)
         return lsh_bipartite_threshold_pairs(
             left, right, tau, vec_col_a, id_col_a, vec_col_b, id_col_b,
             ndigits=ndigits, **lsh_kwargs,
@@ -834,7 +908,25 @@ def auto_threshold_pairs(
             df, tau, vec_col, id_col, [], ndigits, max_rows=exact_max_rows
         )
     except CorpusOverCapError:
-        lsh_kwargs.setdefault("bands", None)
+        # same geometry/feasibility dispatch as the bipartite router:
+        # auto-sized (P, bands) from the corpus count, exact block-pair
+        # tier when the recall target is LSH-infeasible at this τ
+        if "bands" not in lsh_kwargs and "planes_per_band" not in lsh_kwargs:
+            target = lsh_kwargs.get("target_recall", 0.9)
+            n = df.count()
+            planes, bands, predicted = auto_geometry(
+                tau, n, n,
+                max_bucket=lsh_kwargs.get("max_bucket", 4096),
+                target_recall=target,
+            )
+            if predicted + 1e-9 < target:
+                return _threshold_pairs_blocked(
+                    df, tau, vec_col, id_col, [], ndigits, n, BLOCK_ROWS
+                )
+            lsh_kwargs["planes_per_band"] = planes
+            lsh_kwargs["bands"] = bands
+        else:
+            lsh_kwargs.setdefault("bands", None)
         return lsh_threshold_pairs(
             df, tau, vec_col, id_col, ndigits=ndigits, **lsh_kwargs
         )

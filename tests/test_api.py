@@ -596,3 +596,43 @@ def test_lsh_auto_bands_sizing(spark, sf_dir):
     assert got <= want, "LSH route emitted a non-pair (verify stage broken)"
     if want:
         assert len(got) / len(want) >= 0.8
+
+
+def test_auto_geometry_joint_sizing_and_exact_fallback(spark, sf_dir):
+    """auto_geometry reproduces the 100×-validated near-dup geometry,
+    signals the un-prunable regime, and the routers act on the
+    signal: an LSH-infeasible (τ, recall-target) combination routes
+    to the EXACT tier — the result equals the exact pair set, not a
+    low-recall subset."""
+    from pyspark_caffe_spark import vecops
+    from pyspark_caffe_spark.tables import load_table
+
+    # the measured-good near-dup geometry falls out of the fixed point
+    assert vecops.auto_geometry(0.9, 100_000, 100_000)[:2] == (12, 14)
+    # moderate-τ uniform at scale: bands clamp, predicted ≪ target
+    _, _, pred = vecops.auto_geometry(0.4, 100_000, 100_000)
+    assert pred < 0.5
+    # fixture-sized feasible case keeps the LSH tier honest
+    p4, b4, pr4 = vecops.auto_geometry(0.38, 250, 250)
+    assert p4 == 4 and pr4 >= 0.9
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    left = emb.filter(F.col("vec_id") % 2 == 0)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    tau = 0.2
+    # an extreme recall target no clamped band count can reach at this
+    # τ → the router must take the exact grid tier (verified by exact
+    # equality, which the LSH tier could only achieve by accident)
+    want = sorted(
+        tuple(r)
+        for r in vecops.bipartite_threshold_pairs(left, right, tau).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in vecops.auto_bipartite_threshold_pairs(
+            left, right, tau, exact_max_rows=5, target_recall=0.999999
+        ).collect()
+    )
+    assert got == want
