@@ -74,26 +74,17 @@ def exact_percentiles(
     spark = df.sparkSession
     base = df.select(F.col(group_col).alias("g"), F.col(val_col).alias("v"))
 
-    # routing pass: a plain codegen'd count (NOT the sketch — paying a
-    # KLL build just to learn the data is small doubled the cost of
-    # the small case).  limit(max_groups+1) keeps the collect BOUNDED
-    # the same way vecops caps its broadcast tier: driver state here
-    # is O(|groups|·|ps|), so a high-cardinality group key must raise
-    # with a route, not OOM the driver.
-    sizes = (
-        base.groupBy("g")
-        .agg(F.count("v").alias("n"))
-        .limit(max_groups + 1)
-        .collect()
-    )
-    if len(sizes) > max_groups:
-        raise ValueError(
-            f"exact_percentiles: more than {max_groups} groups — driver "
-            "bracket state is O(|groups|*|ps|) and would not be bounded. "
-            "For high-cardinality group keys use percentile_approx (the "
-            "mergeable sketch) or raise max_groups explicitly."
-        )
-    if all(r["n"] <= buffer_threshold for r in sizes):
+    # routing: a TOTAL row count — metadata-only on a bare parquet
+    # scan (zero data columns read), a cheap single-column pass
+    # otherwise, and never a shuffle.  total ≤ threshold ⇒ no group
+    # can exceed it ⇒ built-in path with no further scans.  Earlier
+    # rounds routed on a per-group count aggregate, which cost a FULL
+    # extra scan in the big case (the case this module exists for);
+    # per-group sizes now ride the stats pass below, so the big case
+    # runs one scan fewer (routing advice, round 9).  A many-small-
+    # groups frame over a big total pays the stats pass and then still
+    # falls back — the acceptable corner.
+    if df.count() <= buffer_threshold:
         ok = False
         spec = None
     else:
@@ -101,6 +92,11 @@ def exact_percentiles(
         probes: list[float] = []
         for p in ps:
             probes += [max(0.0, p - delta), min(1.0, p + delta)]
+        # per-group stats — ALSO the per-group size source for the
+        # final routing check.  limit(max_groups+1) keeps the collect
+        # BOUNDED the way vecops caps its broadcast tier: driver state
+        # here is O(|groups|·|ps|), so a high-cardinality group key
+        # must raise with a route, not OOM the driver.
         stats = (
             base.groupBy("g")
             .agg(
@@ -109,8 +105,23 @@ def exact_percentiles(
                 F.min("v").alias("vmin"),
                 F.max("v").alias("vmax"),
             )
+            .limit(max_groups + 1)
             .collect()
         )
+        if len(stats) > max_groups:
+            raise ValueError(
+                f"exact_percentiles: more than {max_groups} groups — "
+                "driver bracket state is O(|groups|*|ps|) and would not "
+                "be bounded. For high-cardinality group keys use "
+                "percentile_approx (the mergeable sketch) or raise "
+                "max_groups explicitly."
+            )
+        if all(r["n"] <= buffer_threshold for r in stats):
+            # big total but every individual group small: the built-in
+            # buffering path is safe and cheaper than the brackets
+            ok = False
+            spec = None
+            break
         # spec per (group, p): bracket + target ranks.  Groups whose
         # val_col is all-NULL (n == 0) get no bracket — they are
         # re-emitted as null rows at the end (the built-in returns a
