@@ -243,3 +243,40 @@ def test_decimal_sums_partition_invariant(spark, sf_dir):
     finally:
         tx.load_table = orig
     assert base == repart
+
+
+@given(
+    tau=st.floats(min_value=0.05, max_value=0.99),
+    na=st.integers(min_value=100, max_value=10_000_000),
+    nb=st.integers(min_value=100, max_value=10_000_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_auto_geometry_invariants(tau, na, nb):
+    """auto_geometry (vecops): the joint (P, bands) sizing must
+    respect its own contract for ANY corpus shape — P within its
+    clamps and never below the occupancy floor, bands within the
+    auto_bands clamps, junk-candidate load within ~2× the linear
+    budget (P is integer so one doubling of slack is inherent), and
+    the predicted recall only falls short of target when the band
+    clamp binds (the explicit infeasibility signal the routers act
+    on)."""
+    import math
+
+    from pyspark_caffe_spark.vecops import auto_bands, auto_geometry
+
+    planes, bands, predicted = auto_geometry(tau, na, nb)
+    n_max = max(na, nb)
+    occupancy_floor = min(12, max(4, math.ceil(math.log2(max(2, n_max / 1024)))))
+    assert occupancy_floor <= planes <= 24
+    assert 8 <= bands <= 96
+    assert bands == auto_bands(tau, planes, 0.9)
+    # candidate economy: junk ≈ bands*na*nb/2^P ≤ 2× the linear budget
+    # (integer P: the fixed point can sit one doubling above target),
+    # UNLESS the P clamp (24) itself binds
+    junk = bands * float(na) * float(nb) / 2.0**planes
+    if planes < 24:
+        assert junk <= 2 * 256 * (na + nb) + 1
+    # infeasibility is always an explicit signal, never silent: if the
+    # target was reachable (bands below clamp), predicted ≥ target
+    if bands < 96:
+        assert predicted >= 0.9 - 1e-9
