@@ -691,6 +691,120 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_containment",
+    oracle=f"""
+    WITH aug AS ({_PERTURB_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id, UNNEST(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(STRING_SPLIT(text,' ')) - 3, 1) + 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+3], ' '))) AS sh
+      FROM aug
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8
+    """,
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C = |A∩B| / min(|A|,|B|) ≥ 0.8 —
+    the sub-document duplication pass symmetric Jaccard misses: a short
+    doc quoted inside a long one has tiny Jaccard (union dominated by
+    the long doc) but containment ≈ 1.  The planted truncated near-dups
+    (last 2 words dropped) are exactly this shape, so the fixture has
+    ground-truth positives.
+
+    Same inverted-index scale shape as dedup_ngram_jaccard: one shingle
+    explode, one shingle-keyed self-join, one (id_a, id_b) aggregate —
+    O(candidates) with the max_df document-frequency skew guard, never
+    O(n²).  Full value-hash oracle (same shingle space in DuckDB)."""
+    docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
+    return textops.containment_pairs(docs, "text", "doc_id", shingle_k=4, threshold=0.8)
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH toks AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY 1),
+    vb AS (
+      SELECT v.token, v.exact_cnt, d.depth,
+             CAST(('0x' || SUBSTR(MD5(CAST(d.depth AS VARCHAR) || ':' || v.token), 1, 8))
+                  AS BIGINT) % 1024 AS bucket
+      FROM vocab v CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS depth) d
+    ),
+    sketch AS (SELECT depth, bucket, CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+               FROM vb GROUP BY 1, 2),
+    est AS (
+      SELECT vb.token, MIN(vb.exact_cnt) AS exact_cnt, MIN(sk.cnt) AS est_cnt
+      FROM vb JOIN sketch sk USING (depth, bucket) GROUP BY vb.token
+    )
+    SELECT token, exact_cnt, est_cnt, est_cnt >= exact_cnt AS overest_ok
+    FROM est ORDER BY exact_cnt DESC, token ASC LIMIT 10
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    token frequencies estimated from a fixed d×w counter grid
+    (d=4, w=1024 → 32 KB of state regardless of corpus size), emitted
+    as the exact top-10 tokens with their CMS estimate and the
+    one-sided-error invariant flag (CMS never underestimates).
+
+    Hashes are md5-derived (first 8 hex chars → int, mod w) so DuckDB
+    computes the IDENTICAL sketch — the whole pipeline is full
+    value-hash cross-checked, not invariant-only.  The sketch is built
+    from the token-count vocab weighted by count — cell-for-cell equal
+    to streaming per-occurrence increments (sum is associative), but
+    one md5 per DISTINCT token instead of per occurrence.  Scale shape:
+    the vocab aggregate is Zipf-small, the sketch groupBy partial-
+    aggregates to ≤ d·w cells per task, and the estimate join
+    broadcasts the 4096-row sketch.  At 100 TB the sketch also merges
+    across shards/days by cell-wise addition — the property that makes
+    CMS the standard distributed heavy-hitter structure."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def md5_bucket(depth_col, token_col):
+        h = F.conv(
+            F.substring(F.md5(F.concat(depth_col.cast("string"), F.lit(":"), token_col)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(width))
+
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    vb = vocab.select(
+        "token",
+        "exact_cnt",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("depth"),
+    ).withColumn("bucket", md5_bucket(F.col("depth"), F.col("token")))
+    sketch = vb.groupBy("depth", "bucket").agg(F.sum("exact_cnt").alias("cnt"))
+    est = (
+        vb.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("token")
+        .agg(F.min("exact_cnt").alias("exact_cnt"), F.min("cnt").alias("est_cnt"))
+    )
+    return (
+        est.select(
+            "token",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("overest_ok"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(10)
+    )
+
+
+@query(
     "pipeline_corpus",
     oracle=f"""
     WITH aug AS ({_AUG_SQL}),

@@ -204,6 +204,57 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 4,
+    threshold: float = 0.8,
+    max_df: int | None = 1024,
+) -> DataFrame:
+    """Asymmetric shingle-set containment pairs: C = |A∩B| / min(|A|,|B|).
+
+    Catches the sub-document duplication symmetric Jaccard misses — a
+    short doc fully quoted inside a long one has tiny Jaccard (union is
+    dominated by the long doc) but containment ≈ 1.  Web-corpus
+    pipelines (C4-style) run exactly this pass to drop quoted/embedded
+    copies that survive the near-dup filter.
+
+    Same inverted-index shape (and the same ``max_df``
+    document-frequency skew guard) as :func:`jaccard_pairs`: one
+    explode, one self-join keyed on the shingle, one (id_a, id_b)
+    aggregate — O(candidates), never O(n²); shingles over the df cap
+    are dropped from the shingle space on BOTH sides so the ratio
+    stays internally consistent.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles_of(text_col, shingle_k))).alias("sh")
+    )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    cont = F.col("n_common").cast("double") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        inter.join(sa, F.col(f"sa.{id_col}") == F.col("id_a"))
+        .join(sb, F.col(f"sb.{id_col}") == F.col("id_b"))
+        .filter(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
 def quality_columns(text_col: str = "text", stopwords: list[str] | None = None) -> dict[str, Column]:
     """Standard corpus-quality signals as named Columns."""
     stopwords = stopwords or STOPWORDS

@@ -96,6 +96,36 @@ def test_jaccard_pairs(spark, docs_df):
     assert 0.5 <= out[(0, 2)] < 1.0
 
 
+def test_containment_pairs_prefix_dup(spark, docs_df):
+    """Truncated copy: every shingle of the short doc is in the long
+    one → containment exactly 1.0 (and the exact-dup pair too)."""
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in textops.containment_pairs(docs_df, threshold=0.8).collect()
+    }
+    assert out[(0, 1)] == 1.0 and out[(0, 2)] == 1.0 and out[(1, 2)] == 1.0
+    assert not any(3 in p for p in out)
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """A short doc quoted inside a much longer one: containment = 1.0
+    but Jaccard is far below the 0.5 near-dup bar — the case this
+    operator exists for."""
+    quote = "to be or not to be that is the question"
+    filler = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote} {filler}")],
+        schema="doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in textops.containment_pairs(df, threshold=0.8).collect()
+    }
+    assert cont[(1, 2)] == 1.0
+    jac = textops.jaccard_pairs(df, threshold=0.0).collect()
+    assert all(r["jaccard"] < 0.5 for r in jac)  # symmetric metric misses it
+
+
 def test_jaccard_hot_shingle_guard(spark):
     """Planted ubiquitous shingle: df-cutoff must suppress its quadratic
     candidate block while true near-dups (overlapping on non-hot
@@ -122,6 +152,21 @@ def test_minhash_bucket_guard(spark):
     assert ungated.count() == 30 * 29 // 2
     gated = textops.minhash_dedup_pairs(df, num_hashes=16, bands=8, max_bucket=16)
     assert gated.count() == 0
+
+
+def test_countmin_one_sided_error_under_collisions(spark, sf_dir):
+    """Count-min with a deliberately tiny sketch (d=2, w=8): collisions
+    are guaranteed, the one-sided-error property must still hold
+    (est ≥ exact for every token) and at least one estimate must
+    actually be inflated — proving the sketch, not the vocab, produced
+    the numbers."""
+    from pyspark_caffe_spark.queries.llm import text_heavy_hitters
+
+    rows = text_heavy_hitters(spark, sf_dir, depth=2, width=8).collect()
+    assert len(rows) == 10
+    assert all(r["overest_ok"] for r in rows)
+    assert all(r["est_cnt"] >= r["exact_cnt"] for r in rows)
+    assert any(r["est_cnt"] > r["exact_cnt"] for r in rows)
 
 
 def test_vecops_topk_matches_numpy(spark, emb_df):
