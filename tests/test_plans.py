@@ -83,6 +83,8 @@ CASES = [
     ("events_user_similarity", r"TakeOrderedAndProject", r"CartesianProduct|BroadcastNestedLoopJoin", "candidates from the trigram inverted-index equi-join, never all-pairs"),
     ("join_asof_tolerance", r"Window(.|\n)*Window", r"hashpartitioning(.|\n)*hashpartitioning", "backward+forward tolerance passes share one user_id shuffle"),
     ("corpus_split_leakproof", r"HashAggregate(.|\n)*HashAggregate", r"BatchEvalPython|ArrowEvalPython", "fingerprint split gate is JVM md5/ascii arithmetic, partial-agged"),
+    ("text_containment", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", r"CartesianProduct|BroadcastNestedLoopJoin", "candidates from the shingle inverted-index equi-join, never all-pairs"),
+    ("text_heavy_hitters", r"BroadcastHashJoin", r"CartesianProduct|BatchEvalPython|ArrowEvalPython", "4096-cell sketch broadcasts onto the vocab; all-JVM md5 arithmetic"),
 ]
 
 
