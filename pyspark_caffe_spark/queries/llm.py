@@ -2169,3 +2169,59 @@ def corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1000.0 / F.col("p_permille"), 6).alias("ips_weight"),
         )
     )
+
+
+def _md5_rank_key(id_col) -> "F.Column":
+    """Deterministic 60-bit rank key: first 15 md5 hex chars of the id
+    → long.  Content-deterministic (same sample across engines, reruns,
+    partitionings) and uniform — the rank-by-hash idiom that makes a
+    'random' per-group sample reproducible at 100 TB."""
+    return F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+
+
+@query(
+    "corpus_domain_cap",
+    oracle="""
+    WITH h AS (
+      SELECT source, lang, doc_id,
+             CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+      FROM documents
+    )
+    SELECT source, doc_id, lang, rk FROM (
+      SELECT source, doc_id, lang,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id)
+                  AS INTEGER) AS rk
+      FROM h
+    ) WHERE rk <= 10
+    """,
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str, k: int = 10, salts: int = 16) -> DataFrame:
+    """Exact-k-per-domain cap — 'at most k docs per source', the
+    per-domain limit web-corpus pipelines apply so no single domain
+    dominates the training mix.  Rate-based sampling
+    (sample_stratified) cannot give a hard cap under skew; this is the
+    bounded-output version: keep the k docs with the smallest md5 rank
+    key per source (a content-deterministic 'random' k, identical
+    across engines and reruns).
+
+    Scale shape — the naive single window partitionBy(source) puts an
+    entire hot domain in ONE task (the classic 100 TB skew trap:
+    a 1e9-doc domain sorts on one executor).  Two-phase instead:
+    (1) local top-k per (source, salt-of-id) — 16 salt buckets bound
+    every window partition to ~1/16 of a domain; (2) exact global
+    top-k per source over the surviving ≤ salts·k rows/domain.  Phase
+    2's input is cap-bounded, so its window partitions are tiny BY
+    CONSTRUCTION regardless of input skew.  Provably equal to the
+    single-phase spelling (each global top-k row is its salt bucket's
+    local top-≤k) — asserted by test, and the oracle IS the
+    single-phase spelling."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("source", "lang", "doc_id", _md5_rank_key("doc_id").alias("hk"))
+    local_w = Window.partitionBy("source", F.pmod("doc_id", F.lit(salts))).orderBy("hk", "doc_id")
+    survivors = h.withColumn("_lrk", F.row_number().over(local_w)).filter(F.col("_lrk") <= k)
+    global_w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(global_w))
+        .filter(F.col("rk") <= k)
+        .select("source", "doc_id", "lang", "rk")
+    )

@@ -169,6 +169,30 @@ def test_countmin_one_sided_error_under_collisions(spark, sf_dir):
     assert any(r["est_cnt"] > r["exact_cnt"] for r in rows)
 
 
+def test_domain_cap_two_phase_equals_single_phase(spark, sf_dir):
+    """The salted two-phase top-k must be row-identical to the naive
+    single-window spelling (the skew fix may not change results), and
+    every source must be capped at exactly k."""
+    from pyspark.sql import Window
+
+    from pyspark_caffe_spark.queries.llm import _md5_rank_key, corpus_domain_cap
+    from pyspark_caffe_spark.tables import load_table
+
+    two = corpus_domain_cap(spark, sf_dir, k=7, salts=4)
+    h = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", "doc_id", _md5_rank_key("doc_id").alias("hk")
+    )
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    one = (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 7)
+        .select("source", "doc_id", "lang", "rk")
+    )
+    assert two.exceptAll(one).count() == 0 and one.exceptAll(two).count() == 0
+    per_src = {r["source"]: r["n"] for r in two.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 7 for n in per_src.values())
+
+
 def test_vecops_topk_matches_numpy(spark, emb_df):
     df, mat = emb_df
     from pyspark_caffe_spark.nputil import round_half_away
