@@ -784,3 +784,37 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_2"), 4).alias("p99"),
         "n",
     )
+
+
+@query(
+    "agg_approx_topk",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native sketch heavy hitters: Spark 4's ``approx_top_k``
+    aggregate (Datasketches frequent-items / Misra-Gries) — the
+    fixed-memory, MERGEABLE top-k structure: map tasks build partial
+    sketches, the exchange carries one sketch per task (not the value
+    stream), merge is associative.  The hand-rolled companion is
+    text_heavy_hitters (count-min); this key exercises the built-in.
+
+    Full value-hash oracle, legitimately: Misra-Gries is EXACT when no
+    eviction ever occurs, i.e. whenever the number of distinct items
+    ≤ maxItemsTracked.  event_type has 5 distinct values and capacity
+    is 100, so the "approx" result provably equals the exact GROUP BY
+    at every scale factor — the oracle is the plain exact count.  (On
+    a high-cardinality column the guarantee degrades to the standard
+    ±n/capacity count bound; that regime is text_heavy_hitters'
+    invariant-flag territory.)"""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 5, 100)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").cast("long").alias("cnt"),
+        )
+    )
