@@ -818,3 +818,46 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("long").alias("cnt"),
         )
     )
+
+
+@query(
+    "agg_topk_sketch_rollup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted frequent-items sketch rollup — the daily-rollup
+    serving pattern for heavy hitters, mirroring agg_hll_rollup's
+    shape for distinct counts: per-day ``approx_top_k_accumulate``
+    sketches are WRITTEN to parquet once (binary Datasketches state, a
+    few hundred bytes per day), then any later query answers "top
+    items over a date range" by ``approx_top_k_combine`` +
+    ``_estimate`` over the STORED sketches — no rescan of the event
+    stream.  At 100 TB that turns an any-range top-k from a full-table
+    aggregate into a scan of |days| sketch rows.
+
+    Exactness for the oracle (same no-eviction argument as
+    agg_approx_topk): every daily sketch tracks ≤ 5 distinct values
+    against capacity 100, so each is exact, and the Misra-Gries merge
+    of exact sketches whose union of distinct items fits capacity is
+    exact — the estimate provably equals the plain GROUP BY."""
+    import os
+
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.expr("approx_top_k_accumulate(event_type, 100)").alias("sk")
+    )
+    path = _scratch("topk_sketches_" + os.path.basename(sf_dir.rstrip("/")))
+    daily.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    merged = stored.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sk, 100), 5)").alias("tk")
+    )
+    return merged.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("event_type"),
+        F.col("e.count").cast("long").alias("cnt"),
+    )
