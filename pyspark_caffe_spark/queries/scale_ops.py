@@ -1379,3 +1379,83 @@ def _serve_from_ann_index(
             (F.coalesce(F.col("_hits"), F.lit(0)) >= int(0.9 * k)).alias("recall_ok"),
         )
     )
+
+
+@query(
+    "profile_drift_psi",
+    oracle="""
+    WITH base AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+             COUNT(*) AS cb
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+    ),
+    cur AS (
+      SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+             COUNT(*) AS cc
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1
+    ),
+    nb AS (SELECT SUM(cb) AS nb FROM base),
+    nc AS (SELECT SUM(cc) AS nc FROM cur),
+    spine AS (SELECT UNNEST(RANGE(0, 10)) AS bucket)
+    SELECT s.bucket,
+           ROUND((COALESCE(cb, 0) + 1.0) / (nb + 10), 6) AS p_base,
+           ROUND((COALESCE(cc, 0) + 1.0) / (nc + 10), 6) AS p_cur,
+           ROUND(((COALESCE(cc, 0) + 1.0) / (nc + 10)
+                  - (COALESCE(cb, 0) + 1.0) / (nb + 10))
+                 * LN(((COALESCE(cc, 0) + 1.0) / (nc + 10))
+                      / ((COALESCE(cb, 0) + 1.0) / (nb + 10))), 6) AS psi_term
+    FROM spine s
+    LEFT JOIN base USING (bucket)
+    LEFT JOIN cur USING (bucket)
+    CROSS JOIN nb CROSS JOIN nc
+    """,
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per-bucket Population Stability
+    Index terms between two snapshots of the same table (orders before
+    vs from 1998), PSI = Σ (q−p)·ln(q/p) over fixed histogram buckets —
+    the standard feature-drift alarm an ML serving pipeline runs
+    between the training snapshot and live traffic.
+
+    Fixed LITERAL bucket edges (10 × 50k price bands, clamped) rather
+    than data-derived quantile edges: edges must be frozen with the
+    baseline or drift in the edges masks drift in the data — and
+    literal edges make both snapshots' histograms one partial-agged
+    groupBy each, no cross-snapshot dependency.  Laplace smoothing
+    ((cnt+1)/(n+B)) keeps empty buckets finite without special cases.
+    A 10-row bucket spine left-joins the histograms so a bucket absent
+    from BOTH snapshots still reports (the alarm's contract is one row
+    per bucket).  Scale shape: two selective scans → two ~10-row
+    aggregates; the scalar totals ride broadcast crossJoins — the
+    whole monitor is O(scan) with constant-size state, runnable
+    per-day at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9))
+    base = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("cb"))
+    )
+    cur = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("cc"))
+    )
+    nb = base.agg(F.sum("cb").alias("nb"))
+    nc = cur.agg(F.sum("cc").alias("nc"))
+    spine = spark.range(10).select(F.col("id").alias("bucket"))
+    p = (F.coalesce(F.col("cb"), F.lit(0)) + 1.0) / (F.col("nb") + 10)
+    q = (F.coalesce(F.col("cc"), F.lit(0)) + 1.0) / (F.col("nc") + 10)
+    return (
+        spine.join(base, "bucket", "left")
+        .join(cur, "bucket", "left")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "bucket",
+            F.round(p, 6).alias("p_base"),
+            F.round(q, 6).alias("p_cur"),
+            F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+        )
+    )
