@@ -193,6 +193,34 @@ def test_domain_cap_two_phase_equals_single_phase(spark, sf_dir):
     assert all(n == 7 for n in per_src.values())
 
 
+def test_drift_psi_invariants(spark, sf_dir):
+    """PSI math invariants: each term (q−p)·ln(q/p) is ≥ 0 (sign(q−p)
+    = sign(ln(q/p))), smoothed shares sum to 1 per snapshot, and the
+    full 10-bucket spine reports."""
+    from pyspark_caffe_spark.queries.scale_ops import profile_drift_psi
+
+    rows = profile_drift_psi(spark, sf_dir).collect()
+    assert sorted(r["bucket"] for r in rows) == list(range(10))
+    assert all(r["psi_term"] >= 0 for r in rows)
+    assert abs(sum(r["p_base"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["p_cur"] for r in rows) - 1.0) < 1e-4
+
+
+def test_containment_dominates_jaccard(spark, docs_df):
+    """For every candidate pair, containment ≥ Jaccard (min ≤ union),
+    with equality only when the shingle sets are equal-sized."""
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in textops.jaccard_pairs(docs_df, threshold=0.0).collect()
+    }
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in textops.containment_pairs(docs_df, threshold=0.0).collect()
+    }
+    assert set(jac) == set(cont)
+    assert all(cont[p] >= jac[p] - 1e-9 for p in jac)
+
+
 def test_vecops_topk_matches_numpy(spark, emb_df):
     df, mat = emb_df
     from pyspark_caffe_spark.nputil import round_half_away
