@@ -1163,6 +1163,97 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STYLE_RE = r"<style[^>]*>[\s\S]*?</style>"
+_TAG_RE = r"<[^>]+>"
+
+
+@query(
+    "text_html_strip",
+    oracle=f"""
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id ||
+             '</title><style>body{{margin:0;font:14px sans}}</style>' ||
+             '</head><body><nav><a href="/">Home</a> | ' ||
+             '<a href="/about">About</a></nav><h1>Doc ' || doc_id ||
+             '</h1><p>' || REPLACE(text, ' table ', ' &lt;table&gt; ') ||
+             '</p><footer>&copy; example &amp; co</footer></body></html>'
+             AS html
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id, html,
+             TRIM(REGEXP_REPLACE(
+               REPLACE(REPLACE(REPLACE(REPLACE(
+                 REGEXP_REPLACE(REGEXP_REPLACE(html, '{_STYLE_RE}', ' ', 'g'),
+                                '{_TAG_RE}', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&copy;', '(c)'), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS clean_text
+      FROM pages
+    )
+    SELECT doc_id, clean_text,
+           CAST(LENGTH(html) AS BIGINT) AS n_raw,
+           CAST(LENGTH(clean_text) AS BIGINT) AS n_clean,
+           CAST(LENGTH(clean_text) AS DOUBLE) / LENGTH(html) AS retained_ratio
+    FROM stripped
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal — the first pass over every web-crawl
+    corpus: drop style/script blocks, strip tags, decode entities,
+    collapse whitespace, and report the retained-text ratio (the
+    standard boilerplate-density quality signal).  The fixture text is
+    plain, so each doc is first wrapped in a deterministic page
+    skeleton (title/nav/heading/footer + planted entities) in-query —
+    the SAME construction as the oracle — then stripped.
+
+    All chained codegen'd regexp/replace ops: at 100 TB this is a pure
+    scan-side map stage — no shuffle, no Python, and the regexes are
+    RE2-compatible (no backtracking blowup on adversarial pages).
+    Entity decode order (&lt;/&gt;/&copy; before &amp;) matches the
+    oracle so double-encoded sequences resolve identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>body{margin:0;font:14px sans}</style>"),
+        F.lit('</head><body><nav><a href="/">Home</a> | '),
+        F.lit('<a href="/about">About</a></nav><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.replace(F.col("text"), F.lit(" table "), F.lit(" &lt;table&gt; ")),
+        F.lit("</p><footer>&copy; example &amp; co</footer></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    detagged = F.regexp_replace(
+        F.regexp_replace("html", _STYLE_RE, " "), _TAG_RE, " "
+    )
+    decoded = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(detagged, F.lit("&lt;"), F.lit("<")),
+                F.lit("&gt;"),
+                F.lit(">"),
+            ),
+            F.lit("&copy;"),
+            F.lit("(c)"),
+        ),
+        F.lit("&amp;"),
+        F.lit("&"),
+    )
+    stripped = pages.select(
+        "doc_id",
+        "html",
+        F.trim(F.regexp_replace(decoded, r"\s+", " ")).alias("clean_text"),
+    )
+    return stripped.select(
+        "doc_id",
+        "clean_text",
+        F.length("html").cast("long").alias("n_raw"),
+        F.length("clean_text").cast("long").alias("n_clean"),
+        (F.length("clean_text").cast("double") / F.length("html")).alias("retained_ratio"),
+    )
+
+
 @query(
     "multimodal_dedup",
     oracle="""

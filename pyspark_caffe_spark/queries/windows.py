@@ -258,3 +258,81 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment", "c_acctbal",
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# Truncated EWMA with decay 3/4 over 20 terms (tail weight
+# 0.75^20 ≈ 0.3%).  Truncation is what BOUNDS the per-row state (a
+# true recursive EWMA needs an unbounded running value that no
+# engine's window frame expresses without a sequential per-partition
+# scan), and the RATIONAL decay is what makes the result engine-exact:
+# weight_k = 0.75^k = 3^k/4^19-normalized to the INTEGER
+# a_k = 3^k·4^(19-k), so numerator and denominator are exact LONG
+# sums (float weighted sums drifted 1 ULP between Spark and DuckDB —
+# measured, round 9).  Magnitude bound: cents ≤ ~5e6 per event gives
+# N ≤ 5e6·Σa_k ≈ 5.4e18 < 2^63, ANSI raises beyond instead of
+# wrapping.
+_EWMA_TERMS = 20
+_EWMA_A = [3**k * 4 ** (_EWMA_TERMS - 1 - k) for k in range(_EWMA_TERMS)]
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n             ".join(
+        f"LAG(value, {k}) OVER w AS l{k}" for k in range(1, _EWMA_TERMS)
+    )
+    num = f"c * {_EWMA_A[0]}"
+    den = f"{_EWMA_A[0]}"
+    for k in range(1, _EWMA_TERMS):
+        cl = f"CAST(ROUND(l{k} * 100) AS BIGINT)"
+        num += f" + (CASE WHEN l{k} IS NULL THEN 0 ELSE {cl} * {_EWMA_A[k]} END)"
+        den += f" + (CASE WHEN l{k} IS NULL THEN 0 ELSE {_EWMA_A[k]} END)"
+    return f"""
+    WITH lagged AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS c,
+             {lags}
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(({num}) AS DOUBLE) / CAST(100 * ({den}) AS DOUBLE) AS ewma
+    FROM lagged
+    """
+
+
+@query("win_ewma", oracle=_ewma_oracle())
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (the smoothing behind rate/engagement trend features), as a
+    TRUNCATED EWMA: ewma_i = Σ_{k<20} 0.75^k·x_{i-k} / Σ 0.75^k over
+    the lags that exist (pandas ``ewm(adjust=True)`` semantics cut at
+    20 terms).
+
+    Scale shape: ONE window spec (partition user_id, order ts +
+    unique tiebreak), so all 19 lags evaluate in a single Window exec
+    after a single shuffle on user_id — per-row state is a bounded
+    20-slot frame, never a per-partition sequential recursion.
+
+    Exactness: values are 2dp-grid, so each term is integer cents ×
+    the integer weight 3^k·4^(19-k); numerator and denominator are
+    exact associative LONG sums (a float weighted sum drifted 1 ULP
+    between engines), and the single final double division of two
+    identical integers is bit-identical — no rounding column, no
+    halfway hazard."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def cents(col):
+        return F.round(col * 100).cast("long")
+
+    num = cents(F.col("value")) * F.lit(_EWMA_A[0])
+    den = F.lit(_EWMA_A[0])
+    for k in range(1, _EWMA_TERMS):
+        lk = F.lag("value", k).over(w)
+        num = num + F.when(lk.isNull(), F.lit(0)).otherwise(cents(lk) * F.lit(_EWMA_A[k]))
+        den = den + F.when(lk.isNull(), F.lit(0)).otherwise(F.lit(_EWMA_A[k]))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (num.cast("double") / (F.lit(100) * den).cast("double")).alias("ewma"),
+    )
