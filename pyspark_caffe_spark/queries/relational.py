@@ -756,6 +756,55 @@ def sink_sorted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_bloom_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders WHERE o_custkey IN (7, 11, 13)
+    """,
+)
+def sink_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM FILTERS for point lookups on a scattered key —
+    the third layout lever after partitioning (sink_partitioned) and
+    sorted min/max stats (sink_sorted_stats).  The table is laid out
+    by date, so o_custkey values span the full range in EVERY row
+    group and min/max skipping is useless for customer lookups; a
+    per-row-group bloom filter on o_custkey lets the reader skip row
+    groups that provably lack the probed keys — at 100 TB this turns
+    a needle-in-haystack customer audit from a full scan into a few
+    row groups, with no second copy of the data and no re-sort.
+
+    The write enables ``parquet.bloom.filter.enabled#o_custkey`` (NDV
+    hint sizes the filter); the read-back probes an IN list, which the
+    scan pushes down (PushedFilters: In(o_custkey...)) where parquet-mr
+    tests it against each row group's bloom before decoding pages.
+    Dictionary encoding is disabled for the probe column only: at
+    fixture scale custkey dict-encodes fully and parquet-mr then
+    (correctly) omits the bloom — the dictionary already answers
+    membership — which would mask the feature; at 100 TB the column's
+    NDV blows past the dictionary-page cap and falls back to
+    plain-encoded-plus-bloom, the encoding this reproduces.  Lossless
+    write ⇒ the oracle is the source filter.  tests/test_plans.py
+    asserts the footer actually carries the bloom offsets (and ONLY on
+    the probe column) and that the IN filter reaches the scan."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    path = _scratch("sink_bloom_" + os.path.basename(sf_dir.rstrip("/")))
+    (
+        src.repartition(4)
+        .sortWithinPartitions("o_orderdate")  # date layout ⇒ custkey scattered per row group
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "200000")
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .option("parquet.block.size", 262144)  # small row groups: make skipping visible at fixture scale
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("o_custkey").isin(7, 11, 13))
+    return back.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+@query(
     "scan_metadata_cols",
     oracle="""
     SELECT 'lineitem.parquet' AS fname, COUNT(*) AS n FROM lineitem

@@ -1057,6 +1057,78 @@ def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_incremental",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-refresh ETL — THE 100 TB pattern: never rescan
+    history.  Three stages, each persisted the way a nightly pipeline
+    would leave it:
+
+    1. the standing STATE table: per-(day, event_type) aggregates of
+       everything before the cutoff, already materialized (tiny —
+       |days|×|types| rows regardless of corpus size);
+    2. the day's APPEND lands as parquet partitioned by day;
+    3. the refresh job reads the state table plus ONLY the new
+       partitions (the day filter prunes at planning time — the scan's
+       PartitionFilters, not a post-read filter), aggregates the delta,
+       and merges by (day, event_type).
+
+    The refresh therefore scans |delta| + |state| bytes — at 100 TB
+    with daily appends that is ~1/365th of the full-recompute bill,
+    and the merge groupBy is the idempotent upsert point: a boundary
+    day arriving in both state and delta folds into one exact row
+    (value sums ride money.exact_money_sum, associative and exact in
+    any accumulation order).  Oracle = the full recompute over the
+    whole history, proving incremental == batch."""
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    cutoff_day = "2024-01-25"
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    state_path = _scratch(f"incr_state_{tag}")
+    delta_path = _scratch(f"incr_delta_{tag}")
+    cutoff_ts = F.lit(cutoff_day).cast("timestamp")
+
+    def day_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("day"), F.col("event_type")).agg(
+            F.count("*").alias("n_events"),
+            exact_money_sum(F.col("value"), "sum_value"),
+        )
+
+    # (1) standing state: history aggregate, persisted once
+    hist = ev.filter(F.col("ts") < cutoff_ts).withColumn("day", F.to_date("ts"))
+    day_agg(hist).write.mode("overwrite").parquet(state_path)
+    # (2) the append: raw delta rows, partitioned by day
+    (
+        ev.filter(F.col("ts") >= cutoff_ts)
+        .withColumn("day", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(delta_path)
+    )
+    # (3) refresh: state + partition-pruned delta scan, merge-agg
+    state = spark.read.parquet(state_path)
+    delta = spark.read.parquet(delta_path).filter(
+        F.col("day") >= F.lit(cutoff_day).cast("date")
+    )
+    merged = state.unionByName(day_agg(delta)).groupBy("day", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        # disjoint-or-boundary groups: partial sums are exact 4dp-grid
+        # doubles, so re-summing the handful of partials per group is
+        # exact (each |partial| < 2^49/10^4)
+        F.sum("sum_value").alias("sum_value"),
+    )
+    return merged.select("day", "event_type", "n_events", "sum_value")
+
+
 # ---------------------------------------------------------------------------
 # persisted IVF index: build ONCE as parquet, serve query batches from it
 # (round-9 verdict #3 — sim_knn_ivf_batch re-trained centroids and

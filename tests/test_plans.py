@@ -86,6 +86,10 @@ CASES = [
     ("text_containment", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", r"CartesianProduct|BroadcastNestedLoopJoin", "candidates from the shingle inverted-index equi-join, never all-pairs"),
     ("text_heavy_hitters", r"BroadcastHashJoin", r"CartesianProduct|BatchEvalPython|ArrowEvalPython", "4096-cell sketch broadcasts onto the vocab; all-JVM md5 arithmetic"),
     ("corpus_domain_cap", r"WindowGroupLimit(.|\n)*WindowGroupLimit", None, "rank-limit pushdown bounds BOTH cap phases map-side"),
+    ("win_ewma", r"Window", r"SinglePartition", "EWMA window partitioned per user, never one global partition"),
+    ("text_html_strip", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "html strip is a pure scan-side map: no shuffle, no Python"),
+    ("sink_bloom_filter", r"PushedFilters: \[[^\]]*In\(o_custkey", None, "IN probe pushed down to the bloom-filtered parquet"),
+    ("pipeline_incremental", r"PartitionFilters: \[[^\]]*day[^\]]*>= 2024-01-25", None, "refresh reads only the delta partitions (planning-time pruning)"),
 ]
 
 
@@ -123,6 +127,64 @@ def test_plan_shape(key, want, ban, reason, spark, sf_dir):
         assert re.search(want, plan), f"{key}: expected /{want}/ ({reason})"
     if ban:
         assert not re.search(ban, plan), f"{key}: must not contain /{ban}/ ({reason})"
+
+
+def test_ewma_single_window_single_shuffle(spark, sf_dir):
+    """All 19 lag terms of win_ewma share ONE window spec: the plan
+    must hold exactly one Window node over exactly one Exchange — a
+    per-lag window would shuffle 19 times."""
+    plan = plan_of(QUERIES["win_ewma"](spark, sf_dir))
+    n_win = len(re.findall(r"\(\d+\) Window", plan))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_win == 1, f"expected exactly one Window node, plan has {n_win}"
+    assert n_ex == 1, f"expected exactly one Exchange, plan has {n_ex}"
+
+
+def test_bloom_filter_written_to_parquet_footer(spark, sf_dir):
+    """sink_bloom_filter's write must actually persist bloom filters:
+    every o_custkey column chunk carries a bloom offset in the footer
+    (parquet-mr's ColumnChunkMetaData reports -1 when absent), and the
+    date-sort layout means min/max stats CANNOT serve the lookup (the
+    probed keys fall inside every row group's custkey range) — the
+    bloom is the only thing that lets the reader skip."""
+    import glob
+    import os
+
+    QUERIES["sink_bloom_filter"](spark, sf_dir)  # ensure the sink ran
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    files = glob.glob(os.path.join(_scratch("sink_bloom_" + tag), "*.parquet"))
+    assert files, "bloom sink wrote no parquet files"
+    jvm = spark._jvm
+    try:
+        conf = spark._jsc.hadoopConfiguration()
+        hpath = jvm.org.apache.hadoop.fs.Path(files[0])
+        infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hpath, conf)
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    except Exception as exc:  # pragma: no cover - JVM surface moved
+        pytest.skip(f"parquet-mr footer API unavailable: {exc}")
+    try:
+        rgs = reader.getRowGroups()
+        assert rgs.size() >= 1
+        checked = 0
+        for gi in range(rgs.size()):
+            cols = rgs.get(gi).getColumns()
+            for ci in range(cols.size()):
+                col = cols.get(ci)
+                name = col.getPath().toDotString()
+                if name == "o_custkey":
+                    assert col.getBloomFilterOffset() >= 0, (
+                        f"row group {gi}: no bloom filter offset for o_custkey"
+                    )
+                    checked += 1
+                else:
+                    assert col.getBloomFilterOffset() < 0, (
+                        f"row group {gi}: unexpected bloom on {name} (write cost)"
+                    )
+        assert checked >= 1, "no o_custkey column chunks found"
+    finally:
+        reader.close()
 
 
 _BLOOM_CONFS = {
