@@ -73,6 +73,9 @@ EXTRA = [
     # round-9 additions
     "sink_ann_index",          # persisted IVF index build + audit
     "sim_knn_ivf_serve",       # serve query batch from the stored index
+    "win_ewma",                # 20-term exact EWMA, one window exec
+    "text_html_strip",         # boilerplate strip, scan-side map
+    "pipeline_incremental",    # state + pruned-delta refresh
 ]
 
 
