@@ -733,3 +733,91 @@ def test_auto_geometry_joint_sizing_and_exact_fallback(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_ewma_matches_pandas_recompute(spark, sf_dir):
+    """Second-engine check for win_ewma beyond the DuckDB oracle: an
+    independent float recomputation (numpy, per-user trailing 20-term
+    0.75-decay weighted mean) agrees to 1e-9 relative, the first event
+    of every user equals its own value, and every EWMA lies inside the
+    [min, max] of its trailing window (convex-combination bound)."""
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.tables import load_table
+
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in QUERIES["win_ewma"](spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    w = [0.75**k for k in range(20)]
+    checked_first = 0
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        vals = [r["value"] for r in rows]
+        for i, r in enumerate(rows):
+            window = vals[max(0, i - 19) : i + 1][::-1]  # newest first
+            expect = sum(wk * v for wk, v in zip(w, window)) / sum(
+                w[: len(window)]
+            )
+            assert abs(got[r["event_id"]] - expect) <= 1e-9 * max(1.0, abs(expect))
+            assert min(window) - 1e-9 <= got[r["event_id"]] <= max(window) + 1e-9
+            if i == 0:
+                assert abs(got[r["event_id"]] - r["value"]) < 1e-9
+                checked_first += 1
+    assert checked_first == len(by_user)
+
+
+def test_html_strip_invariants(spark, sf_dir):
+    """No markup survives: clean text holds no tags, entities, or
+    style payload; decoded entities ARE allowed (the planted
+    &lt;table&gt; legitimately becomes literal '<table>' content).
+    Ratio/length columns are self-consistent."""
+    from pyspark_caffe_spark.queries import QUERIES
+
+    rows = QUERIES["text_html_strip"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        clean = r["clean_text"]
+        for banned in ("</", "<html", "<p>", "<nav", "&amp;", "&lt;", "&gt;", "&copy;", "margin:0"):
+            assert banned not in clean, (r["doc_id"], banned)
+        assert clean.startswith("Doc ")
+        assert r["n_clean"] == len(clean)
+        assert 0.0 < r["retained_ratio"] < 1.0
+        assert abs(r["retained_ratio"] - r["n_clean"] / r["n_raw"]) < 1e-12
+
+
+def test_incremental_equals_batch_and_state_bounded(spark, sf_dir):
+    """pipeline_incremental == the direct one-shot Spark recompute
+    (row-exact both ways), and the persisted state table is the
+    constant-size aggregate (≤ |days| × |event types| rows), never raw
+    history — the property that makes the refresh O(delta) at 100 TB."""
+    import datetime
+    import os
+
+    from pyspark_caffe_spark.money import exact_money_sum
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.queries.relational import _scratch
+    from pyspark_caffe_spark.tables import load_table
+
+    inc = QUERIES["pipeline_incremental"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    batch = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        exact_money_sum(F.col("value"), "sum_value"),
+    )
+    assert inc.exceptAll(batch).count() == 0
+    assert batch.exceptAll(inc).count() == 0
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    state = spark.read.parquet(_scratch(f"incr_state_{tag}"))
+    n_days = 24  # 2024-01-01 .. 01-24 strictly before the cutoff
+    assert state.count() <= n_days * 5
+    assert state.agg(F.max("day")).collect()[0][0] < datetime.date(2024, 1, 25)
