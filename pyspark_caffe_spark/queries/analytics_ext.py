@@ -1464,3 +1464,132 @@ def ml_train_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train bigint, depth_bounded boolean, acc_above_floor boolean, "
         "importances_normalized boolean",
     )
+
+
+def _rfm_cdf_bounds(dim: DataFrame, col: str, n_df: DataFrame, prefix: str) -> DataFrame:
+    """Quintile boundaries for one RFM dimension via a VALUE-HISTOGRAM
+    CDF: groupBy the (bounded-domain) value, cumulative-sum the counts
+    in value order, boundary_k = min value whose cumulative count
+    reaches ceil(k·n/5) — all integer arithmetic, so both engines
+    agree exactly (interpolated percentiles differ in the last ulp
+    cross-engine; order statistics cannot).
+
+    Scale shape: the cum-sum window is un-partitioned but runs over
+    HISTOGRAM rows (≤ |value domain|, e.g. ≤ ~31 recency days, ≤ a few
+    thousand whole-unit spend bands), never over users — the global
+    sort this replaces is exactly what makes naive NTILE(5) scoring
+    unrunnable at 1e9 users."""
+    hist = dim.groupBy(F.col(col).alias("v")).agg(F.count("*").alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("v", F.sum("c").over(wcum).alias("cum")).crossJoin(
+        F.broadcast(n_df)
+    )
+    return cum.agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.expr(f"({k}*n + 4) div 5"), F.col("v"))
+            ).alias(f"{prefix}{k}")
+            for k in (1, 2, 3, 4)
+        ]
+    )
+
+
+def _rfm_oracle() -> str:
+    def hist_bounds(src_expr: str, prefix: str) -> str:
+        return f"""
+      SELECT {', '.join(
+          f"MIN(CASE WHEN cum >= ({k}*n + 4) // 5 THEN v END) AS {prefix}{k}"
+          for k in (1, 2, 3, 4))}
+      FROM (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+            FROM (SELECT {src_expr} AS v, COUNT(*) AS c FROM rfm GROUP BY 1)), nn
+        """
+
+    def score(col: str, prefix: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {col} > {prefix}{k} THEN 1 ELSE 0 END)" for k in (1, 2, 3, 4)
+        )
+
+    return f"""
+    WITH rfm AS (
+      SELECT user_id,
+             CAST(DATEDIFF('day', CAST(MAX(ts) AS DATE), DATE '2024-01-31') AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rfm),
+    br AS ({hist_bounds('recency_days', 'rb')}),
+    bf AS ({hist_bounds('frequency', 'fb')}),
+    bm AS ({hist_bounds('monetary_cents // 100', 'mb')})
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST(5 - ({score('recency_days', 'rb')}) AS INT) AS r_score,
+           CAST(1 + ({score('frequency', 'fb')}) AS INT) AS f_score,
+           CAST(1 + ({score('monetary_cents // 100', 'mb')}) AS INT) AS m_score,
+           CAST(5 - ({score('recency_days', 'rb')}) AS VARCHAR) ||
+           CAST(1 + ({score('frequency', 'fb')}) AS VARCHAR) ||
+           CAST(1 + ({score('monetary_cents // 100', 'mb')}) AS VARCHAR) AS segment
+    FROM rfm, br, bf, bm
+    """
+
+
+@query("events_rfm", oracle=_rfm_oracle())
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value model: per user,
+    Recency (days from last purchase to the anchor date), Frequency
+    (purchase count), Monetary (exact cents), each scored into
+    quintiles, concatenated into the '545'-style segment label.
+
+    The scoring is the scale-correct replacement for NTILE(5) over all
+    users (an un-partitioned billion-row window): quintile boundaries
+    are ORDER STATISTICS read off a value-histogram CDF
+    (:func:`_rfm_cdf_bounds` — bounded-domain groupBy + a window over
+    histogram rows only; monetary is banded to whole currency units to
+    bound its domain), broadcast as one row, and applied as plain
+    comparisons in the scan — users are never globally sorted.
+    Integer arithmetic end-to-end (cents sums, ceil via ``div``), so
+    the result is engine-exact with no rounding columns.  Boundary
+    semantics: value ≤ boundary_k ⇒ bucket ≤ k (ties take the lower
+    bucket); r_score is inverted so 5 = most recent."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-31").cast("date")
+    rfm = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(anchor, F.max(F.to_date("ts"))).cast("long").alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
+        )
+    )
+    n_df = rfm.agg(F.count("*").alias("n"))
+    banded = rfm.withColumn("mon_band", F.expr("monetary_cents div 100"))
+    bounds = (
+        _rfm_cdf_bounds(rfm, "recency_days", n_df, "rb")
+        .crossJoin(_rfm_cdf_bounds(rfm, "frequency", n_df, "fb"))
+        .crossJoin(_rfm_cdf_bounds(banded, "mon_band", n_df, "mb"))
+    )
+
+    def n_above(col: str, prefix: str):
+        out = F.lit(0)
+        for k in (1, 2, 3, 4):
+            out = out + (F.col(col) > F.col(f"{prefix}{k}")).cast("int")
+        return out
+
+    scored = banded.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (F.lit(5) - n_above("recency_days", "rb")).cast("int").alias("r_score"),
+        (F.lit(1) + n_above("frequency", "fb")).cast("int").alias("f_score"),
+        (F.lit(1) + n_above("mon_band", "mb")).cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

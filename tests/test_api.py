@@ -821,3 +821,37 @@ def test_incremental_equals_batch_and_state_bounded(spark, sf_dir):
     n_days = 24  # 2024-01-01 .. 01-24 strictly before the cutoff
     assert state.count() <= n_days * 5
     assert state.agg(F.max("day")).collect()[0][0] < datetime.date(2024, 1, 25)
+
+
+def test_rfm_score_invariants(spark, sf_dir):
+    """RFM scoring invariants: every score in 1..5; segment is the
+    score concatenation; scores are monotone in their dimension
+    (equal-value users share a score, higher value never lowers it);
+    and the CDF-boundary guarantee holds — at least ceil(k·n/5) users
+    sit at or below quintile k in every dimension."""
+    import math
+
+    from pyspark_caffe_spark.queries import QUERIES
+
+    rows = QUERIES["events_rfm"](spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    for r in rows:
+        for s in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[s] <= 5
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+    for dim, score, inverted in (
+        ("recency_days", "r_score", True),
+        ("frequency", "f_score", False),
+        ("monetary_cents", "m_score", False),
+    ):
+        pairs = sorted((r[dim] if not inverted else -r[dim], r[score]) for r in rows)
+        for (v0, s0), (v1, s1) in zip(pairs, pairs[1:]):
+            assert s1 >= s0, (dim, v0, s0, v1, s1)
+            if v1 == v0:
+                assert s1 == s0
+        # ascending-bucket cumulative floor: cum(score ≤ k) ≥ ceil(k·n/5)
+        ranked = [s if not inverted else 6 - s for _, s in pairs]
+        for k in (1, 2, 3, 4):
+            cum = sum(1 for s in ranked if s <= k)
+            assert cum >= math.ceil(k * n / 5), (dim, k, cum, n)

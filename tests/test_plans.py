@@ -90,6 +90,7 @@ CASES = [
     ("text_html_strip", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "html strip is a pure scan-side map: no shuffle, no Python"),
     ("sink_bloom_filter", r"PushedFilters: \[[^\]]*In\(o_custkey", None, "IN probe pushed down to the bloom-filtered parquet"),
     ("pipeline_incremental", r"PartitionFilters: \[[^\]]*day[^\]]*>= 2024-01-25", None, "refresh reads only the delta partitions (planning-time pruning)"),
+    ("events_rfm", r"BroadcastNestedLoopJoin", r"CartesianProduct|SortMergeJoin", "quintile boundaries broadcast onto the user aggregate, never a shuffle"),
 ]
 
 
