@@ -443,3 +443,163 @@ def sim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 3)
         .select("query_id", "vec_id", "cos", "rerank_score")
     )
+
+
+_MMR_LAMBDA = "0.5"  # literal in BOTH engines; 0.5 is binary-exact
+_MMR_QUERIES = 4
+_MMR_CAND = 8
+_MMR_K = 3
+
+
+def _mmr_oracle() -> str:
+    dot = (
+        "ROUND(LIST_DOT_PRODUCT(CAST({a}.embedding AS DOUBLE[]), "
+        "CAST({b}.embedding AS DOUBLE[])), 6)"
+    )
+    lam = _MMR_LAMBDA
+    return f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_MMR_QUERIES}),
+    cand AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS vec_id, b.embedding,
+             {dot.format(a='b', b='q')} AS rel
+      FROM embeddings b, q WHERE b.vec_id <> q.vec_id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                 ORDER BY rel DESC, b.vec_id) <= {_MMR_CAND}
+    ),
+    pair AS (
+      SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
+             {dot.format(a='a', b='b')} AS sim
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+      SELECT query_id, vec_id, rel, {lam} * rel AS mmr FROM cand
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY {lam} * rel DESC, vec_id) = 1
+    ),
+    s2 AS (
+      SELECT query_id, vec_id, rel, mmr FROM (
+        SELECT c.query_id, c.vec_id, c.rel,
+               {lam} * c.rel - (1 - {lam}) * MAX(p.sim) AS mmr
+        FROM cand c
+        JOIN pair p ON p.query_id = c.query_id AND p.id_a = c.vec_id
+        JOIN s1 ON s1.query_id = p.query_id AND s1.vec_id = p.id_b
+        GROUP BY c.query_id, c.vec_id, c.rel
+      ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY mmr DESC, vec_id) = 1
+    ),
+    sel2 AS (SELECT query_id, vec_id FROM s1
+             UNION ALL SELECT query_id, vec_id FROM s2),
+    s3 AS (
+      SELECT query_id, vec_id, rel, mmr FROM (
+        SELECT c.query_id, c.vec_id, c.rel,
+               {lam} * c.rel - (1 - {lam}) * MAX(p.sim) AS mmr
+        FROM cand c
+        JOIN pair p ON p.query_id = c.query_id AND p.id_a = c.vec_id
+        JOIN sel2 s ON s.query_id = p.query_id AND s.vec_id = p.id_b
+        WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                          WHERE x.query_id = c.query_id AND x.vec_id = c.vec_id)
+        GROUP BY c.query_id, c.vec_id, c.rel
+      ) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY mmr DESC, vec_id) = 1
+    )
+    SELECT query_id, vec_id, rel, mmr, CAST(1 AS INT) AS pick_rank FROM s1
+    UNION ALL
+    SELECT query_id, vec_id, rel, mmr, CAST(2 AS INT) AS pick_rank FROM s2
+    UNION ALL
+    SELECT query_id, vec_id, rel, mmr, CAST(3 AS INT) AS pick_rank FROM s3
+    """
+
+
+@query("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval (Carbonell &
+    Goldstein, SIGIR'98) — the serving step AFTER ANN: from each
+    query's top-8 candidates, greedily pick 3 where each pick
+    maximizes λ·relevance − (1−λ)·max-similarity-to-already-picked,
+    so near-duplicate results don't crowd the slate.
+
+    Greedy selection is inherently sequential in k but NOT in queries
+    or corpus: the unrolled k=3 loop is plain DataFrame ops — every
+    join/window partitioned by query_id, candidate sets bounded at 8
+    rows/query by the retrieval cut — so at 100 TB the cost is
+    O(queries · k · candidates), corpus-independent, and millions of
+    queries diversify in parallel.  Floats stay engine-exact: rel and
+    pairwise sims are the established 6dp-rounded dot products, λ=0.5
+    is binary-exact, and the mmr expression is written identically in
+    both engines (argmax tiebreak on vec_id)."""
+    from pyspark.sql import Window
+
+    lam = float(_MMR_LAMBDA)
+    emb = _load_emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    dot_q = F.aggregate(
+        F.zip_with("emb", "q_emb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "emb", F.round(dot_q, 6).alias("rel"))
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= _MMR_CAND)
+        .drop("_rn")
+    )
+    a = cand.select("query_id", F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = cand.select("query_id", F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    dot_p = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    pair = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("query_id", "id_a", "id_b", F.round(dot_p, 6).alias("sim"))
+    )
+    cand = cand.drop("emb").localCheckpoint(eager=True)
+    pair = pair.localCheckpoint(eager=True)
+
+    wpick = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("vec_id"))
+    first = (
+        cand.withColumn("mmr", F.lit(lam) * F.col("rel"))
+        .withColumn("_rn", F.row_number().over(wpick))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", "vec_id", "rel", "mmr", F.lit(1).cast("int").alias("pick_rank"))
+    )
+    picks = first
+    for t in range(2, _MMR_K + 1):
+        # rename BOTH selected-side columns: picks shares lineage with
+        # cand/pair, and a bare query_id == query_id join condition is
+        # ambiguous self-join territory (Spark warns "trivially true")
+        sel = picks.select(
+            F.col("query_id").alias("s_qid"), F.col("vec_id").alias("sel_id")
+        )
+        pen = (
+            pair.join(
+                sel,
+                (F.col("query_id") == F.col("s_qid")) & (F.col("id_b") == F.col("sel_id")),
+            )
+            .groupBy("query_id", "id_a")
+            .agg(F.max("sim").alias("maxsim"))
+            .select(F.col("query_id"), F.col("id_a").alias("vec_id"), "maxsim")
+        )
+        nxt = (
+            cand.join(
+                sel.select(
+                    F.col("s_qid").alias("query_id"), F.col("sel_id").alias("vec_id")
+                ),
+                ["query_id", "vec_id"],
+                "left_anti",
+            )
+            .join(pen, ["query_id", "vec_id"])
+            .withColumn(
+                "mmr", F.lit(lam) * F.col("rel") - (F.lit(1) - F.lit(lam)) * F.col("maxsim")
+            )
+            .withColumn("_rn", F.row_number().over(wpick))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id", "vec_id", "rel", "mmr", F.lit(t).cast("int").alias("pick_rank")
+            )
+        )
+        picks = picks.unionByName(nxt)
+    return picks

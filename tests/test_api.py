@@ -855,3 +855,60 @@ def test_rfm_score_invariants(spark, sf_dir):
         for k in (1, 2, 3, 4):
             cum = sum(1 for s in ranked if s <= k)
             assert cum >= math.ceil(k * n / 5), (dim, k, cum, n)
+
+
+def test_mmr_matches_greedy_reference(spark, sf_dir):
+    """sim_mmr_diversify vs an independent numpy greedy MMR over the
+    same 6dp-rounded dot products: identical slates, identical order,
+    mmr scores to 1e-12 — and the slate's first pick is always the
+    plain relevance argmax."""
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.queries.similarity import (
+        _MMR_CAND,
+        _MMR_K,
+        _MMR_QUERIES,
+    )
+    from pyspark_caffe_spark.tables import load_table
+
+    emb_rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.array(r["emb"]) for r in emb_rows}
+    got = {}
+    for r in QUERIES["sim_mmr_diversify"](spark, sf_dir).collect():
+        got.setdefault(r["query_id"], []).append(r)
+    assert sorted(got) == list(range(_MMR_QUERIES))
+    lam = 0.5
+    for qid in range(_MMR_QUERIES):
+        rel = {
+            v: round(float(vecs[v] @ vecs[qid]), 6) for v in vecs if v != qid
+        }
+        cand = sorted(rel, key=lambda v: (-rel[v], v))[:_MMR_CAND]
+        sim = {
+            (a, b): round(float(vecs[a] @ vecs[b]), 6)
+            for a in cand
+            for b in cand
+            if a != b
+        }
+        selected: list = []
+        for _ in range(_MMR_K):
+            best = None
+            for c in cand:
+                if c in selected:
+                    continue
+                pen = max((sim[(c, s)] for s in selected), default=None)
+                mmr = lam * rel[c] if pen is None else lam * rel[c] - (1 - lam) * pen
+                if best is None or (mmr, -c) > (best[1], -best[0]):
+                    best = (c, mmr)
+            selected.append(best[0])
+            rank = len(selected)
+            row = next(r for r in got[qid] if r["pick_rank"] == rank)
+            assert row["vec_id"] == best[0], (qid, rank, row["vec_id"], best)
+            assert abs(row["mmr"] - best[1]) < 1e-12
+        ranks = sorted(r["pick_rank"] for r in got[qid])
+        assert ranks == list(range(1, _MMR_K + 1))
+        # pick 1 is the pure-relevance argmax (empty penalty set)
+        top_rel = min(rel, key=lambda v: (-rel[v], v))
+        assert next(r for r in got[qid] if r["pick_rank"] == 1)["vec_id"] == top_rel

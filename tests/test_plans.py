@@ -91,6 +91,7 @@ CASES = [
     ("sink_bloom_filter", r"PushedFilters: \[[^\]]*In\(o_custkey", None, "IN probe pushed down to the bloom-filtered parquet"),
     ("pipeline_incremental", r"PartitionFilters: \[[^\]]*day[^\]]*>= 2024-01-25", None, "refresh reads only the delta partitions (planning-time pruning)"),
     ("events_rfm", r"BroadcastNestedLoopJoin", r"CartesianProduct|SortMergeJoin", "quintile boundaries broadcast onto the user aggregate, never a shuffle"),
+    ("sim_mmr_diversify", r"Window", r"CartesianProduct|SinglePartition", "greedy MMR rides per-query windows/joins, never a global partition"),
 ]
 
 
