@@ -2320,3 +2320,114 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str, k: int = 10, salts: int 
         .filter(F.col("rk") <= k)
         .select("source", "doc_id", "lang", "rk")
     )
+
+
+_LINE_W = 8
+_BOILER_A = "subscribe to our newsletter for weekly product updates"
+_BOILER_B = "all rights reserved contact support for more information"
+_LINE_DF = 3
+
+
+@query(
+    "text_line_dedup",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0 THEN '{_BOILER_B} ' || t ELSE t END AS text
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0 THEN '{_BOILER_A} ' || text
+                        ELSE text END AS t
+            FROM documents)
+    ), w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM aug),
+    lines AS (
+      SELECT doc_id, line_id,
+             ARRAY_TO_STRING(words[line_id*{_LINE_W} + 1 : line_id*{_LINE_W} + {_LINE_W}], ' ')
+               AS line
+      FROM (SELECT doc_id, words,
+                   UNNEST(RANGE(0, CAST(CEIL(LEN(words) / {_LINE_W}.0) AS BIGINT)))
+                     AS line_id
+            FROM w)
+    ), freq AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= {_LINE_DF}
+    ), flagged AS (
+      SELECT doc_id, line_id, line,
+             line IN (SELECT line FROM freq) AS boiler
+      FROM lines
+    )
+    SELECT doc_id,
+           -- COALESCE: a fully-boilerplate doc keeps an EMPTY text, not
+           -- NULL (LIST over zero qualifying rows is NULL; caught by the
+           -- 100x sweep - 900 such docs exist only at scale)
+           COALESCE(ARRAY_TO_STRING(LIST(line ORDER BY line_id)
+                                    FILTER (WHERE NOT boiler), ' '), '')
+             AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document LINE deduplication — the C4/RefinedWeb cleanup
+    pass: any line occurring in ≥ 3 distinct documents is boilerplate
+    (nav bars, cookie banners, footers) and is removed from EVERY
+    document, preserving the order of what survives.  The fixture has
+    no natural boilerplate, so 8-word header lines are planted on every
+    4th/6th doc in-query (8 words = exactly one line, so content line
+    boundaries stay aligned) — the SAME construction as the oracle.
+
+    Scale shape: docs → fixed-width lines via ONE array-native
+    transform + posexplode (the text_chunk pattern, stride = width);
+    line document-frequency is a single groupBy with map-side partial
+    countDistinct; the reassembly is one groupBy(doc_id) with an
+    order-restoring sorted collect.  The line join key is the line
+    text at fixture scale — at 100 TB group and join on xxhash64(line)
+    (8-byte shuffle keys, the textops.exact_dedup discipline) and
+    broadcast the frequent set (boilerplate is tiny by definition)
+    into the flagging join."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit(_BOILER_A + " "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("t"),
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit(_BOILER_B + " "), F.col("t")))
+        .otherwise(F.col("t"))
+        .alias("text"),
+    )
+    words = F.split("text", " ")
+    n_lines = F.ceil(F.size(words) / float(_LINE_W)).cast("long")
+    line_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_lines - 1),
+        lambda i: F.array_join(F.slice(words, (i * _LINE_W + 1).cast("int"), _LINE_W), " "),
+    )
+    lines = aug.select("doc_id", F.posexplode(line_arr).alias("line_id", "line"))
+    freq = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _LINE_DF)
+        .select("line", F.lit(True).alias("boiler"))
+    )
+    flagged = lines.join(F.broadcast(freq), "line", "left").withColumn(
+        "boiler", F.coalesce(F.col("boiler"), F.lit(False))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("line_id", F.col("boiler"), F.col("line"))
+                        )
+                    ),
+                    lambda s: ~s["boiler"],
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("boiler").cast("int")).cast("long").alias("n_removed"),
+    )

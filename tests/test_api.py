@@ -912,3 +912,43 @@ def test_mmr_matches_greedy_reference(spark, sf_dir):
         # pick 1 is the pure-relevance argmax (empty penalty set)
         top_rel = min(rel, key=lambda v: (-rel[v], v))
         assert next(r for r in got[qid] if r["pick_rank"] == 1)["vec_id"] == top_rel
+
+
+def test_line_dedup_removes_planted_boilerplate(spark, sf_dir):
+    """Every doc keeps its row; every planted header is gone from
+    every affected doc's cleaned text; untouched docs' cleaned text
+    still holds all their surviving original words in order; and the
+    per-doc line accounting is internally consistent."""
+    import math
+
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.queries.llm import _BOILER_A, _BOILER_B, _LINE_W
+    from pyspark_caffe_spark.tables import load_table
+
+    out = {r["doc_id"]: r for r in QUERIES["text_line_dedup"](spark, sf_dir).collect()}
+    src = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(out) == set(src)
+    for doc_id, r in out.items():
+        assert _BOILER_A not in r["clean_text"]
+        assert _BOILER_B not in r["clean_text"]
+        n_words = len(src[doc_id].split(" "))
+        if doc_id % 4 == 0:
+            n_words += _LINE_W
+        if doc_id % 6 == 0:
+            n_words += _LINE_W
+        assert r["n_lines"] == math.ceil(n_words / _LINE_W)
+        assert 0 <= r["n_removed"] <= r["n_lines"]
+        if doc_id % 4 == 0 or doc_id % 6 == 0:
+            assert r["n_removed"] >= 1, doc_id
+        # surviving text is a subsequence of the augmented word stream
+        clean_words = r["clean_text"].split(" ") if r["clean_text"] else []
+        aug_words = src[doc_id].split(" ")
+        if doc_id % 4 == 0:
+            aug_words = _BOILER_A.split(" ") + aug_words
+        if doc_id % 6 == 0:
+            aug_words = _BOILER_B.split(" ") + aug_words
+        it = iter(aug_words)
+        assert all(w in it for w in clean_words), doc_id

@@ -92,6 +92,7 @@ CASES = [
     ("pipeline_incremental", r"PartitionFilters: \[[^\]]*day[^\]]*>= 2024-01-25", None, "refresh reads only the delta partitions (planning-time pruning)"),
     ("events_rfm", r"BroadcastNestedLoopJoin", r"CartesianProduct|SortMergeJoin", "quintile boundaries broadcast onto the user aggregate, never a shuffle"),
     ("sim_mmr_diversify", r"Window", r"CartesianProduct|SinglePartition", "greedy MMR rides per-query windows/joins, never a global partition"),
+    ("text_line_dedup", r"BroadcastHashJoin", r"SortMergeJoin|CartesianProduct", "frequent-line set broadcast into the flagging join"),
 ]
 
 
