@@ -1593,3 +1593,106 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS pid, user_id, ts AS pt FROM events
+      WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id AS tid, user_id, ts AS tt, event_type AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ), j AS (
+      SELECT p.pid, t.tid, t.channel, t.tt
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.tt < p.pt AND t.tt >= p.pt - INTERVAL 7 DAY
+    ), pn AS (
+      SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_touches FROM j GROUP BY pid
+    ), last AS (
+      SELECT pid, channel FROM (
+        SELECT pid, channel,
+               ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tt DESC, tid DESC) AS rn
+        FROM j) WHERE rn = 1
+    ), linear AS (
+      SELECT j.channel,
+             CAST(SUM(1000000 // pn.n_touches) AS BIGINT) AS linear_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_touch_events
+      FROM j JOIN pn USING (pid) GROUP BY j.channel
+    ), lastc AS (
+      SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_last FROM last GROUP BY channel
+    )
+    SELECT linear.channel,
+           COALESCE(lastc.n_last, 0) AS n_last,
+           linear.linear_micro, linear.n_touch_events
+    FROM linear LEFT JOIN lastc ON linear.channel = lastc.channel
+    UNION ALL
+    SELECT 'direct' AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_last,
+           CAST(COUNT(*) AS BIGINT) * 1000000 AS linear_micro,
+           CAST(0 AS BIGINT) AS n_touch_events
+    FROM p WHERE pid NOT IN (SELECT pid FROM pn)
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: every purchase credits the
+    user's click/view touchpoints from the preceding 7 days — LAST-
+    TOUCH (winner takes the conversion) and LINEAR (credit split
+    evenly) models side by side, zero-touch purchases credited to the
+    'direct' channel.
+
+    Scale shape: ONE equi-join on user_id with the time-window
+    residual riding the hash join (per-user touch lists are bounded by
+    activity, never a theta-join across users); the last-touch pick is
+    a per-purchase window; credit split uses integer MICRO-credits
+    (1000000 div n_touches, floor) so sums are exact associative longs
+    in any order — double 1/n credits would drift cross-engine.  The
+    final rollup is |channels| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pt")
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tt"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(t, "user_id").filter(
+        (F.col("tt") < F.col("pt"))
+        & (F.col("tt") >= F.col("pt") - F.expr("INTERVAL 7 DAY"))
+    ).select("pid", "tid", "channel", "tt")
+    pn = j.groupBy("pid").agg(F.count("*").alias("n_touches"))
+    w = Window.partitionBy("pid").orderBy(F.desc("tt"), F.desc("tid"))
+    last = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pid", "channel")
+    )
+    linear = (
+        j.join(pn, "pid")
+        .groupBy("channel")
+        .agg(
+            F.sum(F.expr("1000000 div n_touches")).alias("linear_micro"),
+            F.count("*").alias("n_touch_events"),
+        )
+    )
+    lastc = last.groupBy("channel").agg(F.count("*").alias("n_last"))
+    touched = linear.join(lastc, "channel", "left").select(
+        "channel",
+        F.coalesce("n_last", F.lit(0)).alias("n_last"),
+        "linear_micro",
+        "n_touch_events",
+    )
+    direct = (
+        p.join(pn, "pid", "left_anti")
+        .agg(F.count("*").alias("n_last"))
+        .select(
+            F.lit("direct").alias("channel"),
+            "n_last",
+            (F.col("n_last") * 1000000).alias("linear_micro"),
+            F.lit(0).cast("long").alias("n_touch_events"),
+        )
+    )
+    return touched.unionByName(direct)

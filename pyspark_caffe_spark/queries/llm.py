@@ -2431,3 +2431,74 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.col("boiler").cast("int")).cast("long").alias("n_removed"),
     )
+
+
+@query(
+    "corpus_curriculum",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(1000 - (1000 * LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                      w -> LIST_CONTAINS({STOPWORDS!r}, w))))
+                         // LEN(STRING_SPLIT(text, ' ')) AS BIGINT)
+               AS difficulty_milli
+      FROM documents
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    b AS (
+      SELECT {', '.join(
+          f"MIN(CASE WHEN cum >= ({k}*n + 4) // 5 THEN v END) AS cb{k}"
+          for k in (1, 2, 3, 4))}
+      FROM (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+            FROM (SELECT difficulty_milli AS v, COUNT(*) AS c FROM d GROUP BY 1)),
+           nn
+    )
+    SELECT doc_id, difficulty_milli,
+           CAST(1 + {' + '.join(
+               f"(CASE WHEN difficulty_milli > cb{k} THEN 1 ELSE 0 END)"
+               for k in (1, 2, 3, 4))} AS INT) AS stage,
+           SUBSTR(MD5('curr-1:' || CAST(doc_id AS VARCHAR)), 1, 16)
+             AS curriculum_key
+    FROM d, b
+    """,
+)
+def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training data — easy→hard staging by a
+    difficulty signal (here: 1000 − stopword density in milli-units;
+    low stopword density ≈ denser, harder text on these fixtures),
+    split into 5 stages of ~n/5 docs each, with a deterministic
+    within-stage shuffle key.
+
+    Stage boundaries reuse the events_rfm machinery: order statistics
+    off the bounded-domain (0..1000) value-histogram CDF, broadcast as
+    one row, applied as scan-side comparisons — never an NTILE window
+    over the full corpus.  The within-stage order is carried as a KEY
+    (md5 of a seeded doc tag, the corpus_shuffle_shards discipline),
+    not a materialized global rank: shard writers
+    ``sortWithinPartitions(stage, curriculum_key)`` and readers
+    consume stages in order — no global sort ever materializes.
+    Integer arithmetic end-to-end ⇒ engine-exact."""
+    from pyspark_caffe_spark.queries.analytics_ext import _rfm_cdf_bounds
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    d = docs.select(
+        "doc_id",
+        (
+            F.lit(1000)
+            - F.floor((F.lit(1000) * n_stop) / F.size(words)).cast("long")
+        ).alias("difficulty_milli"),
+    )
+    n_df = d.agg(F.count("*").alias("n"))
+    bounds = _rfm_cdf_bounds(d, "difficulty_milli", n_df, "cb")
+    stage = F.lit(1)
+    for k in (1, 2, 3, 4):
+        stage = stage + (F.col("difficulty_milli") > F.col(f"cb{k}")).cast("int")
+    return d.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "difficulty_milli",
+        stage.cast("int").alias("stage"),
+        F.substring(
+            F.md5(F.concat(F.lit("curr-1:"), F.col("doc_id").cast("string"))), 1, 16
+        ).alias("curriculum_key"),
+    )

@@ -952,3 +952,70 @@ def test_line_dedup_removes_planted_boilerplate(spark, sf_dir):
             aug_words = _BOILER_B.split(" ") + aug_words
         it = iter(aug_words)
         assert all(w in it for w in clean_words), doc_id
+
+
+def test_curriculum_stage_invariants(spark, sf_dir):
+    """Curriculum staging: stages are 1..5; stage is monotone in the
+    difficulty signal (ties share a stage); the CDF floor holds
+    (cum(stage ≤ k) ≥ ceil(k·n/5)); and the within-stage key is a
+    deterministic 16-hex shuffle key."""
+    import math
+    import re as _re
+
+    from pyspark_caffe_spark.queries import QUERIES
+
+    rows = QUERIES["corpus_curriculum"](spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    assert all(1 <= r["stage"] <= 5 for r in rows)
+    assert all(_re.fullmatch(r"[0-9a-f]{16}", r["curriculum_key"]) for r in rows)
+    pairs = sorted((r["difficulty_milli"], r["stage"]) for r in rows)
+    for (v0, s0), (v1, s1) in zip(pairs, pairs[1:]):
+        assert s1 >= s0
+        if v1 == v0:
+            assert s1 == s0
+    for k in (1, 2, 3, 4):
+        cum = sum(1 for _, s in pairs if s <= k)
+        assert cum >= math.ceil(k * n / 5), (k, cum, n)
+    again = {
+        r["doc_id"]: r["curriculum_key"]
+        for r in QUERIES["corpus_curriculum"](spark, sf_dir).collect()
+    }
+    assert all(again[r["doc_id"]] == r["curriculum_key"] for r in rows)
+
+
+def test_attribution_conservation(spark, sf_dir):
+    """Attribution accounting: last-touch conversions across channels
+    (incl. 'direct') sum to the purchase count, and linear
+    micro-credits conserve to 1e6 per purchase up to the documented
+    floor loss (< n_touches per purchase)."""
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.tables import load_table
+
+    rows = QUERIES["events_attribution"](spark, sf_dir).collect()
+    channels = {r["channel"] for r in rows}
+    assert "direct" in channels and channels <= {"click", "view", "direct"}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    purchases = [r for r in ev if r["event_type"] == "purchase"]
+    n_p = len(purchases)
+    assert sum(r["n_last"] for r in rows) == n_p
+    total_linear = sum(r["linear_micro"] for r in rows)
+    total_touches = sum(r["n_touch_events"] for r in rows)
+    assert total_linear <= n_p * 1_000_000
+    assert total_linear >= n_p * 1_000_000 - total_touches
+    # independent recount of one purchase's touch window
+    from datetime import timedelta
+
+    by_user: dict = {}
+    for r in ev:
+        if r["event_type"] in ("click", "view"):
+            by_user.setdefault(r["user_id"], []).append(r)
+    n_touch_ref = sum(
+        1
+        for p in purchases
+        for t in by_user.get(p["user_id"], [])
+        if p["ts"] - timedelta(days=7) <= t["ts"] < p["ts"]
+    )
+    assert n_touch_ref == total_touches

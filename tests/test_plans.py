@@ -93,6 +93,8 @@ CASES = [
     ("events_rfm", r"BroadcastNestedLoopJoin", r"CartesianProduct|SortMergeJoin", "quintile boundaries broadcast onto the user aggregate, never a shuffle"),
     ("sim_mmr_diversify", r"Window", r"CartesianProduct|SinglePartition", "greedy MMR rides per-query windows/joins, never a global partition"),
     ("text_line_dedup", r"BroadcastHashJoin", r"SortMergeJoin|CartesianProduct", "frequent-line set broadcast into the flagging join"),
+    ("corpus_curriculum", r"BroadcastNestedLoopJoin", r"SortMergeJoin", "stage boundaries broadcast onto the corpus scan, never a shuffle"),
+    ("events_attribution", None, r"CartesianProduct|BroadcastNestedLoopJoin", "touch window rides the user_id equi-join, never a theta join (the only SinglePartition is the 1-row direct-channel scalar agg)"),
 ]
 
 
