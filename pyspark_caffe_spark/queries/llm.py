@@ -2502,3 +2502,110 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat(F.lit("curr-1:"), F.col("doc_id").cast("string"))), 1, 16
         ).alias("curriculum_key"),
     )
+
+
+@query(
+    "dedup_url_canonicalize",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'https://WWW.CDN.Example.COM:443/docs/'
+                           || CAST(doc_id // 5 AS VARCHAR) || '/'
+               WHEN 1 THEN 'https://cdn.example.com/docs/'
+                           || CAST(doc_id // 5 AS VARCHAR)
+                           || '?utm_source=feed&utm_campaign=x'
+               WHEN 2 THEN 'https://cdn.example.com/docs/'
+                           || CAST(doc_id // 5 AS VARCHAR) || '#section2'
+               WHEN 3 THEN 'https://cdn.example.com/docs/'
+                           || CAST(doc_id // 5 AS VARCHAR)
+                           || '?b=2&a=1&utm_medium=email'
+               ELSE 'https://cdn.example.com/docs/'
+                           || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2'
+             END AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             REGEXP_REPLACE(REGEXP_REPLACE(
+               LOWER(REGEXP_EXTRACT(url, '^[a-z]+://([^/?#]+)', 1)),
+               '^www\.', ''), ':443$', '') AS host,
+             REGEXP_REPLACE(
+               REGEXP_EXTRACT(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+               '/+$', '') AS path,
+             LIST_SORT(LIST_FILTER(
+               STRING_SPLIT(REGEXP_EXTRACT(url, '\?([^#]*)', 1), '&'),
+               x -> x <> '' AND NOT x LIKE 'utm\_%' ESCAPE '\')) AS params
+      FROM raw
+    ), canon AS (
+      SELECT doc_id,
+             'https://' || host || path ||
+             CASE WHEN LEN(params) > 0
+                  THEN '?' || ARRAY_TO_STRING(params, '&') ELSE '' END
+               AS canonical_url
+      FROM parts
+    )
+    SELECT canonical_url, MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier staple: the
+    same page arrives as WWW./mixed-case hosts, default ports,
+    trailing slashes, tracking params (utm_*), fragments, and
+    reordered query strings; canonicalize then keep-first so the
+    fetcher/corpus stores each page once.  Five messy variants are
+    synthesized per logical page in-query (same construction as the
+    oracle): variants 0-2 collapse to the bare URL (3:1), variants 3-4
+    to the sorted-params URL (2:1) — proving host/port/slash/fragment/
+    tracking-param normalization AND parameter reordering all land on
+    one key.
+
+    Canonical steps (identical expression trees in both engines):
+    lowercase host, strip leading www. and :443, strip trailing path
+    slashes, drop the fragment, drop utm_* params, SORT surviving
+    params.  All codegen'd regexp/array ops — a pure scan-side map at
+    100 TB — followed by ONE groupBy on the canonical key (at scale:
+    on xxhash64 of it, the exact-dedup discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.expr("doc_id div 5").cast("string")
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://WWW.CDN.Example.COM:443/docs/"), base, F.lit("/")))
+        .when(v == 1, F.concat(F.lit("https://cdn.example.com/docs/"), base, F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(v == 2, F.concat(F.lit("https://cdn.example.com/docs/"), base, F.lit("#section2")))
+        .when(v == 3, F.concat(F.lit("https://cdn.example.com/docs/"), base, F.lit("?b=2&a=1&utm_medium=email")))
+        .otherwise(F.concat(F.lit("https://cdn.example.com/docs/"), base, F.lit("?a=1&b=2")))
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":443$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^[a-z]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    params = F.sort_array(
+        F.filter(
+            F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&"),
+            lambda x: (x != "") & ~x.startswith("utm_"),
+        )
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        raw.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_variants"))
+    )

@@ -1019,3 +1019,30 @@ def test_attribution_conservation(spark, sf_dir):
         if p["ts"] - timedelta(days=7) <= t["ts"] < p["ts"]
     )
     assert n_touch_ref == total_touches
+
+
+def test_url_canonicalize_collapses_variants(spark, sf_dir):
+    """Every complete 5-doc group collapses 3:1 (bare URL) and 2:1
+    (sorted-params URL) with keep-first ids; no canonical URL retains
+    www/port/fragment/tracking noise, and query params come out
+    sorted."""
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.tables import load_table
+
+    rows = QUERIES["dedup_url_canonicalize"](spark, sf_dir).collect()
+    by_url = {r["canonical_url"]: r for r in rows}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_variants"] for r in rows) == n_docs
+    for url, r in by_url.items():
+        assert "www." not in url and ":443" not in url
+        assert "#" not in url and "utm_" not in url
+        assert url == url.lower()
+        assert not url.split("?")[0].endswith("/")
+        if "?" in url:
+            params = url.split("?", 1)[1].split("&")
+            assert params == sorted(params)
+    for g in range(n_docs // 5):
+        bare = f"https://cdn.example.com/docs/{g}"
+        withq = f"https://cdn.example.com/docs/{g}?a=1&b=2"
+        assert by_url[bare]["n_variants"] == 3 and by_url[bare]["keep_id"] == 5 * g
+        assert by_url[withq]["n_variants"] == 2 and by_url[withq]["keep_id"] == 5 * g + 3

@@ -95,6 +95,7 @@ CASES = [
     ("text_line_dedup", r"BroadcastHashJoin", r"SortMergeJoin|CartesianProduct", "frequent-line set broadcast into the flagging join"),
     ("corpus_curriculum", r"BroadcastNestedLoopJoin", r"SortMergeJoin", "stage boundaries broadcast onto the corpus scan, never a shuffle"),
     ("events_attribution", None, r"CartesianProduct|BroadcastNestedLoopJoin", "touch window rides the user_id equi-join, never a theta join (the only SinglePartition is the 1-row direct-channel scalar agg)"),
+    ("dedup_url_canonicalize", r"HashAggregate(.|\n)*HashAggregate", r"BatchEvalPython|ArrowEvalPython|hashpartitioning(.|\n)*hashpartitioning", "canonicalization is scan-side; ONE shuffle on the canonical key with partial agg"),
 ]
 
 
