@@ -89,6 +89,31 @@ def main() -> None:
         )
     pre.close()
 
+    # bounded EVENTS slice for float-column upgrades: user_id % 50
+    # keeps WHOLE per-user histories (window keys need complete
+    # partitions), ~2% of the 10M-row 100× table — big enough that
+    # per-user chains run far past the 20-term EWMA frame, small
+    # enough for a python-side full value hash.
+    ev_dir = "/tmp/superscale_100x_ev2pct"
+    os.makedirs(ev_dir, exist_ok=True)
+    ev_pq = os.path.join(ev_dir, "events.parquet")
+    pre = duckdb.connect()
+    if not os.path.exists(ev_pq):
+        pre.execute(
+            f"COPY (SELECT * FROM read_parquet('{super_dir}/events.parquet') "
+            f"WHERE user_id % 50 = 0 ORDER BY event_id) TO '{ev_pq}' "
+            "(FORMAT PARQUET)"
+        )
+    pre.close()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        srcp = os.path.join(super_dir, f"{t}.parquet")
+        link = os.path.join(ev_dir, f"{t}.parquet")
+        if os.path.exists(srcp):
+            if os.path.lexists(link):
+                os.remove(link)
+            os.symlink(srcp, link)
+
     # (key, data dir, note) — the quota for this round.  Round 9
     # over-delivered on the 2-3/round minimum: the ENTIRE
     # quadratic-exclusion class runs at the 8192-vector slice (4× the
@@ -113,10 +138,29 @@ def main() -> None:
         ("sim_knn_lsh", slice_dir, sliced + " (MLlib approxSimilarityJoin)"),
         ("text_common_spans", doc_dir,
          "20k-document bounded slice (4x the sf0.1 corpus)"),
+        # not an excluded key — a digest-tier upgrade: the main sweep's
+        # digest skips FLOAT columns, and ewma IS the float output, so
+        # this slice re-checks the full value hash (ewma included) on
+        # complete per-user histories at 100× chain lengths
+        ("win_ewma", ev_dir,
+         "user-sliced 100x events (whole user histories, ~2% of rows): "
+         "full value hash INCLUDING the float ewma column the main "
+         "sweep's digest tier skips"),
     ]
 
     results: dict[str, dict] = {}
+    # resume: keep green rows from a prior run; re-run FAIL/ERROR/new
+    if os.path.exists(out_json):
+        try:
+            with open(out_json) as f:
+                prior = json.load(f).get("results", {})
+            results = {k: v for k, v in prior.items() if v.get("status") == "pass"}
+            print(f"resume: {len(results)} green keys carried over", file=sys.stderr)
+        except (OSError, ValueError):
+            pass
     for key, data_dir, note in QUOTA:
+        if key in results:
+            continue
         con = duckdb.connect()
         for t in ["region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings"]:
