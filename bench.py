@@ -76,6 +76,12 @@ EXTRA = [
     "win_ewma",                # 20-term exact EWMA, one window exec
     "text_html_strip",         # boilerplate strip, scan-side map
     "pipeline_incremental",    # state + pruned-delta refresh
+    "events_rfm",              # histogram-CDF quintile RFM
+    "sim_mmr_diversify",       # greedy MMR slate selection
+    "text_line_dedup",         # cross-doc boilerplate line removal
+    "corpus_curriculum",       # CDF-staged curriculum ordering
+    "events_attribution",      # last-touch + linear attribution
+    "dedup_url_canonicalize",  # URL canonicalize + keep-first
 ]
 
 

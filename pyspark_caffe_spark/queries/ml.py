@@ -703,3 +703,84 @@ def ml_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(ortho_ok).alias("ortho_ok"),
         F.lit(var_matches).alias("var_matches_eig_ok"),
     )
+
+
+@query(
+    "ml_retrieval_eval",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+      FROM embeddings WHERE vec_id < 16
+    ), scored AS (
+      SELECT q.query_id, q.q_label, b.vec_id, b.label,
+             ROUND(LIST_DOT_PRODUCT(CAST(b.embedding AS DOUBLE[]),
+                                    CAST(q.q_emb AS DOUBLE[])), 6) AS cos
+      FROM embeddings b, q WHERE b.vec_id <> q.query_id
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                 ORDER BY cos DESC, b.vec_id) <= 10
+    ), ranked AS (
+      SELECT query_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rnk,
+             (label = q_label) AS rel
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(MIN(CASE WHEN rel THEN rnk END) AS BIGINT) AS first_rel_rank,
+           COALESCE(CAST(1 AS DOUBLE) / MIN(CASE WHEN rel THEN rnk END), 0.0)
+             AS reciprocal_rank,
+           CAST(MAX(CASE WHEN rel AND rnk <= 1 THEN 1 ELSE 0 END) AS INT) AS hit1,
+           CAST(MAX(CASE WHEN rel AND rnk <= 5 THEN 1 ELSE 0 END) AS INT) AS hit5,
+           CAST(MAX(CASE WHEN rel THEN 1 ELSE 0 END) AS INT) AS hit10
+    FROM ranked GROUP BY query_id
+    """,
+)
+def ml_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation for the ANN stack — per-query MRR
+    and hit@k against label-match relevance: each held-out query ranks
+    the corpus by cosine, and the first same-label neighbor's rank
+    yields reciprocal_rank plus hit@1/5/10 flags.  The eval every
+    retrieve→rerank→diversify pipeline needs before shipping an index
+    change.
+
+    Engine-exactness: metrics are emitted PER QUERY — ranks are
+    integers, reciprocal rank is one int division (deterministic
+    double), hit flags are ints — so no cross-row float mean ever
+    forms (a fleet-level MRR average would be summation-order
+    dependent; consumers aggregate the per-query rows however they
+    need).  Scale shape: the 16-query block broadcasts onto one corpus
+    scan (sim_knn_batch's serving shape), both rank windows share one
+    query_id partitioning, output is |queries| rows."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "q_emb", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    ranked = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_label", "vec_id", "label", F.round(dot, 6).alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .withColumn("rel", F.col("label") == F.col("q_label"))
+    )
+    first_rel = F.min(F.when(F.col("rel"), F.col("rnk")))
+    return ranked.groupBy("query_id").agg(
+        first_rel.cast("long").alias("first_rel_rank"),
+        F.coalesce(F.lit(1).cast("double") / first_rel, F.lit(0.0)).alias(
+            "reciprocal_rank"
+        ),
+        F.max(F.when(F.col("rel") & (F.col("rnk") <= 1), 1).otherwise(0))
+        .cast("int")
+        .alias("hit1"),
+        F.max(F.when(F.col("rel") & (F.col("rnk") <= 5), 1).otherwise(0))
+        .cast("int")
+        .alias("hit5"),
+        F.max(F.when(F.col("rel"), 1).otherwise(0)).cast("int").alias("hit10"),
+    )

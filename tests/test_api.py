@@ -1046,3 +1046,23 @@ def test_url_canonicalize_collapses_variants(spark, sf_dir):
         withq = f"https://cdn.example.com/docs/{g}?a=1&b=2"
         assert by_url[bare]["n_variants"] == 3 and by_url[bare]["keep_id"] == 5 * g
         assert by_url[withq]["n_variants"] == 2 and by_url[withq]["keep_id"] == 5 * g + 3
+
+
+def test_retrieval_eval_metric_consistency(spark, sf_dir):
+    """Per-query metric identities: hit flags are monotone
+    (hit1 ≤ hit5 ≤ hit10), a miss means rank NULL ∧ rr 0 ∧ hit10 0,
+    and reciprocal_rank is exactly 1/first_rel_rank otherwise."""
+    from pyspark_caffe_spark.queries import QUERIES
+
+    rows = QUERIES["ml_retrieval_eval"](spark, sf_dir).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r["hit1"] <= r["hit5"] <= r["hit10"]
+        if r["first_rel_rank"] is None:
+            assert r["reciprocal_rank"] == 0.0 and r["hit10"] == 0
+        else:
+            assert 1 <= r["first_rel_rank"] <= 10
+            assert r["reciprocal_rank"] == 1.0 / r["first_rel_rank"]
+            assert r["hit10"] == 1
+            assert r["hit1"] == (1 if r["first_rel_rank"] == 1 else 0)
+            assert r["hit5"] == (1 if r["first_rel_rank"] <= 5 else 0)

@@ -96,6 +96,7 @@ CASES = [
     ("corpus_curriculum", r"BroadcastNestedLoopJoin", r"SortMergeJoin", "stage boundaries broadcast onto the corpus scan, never a shuffle"),
     ("events_attribution", None, r"CartesianProduct|BroadcastNestedLoopJoin", "touch window rides the user_id equi-join, never a theta join (the only SinglePartition is the 1-row direct-channel scalar agg)"),
     ("dedup_url_canonicalize", r"HashAggregate(.|\n)*HashAggregate", r"BatchEvalPython|ArrowEvalPython|hashpartitioning(.|\n)*hashpartitioning", "canonicalization is scan-side; ONE shuffle on the canonical key with partial agg"),
+    ("ml_retrieval_eval", r"BroadcastNestedLoopJoin", r"CartesianProduct|SortMergeJoin|SinglePartition", "query block broadcast onto one corpus scan; per-query rank windows"),
 ]
 
 
