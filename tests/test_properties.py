@@ -280,3 +280,29 @@ def test_auto_geometry_invariants(tau, na, nb):
     # target was reachable (bands below clamp), predicted ≥ target
     if bands < 96:
         assert predicted >= 0.9 - 1e-9
+
+
+@given(vals=st.lists(st.integers(0, 30), min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_cdf_bounds_are_order_statistics(spark, vals):
+    """_rfm_cdf_bounds (events_rfm / corpus_curriculum) must return the
+    SQL-standard discrete quintile boundaries for ANY integer value
+    multiset: boundary_k = the ceil(k·n/5)-th smallest value, and
+    bucketing by comparison puts at least ceil(k·n/5) values at or
+    below bucket k."""
+    import math
+
+    from pyspark_caffe_spark.queries.analytics_ext import _rfm_cdf_bounds
+
+    df = spark.createDataFrame([(int(v),) for v in vals], schema="v long")
+    n_df = df.agg(F.count("*").alias("n"))
+    row = _rfm_cdf_bounds(df, "v", n_df, "b").collect()[0]
+    n = len(vals)
+    s = sorted(vals)
+    for k in (1, 2, 3, 4):
+        want = s[math.ceil(k * n / 5) - 1]
+        assert row[f"b{k}"] == want, (vals, k, row, want)
+    for k in (1, 2, 3, 4):
+        cum = sum(1 for v in vals if v <= row[f"b{k}"])
+        assert cum >= math.ceil(k * n / 5)
+    assert row["b1"] <= row["b2"] <= row["b3"] <= row["b4"]
