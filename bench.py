@@ -82,6 +82,7 @@ EXTRA = [
     "corpus_curriculum",       # CDF-staged curriculum ordering
     "events_attribution",      # last-touch + linear attribution
     "dedup_url_canonicalize",  # URL canonicalize + keep-first
+    "ml_retrieval_eval",       # per-query MRR / hit@k eval
 ]
 
 
