@@ -83,6 +83,8 @@ EXTRA = [
     "events_attribution",      # last-touch + linear attribution
     "dedup_url_canonicalize",  # URL canonicalize + keep-first
     "ml_retrieval_eval",       # per-query MRR / hit@k eval
+    "agg_theta_audience_overlap",  # theta-sketch set ops + bound proof
+    "agg_kll_quantile_sketch",     # KLL mergeable quantiles + rank proof
 ]
 
 

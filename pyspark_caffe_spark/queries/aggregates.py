@@ -861,3 +861,158 @@ def agg_topk_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("event_type"),
         F.col("e.count").cast("long").alias("cnt"),
     )
+
+
+@query(
+    "agg_theta_audience_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+    ix AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_intersect
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ix.type_a, ix.type_b, ta.n AS n_a, tb.n AS n_b, ix.n_intersect,
+           ta.n + tb.n - ix.n_intersect AS n_union,
+           true AS est_within_bound
+    FROM ix JOIN tc ta ON ta.event_type = ix.type_a
+            JOIN tc tb ON tb.event_type = ix.type_b
+    """,
+)
+def agg_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via THETA SKETCHES — the set-operation sketch
+    HLL cannot do: theta sketches support intersection and difference,
+    so "how many users clicked AND purchased" needs one sketch per
+    audience (mergeable, KB-sized) instead of a distinct-join over the
+    raw stream.  At 100 TB the per-segment sketches are built in one
+    pass (map-side partial agg, the exchange carries sketches), stored
+    KB-sized, and ANY pairwise overlap question is answered from them.
+
+    The exact pairwise counts ride the same plan (distinct user-type
+    pairs → self-join; affordable because |users|·|types| ≪ |events|)
+    and are the hash-matched columns; the sketch estimates are checked
+    IN-PLAN against them — exact below the sketch's 4096-entry exact
+    mode, within ±5 % relative (+1 absolute slack) in estimation mode
+    (these audiences overlap heavily, so the intersection's relative
+    error stays near the union's RSE ≈ 1/√4096) — and the verdict is
+    the hash-checked ``est_within_bound`` boolean (oracle: literal
+    ``true``).  tests/test_api.py additionally proves the estimates
+    enter REAL estimation mode at 100×-scale cardinalities."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    tc = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    ix = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_intersect"))
+    )
+    sk = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    ests = (
+        sk.alias("sa")
+        .join(
+            F.broadcast(sk.alias("sb")),
+            F.col("sa.event_type") < F.col("sb.event_type"),
+        )
+        .select(
+            F.col("sa.event_type").alias("type_a"),
+            F.col("sb.event_type").alias("type_b"),
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("sa.sk"), F.col("sb.sk"))
+            ).alias("est_i"),
+            F.theta_sketch_estimate(
+                F.theta_union(F.col("sa.sk"), F.col("sb.sk"))
+            ).alias("est_u"),
+        )
+    )
+    exact = (
+        ix.join(tc.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")), "type_a")
+        .join(tc.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")), "type_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_intersect"))
+    )
+
+    def ok(est, ex):
+        return F.abs(est - ex) <= F.lit(0.05) * ex + F.lit(1.0)
+
+    return exact.join(F.broadcast(ests), ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_intersect",
+        "n_union",
+        (ok(F.col("est_i"), F.col("n_intersect")) & ok(F.col("est_u"), F.col("n_union"))).alias(
+            "est_within_bound"
+        ),
+    )
+
+
+@query(
+    "agg_kll_quantile_sketch",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           true AS p50_rank_ok, true AS p90_rank_ok, true AS p99_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native KLL quantile sketches — the MERGEABLE
+    bounded-memory quantile structure that completes the quantile
+    triad: exact-buffering ``percentile`` (small groups),
+    quantiles.py's exact bracket path (huge groups, exact contract),
+    and KLL (streaming/rollup-friendly estimates with a PROVEN rank
+    bound).  Map tasks build fixed-size sketches, the exchange carries
+    sketches, merge is associative — the same scale story as the HLL /
+    frequent-items / theta keys, for quantiles.
+
+    The KLL guarantee is on RANK, not value: with Spark's default
+    k=200 the normalized rank error is ≈1.65 %.  So the in-plan check
+    computes each estimate's TRUE rank (one conditional-count pass
+    with the 3 quantile values broadcast back onto the scan) and
+    asserts |rank(q̂_p) − p| ≤ 0.025 — hash-checked booleans against
+    the oracle's literal ``true`` next to the exact group sizes, the
+    invariant-flag discipline every sketch key here follows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    qs = sk.select(
+        "l_returnflag",
+        "n",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("q90"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("q99"),
+    )
+    joined = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(qs), "l_returnflag"
+    )
+    ranks = joined.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        *[
+            F.sum((F.col("l_extendedprice") <= F.col(q)).cast("long")).alias(f"le_{q}")
+            for q in ("q50", "q90", "q99")
+        ],
+    )
+
+    def rank_ok(cnt_col: str, p: float):
+        rank = F.col(cnt_col).cast("double") / F.col("n")
+        return F.abs(rank - F.lit(p)) <= F.lit(0.025)
+
+    return ranks.select(
+        "l_returnflag",
+        "n",
+        rank_ok("le_q50", 0.5).alias("p50_rank_ok"),
+        rank_ok("le_q90", 0.9).alias("p90_rank_ok"),
+        rank_ok("le_q99", 0.99).alias("p99_rank_ok"),
+    )

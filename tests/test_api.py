@@ -1066,3 +1066,49 @@ def test_retrieval_eval_metric_consistency(spark, sf_dir):
             assert r["hit10"] == 1
             assert r["hit1"] == (1 if r["first_rel_rank"] == 1 else 0)
             assert r["hit5"] == (1 if r["first_rel_rank"] <= 5 else 0)
+
+
+def test_theta_sketch_bound_nonvacuous(spark):
+    """The theta est_within_bound flag must be doing real work: at
+    50k-distinct cardinality (far past the 4096-entry exact mode) the
+    sketch ESTIMATES (≠ exact for at least one op) yet stays within
+    the 5% bound the query asserts — so a sketch regression would
+    flip the hash-checked flag, not hide behind exact mode."""
+    a = spark.range(0, 50_000).selectExpr("id AS user_id")
+    b = spark.range(25_000, 75_000).selectExpr("id AS user_id")
+    ska = a.agg(F.theta_sketch_agg("user_id").alias("sk"))
+    skb = b.agg(F.theta_sketch_agg("user_id").alias("sk"))
+    row = (
+        ska.crossJoin(skb.withColumnRenamed("sk", "skb"))
+        .select(
+            F.theta_sketch_estimate(F.theta_intersection("sk", "skb")).alias("est_i"),
+            F.theta_sketch_estimate(F.theta_union("sk", "skb")).alias("est_u"),
+        )
+        .collect()[0]
+    )
+    exact_i, exact_u = 25_000, 75_000
+    assert row["est_i"] != exact_i or row["est_u"] != exact_u  # estimation mode
+    assert abs(row["est_i"] - exact_i) <= 0.05 * exact_i + 1
+    assert abs(row["est_u"] - exact_u) <= 0.05 * exact_u + 1
+
+
+def test_kll_rank_bound_nonvacuous(spark):
+    """The KLL rank flags must be doing real work: at 200k values the
+    k=200 sketch's quantile is an APPROXIMATION (nonzero rank error
+    for at least one p) while every rank error stays under the 0.025
+    bound the query asserts."""
+    vals = spark.range(0, 200_000).selectExpr("CAST(hash(id) % 1000000 AS DOUBLE) AS v")
+    sk = vals.agg(F.kll_sketch_agg_double("v").alias("sk"))
+    q = sk.select(
+        *[
+            F.kll_sketch_get_quantile_double("sk", F.lit(p)).alias(f"q{i}")
+            for i, p in enumerate((0.5, 0.9, 0.99))
+        ]
+    ).collect()[0]
+    n = 200_000
+    errs = []
+    for i, p in enumerate((0.5, 0.9, 0.99)):
+        rank = vals.filter(F.col("v") <= q[f"q{i}"]).count() / n
+        errs.append(abs(rank - p))
+    assert all(e <= 0.025 for e in errs), errs
+    assert any(e > 0 for e in errs), "sketch returned exact ranks — vacuous test"

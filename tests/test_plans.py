@@ -97,6 +97,8 @@ CASES = [
     ("events_attribution", None, r"CartesianProduct|BroadcastNestedLoopJoin", "touch window rides the user_id equi-join, never a theta join (the only SinglePartition is the 1-row direct-channel scalar agg)"),
     ("dedup_url_canonicalize", r"HashAggregate(.|\n)*HashAggregate", r"BatchEvalPython|ArrowEvalPython|hashpartitioning(.|\n)*hashpartitioning", "canonicalization is scan-side; ONE shuffle on the canonical key with partial agg"),
     ("ml_retrieval_eval", r"BroadcastNestedLoopJoin", r"CartesianProduct|SortMergeJoin|SinglePartition", "query block broadcast onto one corpus scan; per-query rank windows"),
+    ("agg_theta_audience_overlap", r"HashAggregate(.|\n)*HashAggregate", r"CartesianProduct", "theta sketches partial-agged map-side; 5-row sketch pairing broadcasts"),
+    ("agg_kll_quantile_sketch", r"HashAggregate(.|\n)*HashAggregate", r"CartesianProduct|SortMergeJoin", "KLL sketches partial-agged; quantile row broadcast back onto the scan"),
 ]
 
 
