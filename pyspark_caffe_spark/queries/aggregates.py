@@ -1016,3 +1016,114 @@ def agg_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_ok("le_q90", 0.9).alias("p90_rank_ok"),
         rank_ok("le_q99", 0.99).alias("p99_rank_ok"),
     )
+
+
+@query(
+    "agg_theta_sketch_rollup",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE ts < TIMESTAMP '2024-01-16'
+    ),
+    tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+    ix AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_intersect
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ix.type_a, ix.type_b, ta.n AS n_a, tb.n AS n_b, ix.n_intersect,
+           ta.n + tb.n - ix.n_intersect AS n_union,
+           true AS est_within_bound
+    FROM ix JOIN tc ta ON ta.event_type = ix.type_a
+            JOIN tc tb ON tb.event_type = ix.type_b
+    """,
+)
+def agg_theta_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted theta-sketch rollup — the sketch-warehouse serving
+    shape for SET OPERATIONS, completing the stored-sketch family
+    (agg_hll_rollup: distinct counts; agg_topk_sketch_rollup: heavy
+    hitters; this: intersections/unions over arbitrary date ranges):
+    per-(event_type, day) theta sketches are WRITTEN to parquet once
+    (KB of binary Datasketches state per row), and any later "which
+    audiences overlapped during range R" question unions the stored
+    daily sketches per type (theta_union_agg) and intersects across
+    types — |days|·|types| sketch rows scanned, the 10M/60M-row event
+    stream never rescanned.
+
+    Checked columns are the EXACT range-filtered pairwise counts
+    (distinct user-type self-join over the same range, same spelling
+    as agg_theta_audience_overlap); the union-of-dailies estimates are
+    verified in-plan within ±5 % (+1) — at 100× the 150k-user range
+    audiences are deep in estimation mode, so the hash-checked flag is
+    doing real work there, not riding the exact mode."""
+    import os
+
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    path = _scratch("theta_sketches_" + os.path.basename(sf_dir.rstrip("/")))
+    daily.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path).filter(
+        F.col("day") < F.lit("2024-01-16").cast("date")
+    )
+    per_type = stored.groupBy("event_type").agg(
+        F.theta_union_agg("sk").alias("sk")
+    )
+    ests = (
+        per_type.alias("sa")
+        .join(
+            F.broadcast(per_type.alias("sb")),
+            F.col("sa.event_type") < F.col("sb.event_type"),
+        )
+        .select(
+            F.col("sa.event_type").alias("type_a"),
+            F.col("sb.event_type").alias("type_b"),
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("sa.sk"), F.col("sb.sk"))
+            ).alias("est_i"),
+            F.theta_sketch_estimate(
+                F.theta_union(F.col("sa.sk"), F.col("sb.sk"))
+            ).alias("est_u"),
+        )
+    )
+    ut = ev.filter(F.col("ts") < cutoff).select("user_id", "event_type").distinct()
+    tc = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    ix = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_intersect"))
+    )
+    exact = (
+        ix.join(tc.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")), "type_a")
+        .join(tc.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")), "type_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_intersect"))
+    )
+
+    def ok(est, ex):
+        return F.abs(est - ex) <= F.lit(0.05) * ex + F.lit(1.0)
+
+    return exact.join(F.broadcast(ests), ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_intersect",
+        "n_union",
+        (ok(F.col("est_i"), F.col("n_intersect")) & ok(F.col("est_u"), F.col("n_union"))).alias(
+            "est_within_bound"
+        ),
+    )

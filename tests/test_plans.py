@@ -99,6 +99,7 @@ CASES = [
     ("ml_retrieval_eval", r"BroadcastNestedLoopJoin", r"CartesianProduct|SortMergeJoin|SinglePartition", "query block broadcast onto one corpus scan; per-query rank windows"),
     ("agg_theta_audience_overlap", r"HashAggregate(.|\n)*HashAggregate", r"CartesianProduct", "theta sketches partial-agged map-side; 5-row sketch pairing broadcasts"),
     ("agg_kll_quantile_sketch", r"HashAggregate(.|\n)*HashAggregate", r"CartesianProduct|SortMergeJoin", "KLL sketches partial-agged; quantile row broadcast back onto the scan"),
+    ("agg_theta_sketch_rollup", r"PushedFilters: \[[^\]]*LessThan\(day", r"CartesianProduct", "range query reads the STORED daily sketches with the day filter pushed down"),
 ]
 
 
