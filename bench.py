@@ -85,6 +85,8 @@ EXTRA = [
     "ml_retrieval_eval",       # per-query MRR / hit@k eval
     "agg_theta_audience_overlap",  # theta-sketch set ops + bound proof
     "agg_kll_quantile_sketch",     # KLL mergeable quantiles + rank proof
+    "agg_theta_sketch_rollup",     # stored theta sketches, range set ops
+    "agg_kll_sketch_rollup",       # stored KLL sketches, range quantiles
 ]
 
 

@@ -1127,3 +1127,83 @@ def agg_theta_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_within_bound"
         ),
     )
+
+
+@query(
+    "agg_kll_sketch_rollup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           true AS p50_rank_ok, true AS p90_rank_ok
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-16'
+    GROUP BY event_type
+    """,
+)
+def agg_kll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted KLL rollup — any-range QUANTILES from stored daily
+    sketches, the fourth stored-sketch family member (HLL distinct /
+    frequent-items top-k / theta set ops / KLL quantiles): per-(type,
+    day) KLL sketches of event values are written once; a range query
+    merges the stored sketches per type (kll_sketch_merge_double, day
+    filter pushed to the sketch scan) and reads p50/p90 — |days|·
+    |types| sketch rows scanned instead of the event stream.
+
+    The merged sketch keeps KLL's rank guarantee (merge is the
+    structure's whole point), so the in-plan proof is the same as
+    agg_kll_quantile_sketch's: recompute each estimate's TRUE rank
+    over the range-filtered stream and assert |rank − p| ≤ 0.025,
+    hash-checked against the oracle's literal ``true`` beside the
+    exact range counts."""
+    import os
+
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    path = _scratch("kll_sketches_" + os.path.basename(sf_dir.rstrip("/")))
+    daily.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path).filter(
+        F.col("day") < F.lit("2024-01-16").cast("date")
+    )
+    # kll_sketch_merge_double is a BINARY scalar (no agg form), so the
+    # per-type merge folds the ≤31 stored daily sketches with the
+    # aggregate HOF: init = day 1's sketch, combine = pairwise merge.
+    # The fold is tiny (|days| rows per type) — the interpreted-lambda
+    # cost HOFs carry is irrelevant here, unlike on per-row hot paths.
+    merged = (
+        stored.groupBy("event_type")
+        .agg(F.collect_list("sk").alias("sks"))
+        .select(
+            "event_type",
+            F.aggregate(
+                F.expr("slice(sks, 2, greatest(size(sks) - 1, 0))"),
+                F.element_at("sks", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("sk"),
+        )
+    )
+    qs = merged.select(
+        "event_type",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("q50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("q90"),
+    )
+    ranged = ev.filter(F.col("ts") < cutoff).select("event_type", "value")
+    ranks = ranged.join(F.broadcast(qs), "event_type").groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") <= F.col("q50")).cast("long")).alias("le_q50"),
+        F.sum((F.col("value") <= F.col("q90")).cast("long")).alias("le_q90"),
+    )
+
+    def rank_ok(cnt_col: str, p: float):
+        rank = F.col(cnt_col).cast("double") / F.col("n")
+        return F.abs(rank - F.lit(p)) <= F.lit(0.025)
+
+    return ranks.select(
+        "event_type",
+        "n",
+        rank_ok("le_q50", 0.5).alias("p50_rank_ok"),
+        rank_ok("le_q90", 0.9).alias("p90_rank_ok"),
+    )

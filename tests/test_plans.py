@@ -100,6 +100,7 @@ CASES = [
     ("agg_theta_audience_overlap", r"HashAggregate(.|\n)*HashAggregate", r"CartesianProduct", "theta sketches partial-agged map-side; 5-row sketch pairing broadcasts"),
     ("agg_kll_quantile_sketch", r"HashAggregate(.|\n)*HashAggregate", r"CartesianProduct|SortMergeJoin", "KLL sketches partial-agged; quantile row broadcast back onto the scan"),
     ("agg_theta_sketch_rollup", r"PushedFilters: \[[^\]]*LessThan\(day", r"CartesianProduct", "range query reads the STORED daily sketches with the day filter pushed down"),
+    ("agg_kll_sketch_rollup", r"PushedFilters: \[[^\]]*LessThan\(day", r"CartesianProduct|SortMergeJoin", "range quantiles read the STORED daily sketches, day filter pushed down"),
 ]
 
 
