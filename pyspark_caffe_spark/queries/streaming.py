@@ -953,3 +953,64 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy((F.col("pos") / 100).cast("long").alias("batch_no")).agg(
         F.count("*").alias("n"), F.sum("val").alias("sum_val")
     )
+
+
+@query(
+    "stream_state_inspect",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store INSPECTION — Spark 4's ``statestore`` reader turns
+    a streaming checkpoint into a queryable DataFrame: the ops
+    debugging tool for live pipelines ("what is operator 0 holding for
+    key X right now?") without stopping the query or trusting the
+    sink.  A per-type running aggregate drains with availableNow into
+    a checkpoint, then the RESULT IS READ FROM THE CHECKPOINT'S STATE,
+    not from the sink — so the oracle match proves the persisted state
+    itself carries exactly the batch answer (the state sums use exact
+    integer cents; a double buffer would be at the mercy of
+    accumulation order).
+
+    Value-struct field names are resolved from the reader's own schema
+    (aggregation buffers carry internal names), keyed by position —
+    count buffer then sum buffer, matching the agg expression order.
+    At 100 TB this read is per-partition parallel over the state files
+    and supports operator/batch selection options; the companion
+    ``state-metadata`` format lists operators and batch ranges."""
+    import os
+    import shutil
+
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    ckpt = _scratch(f"state_inspect_ckpt_{tag}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    ev = _read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    st = spark.read.format("statestore").load(ckpt)
+    vfields = [f.name for f in st.schema["value"].dataType.fields]
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col(f"value.`{vfields[0]}`").cast("long").alias("n"),
+        F.col(f"value.`{vfields[1]}`").cast("long").alias("cents"),
+    )

@@ -1112,3 +1112,26 @@ def test_kll_rank_bound_nonvacuous(spark):
         errs.append(abs(rank - p))
     assert all(e <= 0.025 for e in errs), errs
     assert any(e > 0 for e in errs), "sketch returned exact ranks — vacuous test"
+
+
+def test_state_inspect_metadata_and_partitioning(spark, sf_dir):
+    """The statestore read must come from REAL distributed state: the
+    state-metadata reader lists the aggregation operator with the
+    8-way partitioning the drain pinned, and the state rows span
+    multiple partitions (not one collapsed store)."""
+    import os
+
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.queries.relational import _scratch
+
+    QUERIES["stream_state_inspect"](spark, sf_dir).collect()
+    ckpt = _scratch(f"state_inspect_ckpt_{os.path.basename(sf_dir.rstrip('/'))}")
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(md) == 1
+    assert md[0]["operatorName"] == "stateStoreSave"
+    assert md[0]["numPartitions"] == 8
+    parts = {
+        r["partition_id"]
+        for r in spark.read.format("statestore").load(ckpt).collect()
+    }
+    assert len(parts) > 1, "all state collapsed into one partition"
