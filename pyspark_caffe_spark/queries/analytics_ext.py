@@ -1696,3 +1696,113 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return touched.unionByName(direct)
+
+
+@query(
+    "events_resample_interpolate",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase' AND user_id < 50
+    ), bounds AS (
+      SELECT user_id,
+             DATE_TRUNC('hour', MIN(ts)) + INTERVAL 1 HOUR AS g_start,
+             DATE_TRUNC('hour', MAX(ts)) AS g_end
+      FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT user_id, UNNEST(GENERATE_SERIES(g_start, g_end, INTERVAL 1 HOUR)) AS t
+      FROM bounds WHERE g_start <= g_end
+    ), u AS (
+      SELECT user_id, ts AS t, v, 1 AS is_obs FROM obs
+      UNION ALL
+      SELECT user_id, t, NULL AS v, 0 AS is_obs FROM grid
+    ), m AS (
+      SELECT user_id, t, is_obs,
+             LAST_VALUE(v IGNORE NULLS) OVER w AS v0,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER w AS t0,
+             FIRST_VALUE(v IGNORE NULLS) OVER wf AS v1,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS t1
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, is_obs DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY t, is_obs DESC
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, t AS grid_ts,
+           CASE WHEN t1 = t0 THEN CAST(v0 AS DOUBLE)
+                ELSE CAST(v0 AS DOUBLE) + CAST(v1 - v0 AS DOUBLE) *
+                     (CAST(EPOCH_US(t) - EPOCH_US(t0) AS DOUBLE)
+                      / CAST(EPOCH_US(t1) - EPOCH_US(t0) AS DOUBLE))
+           END AS v_interp_cents
+    FROM m
+    WHERE is_obs = 0 AND t0 IS NOT NULL AND t1 IS NOT NULL
+    """,
+)
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample-with-LINEAR-INTERPOLATION — the companion to
+    events_gapfill's forward fill: each user's irregular purchase
+    series is densified onto an hourly grid and every grid point gets
+    the straight-line value between its bracketing observations
+    (pandas ``resample().interpolate()``, distributed).  The standard
+    regularization for rate/trend features where carry-forward
+    understates between sparse points.
+
+    Shape: per-user spine (sequence, no global calendar cross join),
+    then ONE union of observations + grid rows and TWO frames over a
+    single user_id sort — the asof-union-window trick — yield the
+    bracketing (t0,v0)/(t1,v1) without any join; grid points outside
+    the observed range drop (no extrapolation).  Exactness: brackets
+    are exact integers (cents, epoch-micros); the single interpolation
+    expression is written identically in both engines, so the doubles
+    match bit-for-bit (equal-timestamp brackets short-circuit to v0 —
+    a 0/0 NaN guard).  Ordering ties (grid point ON an observation)
+    break is_obs-first, making t0 = t and the interpolation collapse
+    to the observed value."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 50)).select(
+        "user_id", F.col("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    bounds = obs.groupBy("user_id").agg(
+        (F.date_trunc("hour", F.min("t")) + F.expr("INTERVAL 1 HOUR")).alias("g_start"),
+        F.date_trunc("hour", F.max("t")).alias("g_end"),
+    ).filter(F.col("g_start") <= F.col("g_end"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("g_start", "g_end", F.expr("INTERVAL 1 HOUR"))
+        ).alias("t"),
+    )
+    u = obs.withColumn("is_obs", F.lit(1)).unionByName(
+        grid.select("user_id", "t", F.lit(None).cast("long").alias("v"), F.lit(0).alias("is_obs"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.desc("is_obs"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.desc("is_obs"))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v").isNotNull(), F.col("t"))
+    m = u.select(
+        "user_id",
+        "t",
+        "is_obs",
+        F.last("v", ignorenulls=True).over(w).alias("v0"),
+        F.last(t_obs, ignorenulls=True).over(w).alias("t0"),
+        F.first("v", ignorenulls=True).over(wf).alias("v1"),
+        F.first(t_obs, ignorenulls=True).over(wf).alias("t1"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))  # noqa: E731 - UTC-pinned session
+    interp = F.when(F.col("t1") == F.col("t0"), F.col("v0").cast("double")).otherwise(
+        F.col("v0").cast("double")
+        + (F.col("v1") - F.col("v0")).cast("double")
+        * ((us("t") - us("t0")).cast("double") / (us("t1") - us("t0")).cast("double"))
+    )
+    return (
+        m.filter((F.col("is_obs") == 0) & F.col("t0").isNotNull() & F.col("t1").isNotNull())
+        .select("user_id", F.col("t").alias("grid_ts"), interp.alias("v_interp_cents"))
+    )

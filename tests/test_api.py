@@ -1135,3 +1135,43 @@ def test_state_inspect_metadata_and_partitioning(spark, sf_dir):
         for r in spark.read.format("statestore").load(ckpt).collect()
     }
     assert len(parts) > 1, "all state collapsed into one partition"
+
+
+def test_resample_interpolate_matches_python(spark, sf_dir):
+    """Independent python recompute of the linear interpolation for
+    every grid point: identical bracket selection and values to
+    1e-9 relative; grid points never extrapolate (always strictly
+    inside the user's observed range or on an observation)."""
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.tables import load_table
+
+    got = {
+        (r["user_id"], r["grid_ts"]): r["v_interp_cents"]
+        for r in QUERIES["events_resample_interpolate"](spark, sf_dir).collect()
+    }
+    obs_rows = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 50))
+        .select("user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("v"))
+        .collect()
+    )
+    by_user: dict = {}
+    for r in obs_rows:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["v"]))
+    checked = 0
+    for (uid, gts), v in got.items():
+        series = sorted(by_user[uid])
+        assert series[0][0] <= gts <= series[-1][0]
+        prev = max((p for p in series if p[0] <= gts), key=lambda p: p[0])
+        nxt = min((p for p in series if p[0] > gts), default=None, key=lambda p: p[0]) \
+            if any(p[0] > gts for p in series) else None
+        if nxt is None:  # grid exactly on the last observation
+            expect = float(prev[1])
+        else:
+            t0, v0 = prev
+            t1, v1 = nxt
+            frac = (gts - t0).total_seconds() / (t1 - t0).total_seconds()
+            expect = v0 + (v1 - v0) * frac
+        assert abs(v - expect) <= 1e-9 * max(1.0, abs(expect)), (uid, gts, v, expect)
+        checked += 1
+    assert checked == len(got) and checked > 100

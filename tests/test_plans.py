@@ -653,3 +653,13 @@ def test_rewrite_declines_when_jvm_internal_moves(spark, sf_dir, monkeypatch):
     assert out is naive
     rows = out.limit(5).collect()
     assert all(r.cos >= 0.4 for r in rows)
+
+
+def test_resample_single_window_node(spark, sf_dir):
+    """Both bracket frames (backward last + forward first) of
+    events_resample_interpolate share one (partition, order) spec, so
+    the plan must hold exactly ONE Window node — a per-frame window
+    would double the sort."""
+    plan = plan_of(QUERIES["events_resample_interpolate"](spark, sf_dir))
+    n = len(re.findall(r"\(\d+\) Window", plan))
+    assert n == 1, f"expected exactly one Window node, plan has {n}"
