@@ -87,6 +87,8 @@ EXTRA = [
     "agg_kll_quantile_sketch",     # KLL mergeable quantiles + rank proof
     "agg_theta_sketch_rollup",     # stored theta sketches, range set ops
     "agg_kll_sketch_rollup",       # stored KLL sketches, range quantiles
+    "stream_state_inspect",        # query the checkpoint state store
+    "events_resample_interpolate", # hourly grid + linear interpolation
 ]
 
 
