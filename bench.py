@@ -89,6 +89,8 @@ EXTRA = [
     "agg_kll_sketch_rollup",       # stored KLL sketches, range quantiles
     "stream_state_inspect",        # query the checkpoint state store
     "events_resample_interpolate", # hourly grid + linear interpolation
+    "events_survival",             # lifespan survival curve
+    "join_interval_coalesce",      # overlapping-interval merging
 ]
 
 

@@ -1806,3 +1806,134 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.filter((F.col("is_obs") == 0) & F.col("t0").isNotNull() & F.col("t1").isNotNull())
         .select("user_id", F.col("t").alias("grid_ts"), interp.alias("v_interp_cents"))
     )
+
+
+@query(
+    "events_survival",
+    oracle="""
+    WITH ul AS (
+      SELECT user_id,
+             DATEDIFF('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+               AS life
+      FROM events GROUP BY 1
+    ),
+    h AS (SELECT life, CAST(COUNT(*) AS BIGINT) AS n_ended FROM ul GROUP BY 1),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM ul)
+    SELECT life AS lifespan_day, n_ended,
+           CAST(SUM(n_ended) OVER (ORDER BY life DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_at_risk,
+           CAST(SUM(n_ended) OVER (ORDER BY life DESC ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / total AS surv_frac
+    FROM h, t
+    """,
+)
+def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention survival curve — for each lifespan day d (first to
+    last activity), how many users were still "alive" at d
+    (n_at_risk = users with lifespan ≥ d, the survival function's
+    numerator) and how many ended exactly there.  The product-form
+    churn view events_cohort_retention doesn't give: S(d) as a
+    right-cumulative count over the LIFESPAN HISTOGRAM.
+
+    Scale shape: one per-user min/max aggregate, then ALL window work
+    runs over the bounded-domain lifespan histogram (≤ |calendar
+    days| rows, the events_rfm CDF discipline) — never a window over
+    users.  surv_frac is one integer division of two exact longs —
+    deterministic doubles, no rounding column."""
+    ev = load_table(spark, sf_dir, "events")
+    ul = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("life")
+    )
+    h = ul.groupBy("life").agg(F.count("*").alias("n_ended"))
+    total = ul.agg(F.count("*").alias("total"))
+    w = (
+        Window.orderBy(F.desc("life"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        h.crossJoin(F.broadcast(total))
+        .select(
+            F.col("life").cast("long").alias("lifespan_day"),
+            "n_ended",
+            F.sum("n_ended").over(w).alias("n_at_risk"),
+            (F.sum("n_ended").over(w).cast("double") / F.col("total")).alias("surv_frac"),
+        )
+    )
+
+
+@query(
+    "join_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS s,
+             ts + INTERVAL 1 MINUTE *
+                  ((CAST(ROUND(value * 100) AS BIGINT) % 120) + 30) AS e
+      FROM events WHERE event_type = 'purchase'
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       >= s
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def join_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval COALESCING — merge overlapping/touching validity
+    windows per key into maximal spans (uptime stitching, session
+    spans from heartbeat leases, visit merging): the gaps-and-islands
+    pattern lifted from point runs (win_gaps_islands) to INTERVALS.
+    Each purchase opens a deterministic 30–150-minute window (length
+    from the value cents); spans that overlap a predecessor merge.
+
+    The classic cumulative-max trick: an interval starts a NEW island
+    iff its start exceeds the running max of all PREVIOUS ends
+    (UNBOUNDED..1 PRECEDING frame); a running sum of those flags
+    numbers the islands; one groupBy emits each island's span and
+    merge count.  ONE shuffle on user_id shared by both windows and
+    the island aggregate; all timestamp/integer arithmetic, exact in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, 0, "
+            "CAST(pmod(CAST(ROUND(value * 100) AS BIGINT), 120) + 30 AS INT), 0)"
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1).alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count("*").alias("n_merged"),
+    ).drop("island")

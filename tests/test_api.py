@@ -1175,3 +1175,51 @@ def test_resample_interpolate_matches_python(spark, sf_dir):
         assert abs(v - expect) <= 1e-9 * max(1.0, abs(expect)), (uid, gts, v, expect)
         checked += 1
     assert checked == len(got) and checked > 100
+
+
+def test_survival_curve_invariants(spark, sf_dir):
+    """Survival function laws: n_at_risk is non-increasing in
+    lifespan_day, tops out at the user total (surv_frac 1.0 at the
+    minimum lifespan), n_ended sums to the total, and
+    surv_frac == n_at_risk / total exactly."""
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.tables import load_table
+
+    rows = sorted(
+        QUERIES["events_survival"](spark, sf_dir).collect(),
+        key=lambda r: r["lifespan_day"],
+    )
+    total = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r["n_ended"] for r in rows) == total
+    assert rows[0]["n_at_risk"] == total and rows[0]["surv_frac"] == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_at_risk"] == a["n_at_risk"] - a["n_ended"]
+    for r in rows:
+        assert r["surv_frac"] == r["n_at_risk"] / total
+
+
+def test_interval_coalesce_spans_disjoint_and_complete(spark, sf_dir):
+    """Coalesced spans per user are strictly disjoint (next start >
+    previous end), each covers ≥ one 30-minute window, and merge
+    counts conserve the purchase count."""
+    import datetime
+
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.tables import load_table
+
+    rows = QUERIES["join_interval_coalesce"](spark, sf_dir).collect()
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_merged"] for r in rows) == n_purchases
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for spans in by_user.values():
+        spans.sort(key=lambda r: r["span_start"])
+        for r in spans:
+            assert r["span_end"] >= r["span_start"] + datetime.timedelta(minutes=30)
+        for a, b in zip(spans, spans[1:]):
+            assert b["span_start"] > a["span_end"], (a, b)

@@ -663,3 +663,13 @@ def test_resample_single_window_node(spark, sf_dir):
     plan = plan_of(QUERIES["events_resample_interpolate"](spark, sf_dir))
     n = len(re.findall(r"\(\d+\) Window", plan))
     assert n == 1, f"expected exactly one Window node, plan has {n}"
+
+
+def test_interval_coalesce_single_shuffle(spark, sf_dir):
+    """join_interval_coalesce's two windows AND the island aggregate
+    all cluster on user_id (island is a refinement within user), so
+    the plan must hold exactly ONE Exchange — partitioning by user_id
+    already satisfies the (user_id, island) groupBy's distribution."""
+    plan = plan_of(QUERIES["join_interval_coalesce"](spark, sf_dir))
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n == 1, f"expected exactly one Exchange, plan has {n}"
