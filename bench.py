@@ -91,6 +91,7 @@ EXTRA = [
     "events_resample_interpolate", # hourly grid + linear interpolation
     "events_survival",             # lifespan survival curve
     "join_interval_coalesce",      # overlapping-interval merging
+    "events_anomaly_robust",       # median/MAD modified z-score
 ]
 
 

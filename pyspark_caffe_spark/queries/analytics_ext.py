@@ -1937,3 +1937,64 @@ def join_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("span_end"),
         F.count("*").alias("n_merged"),
     ).drop("island")
+
+
+@query(
+    "events_anomaly_robust",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, MEDIAN(n) AS med FROM hourly GROUP BY 1
+    ), mad AS (
+      SELECT h.event_type, MEDIAN(ABS(h.n - m.med)) AS mad
+      FROM hourly h JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT h.event_type, CAST(h.bucket AS TIMESTAMP) AS bucket, h.n,
+           CASE WHEN d.mad = 0 THEN NULL
+                ELSE 0.6745 * (h.n - m.med) / d.mad END AS robust_z,
+           CASE WHEN d.mad = 0 THEN h.n <> m.med
+                ELSE ABS(0.6745 * (h.n - m.med) / d.mad) > 3.5 END AS is_outlier
+    FROM hourly h JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    """,
+)
+def events_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection — the median/MAD "modified
+    z-score" (Iglewicz–Hoaglin: 0.6745·(n−med)/MAD, flag > 3.5)
+    companion to events_anomaly's mean/σ z-score: a single traffic
+    spike inflates the mean AND the σ it is judged against, masking
+    itself; the median and MAD barely move, so the spike scores
+    honestly.  The monitoring default when outliers are exactly what
+    you're hunting.
+
+    Exactness without a rounding column: hourly counts are integers,
+    so every median (exact interpolated, both engines identical) lies
+    on a power-of-two fraction grid, |n − med| stays on it, MAD too —
+    all exactly representable doubles — and the one score expression
+    is written identically in both engines.  The degenerate MAD = 0
+    (≥ half the buckets identical) is guarded to NULL score +
+    n ≠ median flag rather than riding on cross-engine NaN/∞
+    comparison semantics.  Scale shape identical to events_anomaly:
+    aggregate first, ALL stats over the tiny buckets×types frame."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    med = hourly.groupBy("event_type").agg(F.median("n").alias("med"))
+    h_m = hourly.join(F.broadcast(med), "event_type")
+    mad = h_m.groupBy("event_type").agg(
+        F.median(F.abs(F.col("n") - F.col("med"))).alias("mad")
+    )
+    scored = h_m.join(F.broadcast(mad), "event_type")
+    z = F.lit(0.6745) * (F.col("n") - F.col("med")) / F.col("mad")
+    return scored.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.when(F.col("mad") == 0, F.lit(None).cast("double")).otherwise(z).alias("robust_z"),
+        F.when(F.col("mad") == 0, F.col("n") != F.col("med"))
+        .otherwise(F.abs(z) > 3.5)
+        .alias("is_outlier"),
+    )

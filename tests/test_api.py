@@ -1223,3 +1223,38 @@ def test_interval_coalesce_spans_disjoint_and_complete(spark, sf_dir):
             assert r["span_end"] >= r["span_start"] + datetime.timedelta(minutes=30)
         for a, b in zip(spans, spans[1:]):
             assert b["span_start"] > a["span_end"], (a, b)
+
+
+def test_anomaly_robust_matches_python(spark, sf_dir):
+    """Full python recompute of the modified z-score: per-type median
+    and MAD from the hourly counts, score equality to the last ulp
+    (the grid-exactness claim), flag consistency, and sign(robust_z)
+    == sign(n − median)."""
+    import statistics
+
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.tables import load_table
+
+    rows = QUERIES["events_anomaly_robust"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n")).collect()
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["n"])
+    assert len(rows) == len(ev)
+    stats = {
+        t: (statistics.median(ns), statistics.median(abs(n - statistics.median(ns)) for n in ns))
+        for t, ns in by_type.items()
+    }
+    for r in rows:
+        med, mad = stats[r["event_type"]]
+        if mad == 0:
+            assert r["robust_z"] is None
+            assert r["is_outlier"] == (r["n"] != med)
+            continue
+        expect = 0.6745 * (r["n"] - med) / mad
+        assert r["robust_z"] == expect, (r, expect)
+        assert r["is_outlier"] == (abs(expect) > 3.5)
+        if r["n"] != med:
+            assert (r["robust_z"] > 0) == (r["n"] > med)
