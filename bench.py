@@ -92,6 +92,7 @@ EXTRA = [
     "events_survival",             # lifespan survival curve
     "join_interval_coalesce",      # overlapping-interval merging
     "events_anomaly_robust",       # median/MAD modified z-score
+    "ml_bootstrap_ci",             # Poisson bootstrap, one scan
 ]
 
 

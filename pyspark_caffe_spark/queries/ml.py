@@ -784,3 +784,99 @@ def ml_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hit5"),
         F.max(F.when(F.col("rel"), 1).otherwise(0)).cast("int").alias("hit10"),
     )
+
+
+#: cumulative Poisson(1) CDF — shortest-round-trip literals, parsed to
+#: identical doubles by both engines
+_POIS1_CDF = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+]
+_BOOT_REPS = 20
+
+
+def _boot_oracle() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS1_CDF)
+    ) + " ELSE 5 END"
+    return f"""
+    WITH pur AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), rep AS (
+      SELECT event_id, cents, UNNEST(RANGE(0, {_BOOT_REPS})) AS rep FROM pur
+    ), wts AS (
+      SELECT rep, cents,
+             CAST(CAST(('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR) || ':' ||
+                                       CAST(rep AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+      FROM rep
+    ), w AS (SELECT rep, cents, {case} AS w FROM wts)
+    SELECT CAST(rep AS BIGINT) AS replicate,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS boot_mean
+    FROM w GROUP BY rep
+    """
+
+
+@query("ml_bootstrap_ci", oracle=_boot_oracle())
+def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed POISSON BOOTSTRAP — uncertainty for a corpus-scale
+    metric without resampling-by-index (impossible at 100 TB: classic
+    bootstrap needs n draws WITH replacement from n rows, a shuffle of
+    the whole dataset per replicate).  The Poisson(1) trick: each
+    row's multiplicity in replicate r is an independent Poisson(1)
+    weight — for large n the replicate distribution is the bootstrap
+    distribution — so ALL 20 replicates ride ONE scan with a 20-way
+    in-row explode, partial-agged to 20 groups.  The spread of
+    boot_mean across replicates IS the sampling distribution of the
+    mean; consumers take its quantiles for the CI.
+
+    Determinism (no RNG): the weight comes from inverting the exact
+    Poisson(1) CDF (shortest-round-trip literals) at u =
+    hash60(event_id, replicate)/2^60 — content-derived, identical
+    across engines, reruns, and partitionings (the _md5_rank_key
+    idiom).  Replicate sums are exact longs (weight ≤ 5 × cents);
+    boot_mean is one integer-over-integer division — deterministic
+    doubles, hash-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    rep = pur.select(
+        "event_id",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("rep"),
+    )
+    hk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"), F.lit(":"), F.col("rep").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = hk.cast("double") / F.lit(float(1 << 60))
+    w = F.lit(5)
+    for k, t in reversed(list(enumerate(_POIS1_CDF))):
+        w = F.when(u < F.lit(float(t)), F.lit(k)).otherwise(w)
+    agg = (
+        rep.select(F.col("rep"), F.col("cents"), w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            (
+                F.sum(F.col("w") * F.col("cents")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("boot_mean"),
+        )
+    )
+    return agg.select(F.col("rep").cast("long").alias("replicate"), "n_eff", "boot_mean")

@@ -1258,3 +1258,36 @@ def test_anomaly_robust_matches_python(spark, sf_dir):
         assert r["is_outlier"] == (abs(expect) > 3.5)
         if r["n"] != med:
             assert (r["robust_z"] > 0) == (r["n"] > med)
+
+
+def test_bootstrap_distribution_sane(spark, sf_dir):
+    """The Poisson bootstrap must produce a REAL sampling
+    distribution: replicate means vary (weights differ per
+    replicate), every mean sits within 5% of the true mean, effective
+    sizes fluctuate around n within 5·√n, and the replicate spread is
+    the right ORDER (within [1/3, 3]× of the CLT σ/√n — the
+    bootstrap's entire claim)."""
+    import statistics
+
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.tables import load_table
+
+    rows = QUERIES["ml_bootstrap_ci"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    vals = [
+        round(r["value"] * 100)
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("value")
+        .collect()
+    ]
+    n = len(vals)
+    true_mean = sum(vals) / n
+    clt_se = statistics.pstdev(vals) / n**0.5
+    means = [r["boot_mean"] for r in rows]
+    assert len(set(means)) > 1, "all replicates identical — weights are vacuous"
+    for r in rows:
+        assert abs(r["boot_mean"] - true_mean) <= 0.05 * true_mean
+        assert abs(r["n_eff"] - n) <= 5 * n**0.5
+    boot_se = statistics.pstdev(means)
+    assert clt_se / 3 <= boot_se <= 3 * clt_se, (boot_se, clt_se)

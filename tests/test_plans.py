@@ -101,6 +101,7 @@ CASES = [
     ("agg_kll_quantile_sketch", r"HashAggregate(.|\n)*HashAggregate", r"CartesianProduct|SortMergeJoin", "KLL sketches partial-agged; quantile row broadcast back onto the scan"),
     ("agg_theta_sketch_rollup", r"PushedFilters: \[[^\]]*LessThan\(day", r"CartesianProduct", "range query reads the STORED daily sketches with the day filter pushed down"),
     ("agg_kll_sketch_rollup", r"PushedFilters: \[[^\]]*LessThan\(day", r"CartesianProduct|SortMergeJoin", "range quantiles read the STORED daily sketches, day filter pushed down"),
+    ("ml_bootstrap_ci", r"HashAggregate(.|\n)*HashAggregate", r"BatchEvalPython|ArrowEvalPython|hashpartitioning(.|\n)*hashpartitioning", "all 20 replicates ride ONE scan + partial agg; a single 20-group shuffle"),
 ]
 
 
