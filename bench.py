@@ -93,6 +93,7 @@ EXTRA = [
     "join_interval_coalesce",      # overlapping-interval merging
     "events_anomaly_robust",       # median/MAD modified z-score
     "ml_bootstrap_ci",             # Poisson bootstrap, one scan
+    "events_changepoint",          # mean-shift split, prefix sums
 ]
 
 

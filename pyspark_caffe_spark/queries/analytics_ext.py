@@ -1998,3 +1998,88 @@ def events_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(z) > 3.5)
         .alias("is_outlier"),
     )
+
+
+@query(
+    "events_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), pre AS (
+      SELECT event_type, day, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS cum,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS d
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ), cand AS (
+      SELECT event_type, day, i AS days_before,
+             CAST(cum AS DOUBLE) / i AS mean_before,
+             CAST(total - cum AS DOUBLE) / (d - i) AS mean_after
+      FROM pre WHERE i < d
+    )
+    SELECT event_type, day AS split_day, days_before,
+           mean_before, mean_after,
+           mean_after - mean_before AS shift
+    FROM cand
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY ABS(mean_after - mean_before) DESC, day) = 1
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single CHANGEPOINT detection per event type — the binary-
+    segmentation step behind every volume-shift monitor: over the
+    daily count series, find the split that maximizes the
+    |mean-after − mean-before| gap, reporting the split day and both
+    means.  (Iterating this on each side is full binary segmentation;
+    one step is the alarm.)
+
+    All candidate splits are scored from ONE prefix-sum pass over the
+    daily histogram (windows over ≤|calendar-days| rows per type, the
+    bounded-domain discipline — never over raw events), so the scan
+    cost is the daily rollup the pipeline already runs.  Counts and
+    prefix sums are exact longs; each mean is one int/int division and
+    the argmax compares those deterministic doubles with a day
+    tiebreak — hash-exact with no rounding column."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(w).alias("cum"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day")).cast("long").alias("i"),
+        F.sum("n").over(wt).alias("total"),
+        F.count("*").over(wt).alias("d"),
+    )
+    cand = pre.filter(F.col("i") < F.col("d")).select(
+        "event_type",
+        "day",
+        F.col("i").alias("days_before"),
+        (F.col("cum").cast("double") / F.col("i")).alias("mean_before"),
+        ((F.col("total") - F.col("cum")).cast("double") / (F.col("d") - F.col("i"))).alias(
+            "mean_after"
+        ),
+    )
+    wpick = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("mean_after") - F.col("mean_before"))), F.asc("day")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(wpick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            "days_before",
+            "mean_before",
+            "mean_after",
+            (F.col("mean_after") - F.col("mean_before")).alias("shift"),
+        )
+    )

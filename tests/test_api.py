@@ -1291,3 +1291,39 @@ def test_bootstrap_distribution_sane(spark, sf_dir):
         assert abs(r["n_eff"] - n) <= 5 * n**0.5
     boot_se = statistics.pstdev(means)
     assert clt_se / 3 <= boot_se <= 3 * clt_se, (boot_se, clt_se)
+
+
+def test_changepoint_matches_python_argmax(spark, sf_dir):
+    """Exhaustive python recompute per event type: every candidate
+    split's mean gap from the raw daily counts — the reported split
+    must be the (|gap| desc, day asc) argmax with exactly matching
+    means and shift."""
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.tables import load_table
+
+    got = {r["event_type"]: r for r in QUERIES["events_changepoint"](spark, sf_dir).collect()}
+    daily_rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily_rows:
+        series.setdefault(r["event_type"], []).append((r["day"], r["n"]))
+    for et, pts in series.items():
+        pts.sort()
+        total = sum(n for _, n in pts)
+        best = None
+        cum = 0
+        for i, (day, n) in enumerate(pts[:-1], start=1):
+            cum += n
+            mb = cum / i
+            ma = (total - cum) / (len(pts) - i)
+            key = (-abs(ma - mb), day)
+            if best is None or key < best[0]:
+                best = (key, day, i, mb, ma)
+        r = got[et]
+        assert r["split_day"] == best[1] and r["days_before"] == best[2]
+        assert r["mean_before"] == best[3] and r["mean_after"] == best[4]
+        assert r["shift"] == best[4] - best[3]
