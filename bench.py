@@ -94,6 +94,7 @@ EXTRA = [
     "events_anomaly_robust",       # median/MAD modified z-score
     "ml_bootstrap_ci",             # Poisson bootstrap, one scan
     "events_changepoint",          # mean-shift split, prefix sums
+    "ml_ks_test",                  # exact two-sample KS, integer argmax
 ]
 
 

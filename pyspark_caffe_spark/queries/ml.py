@@ -880,3 +880,106 @@ def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return agg.select(F.col("rep").cast("long").alias("replicate"), "n_eff", "boot_mean")
+
+
+@query(
+    "ml_ks_test",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+      WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+      WHERE event_type = 'click'
+    ), na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM a),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM b),
+    ha AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM a GROUP BY 1),
+    hb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+    pooled AS (
+      SELECT COALESCE(ha.v, hb.v) AS v,
+             COALESCE(ha.c, 0) AS ca, COALESCE(hb.c, 0) AS cb
+      FROM ha FULL OUTER JOIN hb ON ha.v = hb.v
+    ), cum AS (
+      SELECT v,
+             CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER w AS BIGINT) AS cumb
+      FROM pooled WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ), scored AS (
+      SELECT v, ABS(cuma * n2 - cumb * n1) AS num, n1, n2
+      FROM cum, na, nb
+    )
+    SELECT n1, n2, v AS ks_x, CAST(num AS BIGINT) AS ks_num,
+           CAST(num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_d,
+           CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0)) * 6250
+             > CAST(11560 AS DECIMAL(38,0)) * (n1 + n2) * n1 * n2
+             AS reject_h0
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (ORDER BY num DESC, v) = 1
+    """,
+)
+def ml_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov test, distributed — does
+    the purchase value distribution differ from the click one?  The
+    drift/AB-test primitive for continuous metrics where mean-based
+    monitors (profile_drift_psi's binned PSI) can miss shape changes.
+
+    Everything stays in integer arithmetic to the very end:
+    D = max|F1−F2| is found as the ARGMAX OF THE INTEGER NUMERATOR
+    |c1·n2 − c2·n1| over the pooled per-value histogram (one cum-sum
+    window over the bounded 2dp-grid domain — never over raw rows),
+    and the α=0.05 decision D > 1.36·√((n1+n2)/(n1·n2)) is squared
+    into the exact DECIMAL comparison num²·6250 > 11560·(n1+n2)·n1·n2
+    (1.36² = 11560/6250) — no square root, so no cross-engine libm
+    ulp can flip the verdict.  ks_d itself is one integer/integer
+    division — a deterministic double."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def hist(et: str, cname: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == et)
+            .select(cents.alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").alias(cname))
+        )
+
+    ha, hb = hist("purchase", "ca"), hist("click", "cb")
+    na = ev.filter(F.col("event_type") == "purchase").agg(F.count("*").alias("n1"))
+    nb = ev.filter(F.col("event_type") == "click").agg(F.count("*").alias("n2"))
+    pooled = (
+        ha.join(hb, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pooled.select(
+        "v", F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
+    )
+    scored = cum.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb)).select(
+        "v",
+        F.abs(F.col("cuma") * F.col("n2") - F.col("cumb") * F.col("n1")).alias("num"),
+        "n1",
+        "n2",
+    )
+    wpick = Window.orderBy(F.desc("num"), F.asc("v"))
+    best = scored.withColumn("_rn", F.row_number().over(wpick)).filter(F.col("_rn") == 1)
+    numd = F.col("num").cast("decimal(38,0)")
+    return best.select(
+        "n1",
+        "n2",
+        F.col("v").alias("ks_x"),
+        F.col("num").alias("ks_num"),
+        (F.col("num").cast("double") / (F.col("n1") * F.col("n2")).cast("double")).alias(
+            "ks_d"
+        ),
+        (
+            numd * numd * 6250
+            > F.lit(11560).cast("decimal(38,0)")
+            * (F.col("n1") + F.col("n2"))
+            * F.col("n1")
+            * F.col("n2")
+        ).alias("reject_h0"),
+    )

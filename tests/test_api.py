@@ -1327,3 +1327,31 @@ def test_changepoint_matches_python_argmax(spark, sf_dir):
         assert r["split_day"] == best[1] and r["days_before"] == best[2]
         assert r["mean_before"] == best[3] and r["mean_after"] == best[4]
         assert r["shift"] == best[4] - best[3]
+
+
+def test_ks_test_matches_python_exact(spark, sf_dir):
+    """Exact python recompute of the two-sample KS statistic from the
+    raw cent values: the integer numerator argmax, its location, the
+    D value, and the squared integer significance inequality must all
+    match the key's output exactly."""
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.tables import load_table
+
+    row = QUERIES["ml_ks_test"](spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    a = sorted(round(r["value"] * 100) for r in ev if r["event_type"] == "purchase")
+    b = sorted(round(r["value"] * 100) for r in ev if r["event_type"] == "click")
+    n1, n2 = len(a), len(b)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    import bisect
+
+    best = (-1, None)
+    for v in sorted(set(a) | set(b)):
+        ca = bisect.bisect_right(a, v)
+        cb = bisect.bisect_right(b, v)
+        num = abs(ca * n2 - cb * n1)
+        if num > best[0]:
+            best = (num, v)
+    assert row["ks_num"] == best[0] and row["ks_x"] == best[1]
+    assert row["ks_d"] == best[0] / (n1 * n2)
+    assert row["reject_h0"] == (best[0] ** 2 * 6250 > 11560 * (n1 + n2) * n1 * n2)
