@@ -95,6 +95,7 @@ EXTRA = [
     "ml_bootstrap_ci",             # Poisson bootstrap, one scan
     "events_changepoint",          # mean-shift split, prefix sums
     "ml_ks_test",                  # exact two-sample KS, integer argmax
+    "ml_permutation_test",         # randomization test, one scan
 ]
 
 

@@ -983,3 +983,147 @@ def ml_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("n2")
         ).alias("reject_h0"),
     )
+
+
+_PERM_REPS = 40
+
+
+def _perm_oracle() -> str:
+    return f"""
+    WITH pooled AS (
+      SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), sizes AS (
+      SELECT CAST(SUM(grp) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(grp) AS BIGINT) AS n2
+      FROM pooled
+    ), obs AS (
+      SELECT ABS(CAST(SUM(CASE WHEN grp = 1 THEN cents END) AS DOUBLE) / n1
+               - CAST(SUM(CASE WHEN grp = 0 THEN cents END) AS DOUBLE) / n2)
+               AS obs_diff
+      FROM pooled, sizes GROUP BY n1, n2
+    ), rep AS (
+      SELECT p.event_id, p.cents, UNNEST(RANGE(0, {_PERM_REPS})) AS rep,
+             s.n1, s.n2
+      FROM pooled p, sizes s
+    ), flip AS (
+      SELECT rep, cents,
+             CASE WHEN CAST(CAST(('0x' || SUBSTR(MD5('perm:' ||
+                          CAST(event_id AS VARCHAR) || ':' ||
+                          CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+                       / 1152921504606846976.0
+                       < CAST(n1 AS DOUBLE) / (n1 + n2)
+                  THEN 1 ELSE 0 END AS grp
+      FROM rep
+    ), rep_stats AS (
+      SELECT rep,
+             ABS(CAST(SUM(CASE WHEN grp = 1 THEN cents END) AS DOUBLE)
+                   / SUM(grp)
+               - CAST(SUM(CASE WHEN grp = 0 THEN cents END) AS DOUBLE)
+                   / (COUNT(*) - SUM(grp))) AS perm_diff
+      FROM flip GROUP BY rep
+    )
+    SELECT s.n1, s.n2, o.obs_diff,
+           CAST(SUM(CASE WHEN r.perm_diff >= o.obs_diff THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ge,
+           CAST(SUM(CASE WHEN r.perm_diff >= o.obs_diff THEN 1 ELSE 0 END)
+                AS DOUBLE) / {_PERM_REPS} AS p_value
+    FROM rep_stats r, obs o, sizes s
+    GROUP BY s.n1, s.n2, o.obs_diff
+    """
+
+
+@query("ml_permutation_test", oracle=_perm_oracle())
+def ml_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed RANDOMIZATION TEST for a mean difference — the
+    nonparametric sibling of ml_bootstrap_ci (uncertainty) and
+    ml_ks_test (distribution shape): under H0 the purchase/click
+    labels are exchangeable, so the observed |mean gap| is compared
+    against {reps} hash-deterministic relabelings, and the p-value is
+    the fraction of relabeled gaps at least as large.  Same one-scan
+    shape as the bootstrap: every replicate rides a single in-row
+    explode with partial agg — no per-replicate shuffle, no RNG
+    (Bernoulli(n1/n) relabeling from the hash60 uniform; group sizes
+    fluctuate binomially, the standard scalable randomization
+    variant, documented rather than hidden).
+
+    Exactness: group sums are exact longs; each mean is one int/int
+    division; the ≥ comparison is between two such deterministic
+    doubles; n_ge and p_value are integer-derived.  The whole
+    hypothesis test hash-matches the oracle — including the verdict
+    at 100×, where the gap's significance reflects 4M-row segments.
+    """.replace("{reps}", str(_PERM_REPS))
+    ev = load_table(spark, sf_dir, "events")
+    pooled = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp"),
+    )
+    sizes = pooled.agg(
+        F.sum("grp").cast("long").alias("n1"),
+        (F.count("*") - F.sum("grp")).cast("long").alias("n2"),
+    )
+    obs = (
+        pooled.crossJoin(F.broadcast(sizes))
+        .groupBy("n1", "n2")
+        .agg(
+            F.abs(
+                F.sum(F.when(F.col("grp") == 1, F.col("cents"))).cast("double")
+                / F.first("n1")
+                - F.sum(F.when(F.col("grp") == 0, F.col("cents"))).cast("double")
+                / F.first("n2")
+            ).alias("obs_diff")
+        )
+    )
+    rep = pooled.crossJoin(F.broadcast(sizes)).select(
+        "event_id",
+        "cents",
+        "n1",
+        "n2",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_REPS - 1))).alias("rep"),
+    )
+    hk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("perm:"),
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = hk.cast("double") / F.lit(float(1 << 60))
+    flip = rep.select(
+        "rep",
+        "cents",
+        F.when(u < F.col("n1").cast("double") / (F.col("n1") + F.col("n2")), 1)
+        .otherwise(0)
+        .alias("grp"),
+    )
+    rep_stats = flip.groupBy("rep").agg(
+        F.abs(
+            F.sum(F.when(F.col("grp") == 1, F.col("cents"))).cast("double")
+            / F.sum("grp")
+            - F.sum(F.when(F.col("grp") == 0, F.col("cents"))).cast("double")
+            / (F.count("*") - F.sum("grp"))
+        ).alias("perm_diff")
+    )
+    n_ge = F.sum(
+        F.when(F.col("perm_diff") >= F.col("obs_diff"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        rep_stats.crossJoin(F.broadcast(obs))
+        .groupBy("n1", "n2", "obs_diff")
+        .agg(
+            n_ge.alias("n_ge"),
+            (n_ge.cast("double") / F.lit(_PERM_REPS)).alias("p_value"),
+        )
+        .select("n1", "n2", "obs_diff", "n_ge", "p_value")
+    )

@@ -1355,3 +1355,50 @@ def test_ks_test_matches_python_exact(spark, sf_dir):
     assert row["ks_num"] == best[0] and row["ks_x"] == best[1]
     assert row["ks_d"] == best[0] / (n1 * n2)
     assert row["reject_h0"] == (best[0] ** 2 * 6250 > 11560 * (n1 + n2) * n1 * n2)
+
+
+def test_permutation_test_matches_python(spark, sf_dir):
+    """Full python replay of the randomization test: identical hash
+    coins, relabeled group sums, replicate gaps, n_ge, and p-value —
+    exact equality end to end."""
+    import hashlib
+
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.queries.ml import _PERM_REPS
+    from pyspark_caffe_spark.tables import load_table
+
+    row = QUERIES["ml_permutation_test"](spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    pooled = [
+        (r["event_id"], round(r["value"] * 100), 1 if r["event_type"] == "purchase" else 0)
+        for r in ev
+    ]
+    n1 = sum(g for _, _, g in pooled)
+    n2 = len(pooled) - n1
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    obs = abs(
+        sum(c for _, c, g in pooled if g == 1) / n1
+        - sum(c for _, c, g in pooled if g == 0) / n2
+    )
+    assert row["obs_diff"] == obs
+    thr = n1 / (n1 + n2)
+    n_ge = 0
+    for r in range(_PERM_REPS):
+        s1 = s0 = k1 = k0 = 0
+        for eid, c, _ in pooled:
+            u = int(hashlib.md5(f"perm:{eid}:{r}".encode()).hexdigest()[:15], 16) / (1 << 60)
+            if u < thr:
+                s1 += c
+                k1 += 1
+            else:
+                s0 += c
+                k0 += 1
+        if abs(s1 / k1 - s0 / k0) >= obs:
+            n_ge += 1
+    assert row["n_ge"] == n_ge
+    assert row["p_value"] == n_ge / _PERM_REPS
