@@ -96,6 +96,7 @@ EXTRA = [
     "events_changepoint",          # mean-shift split, prefix sums
     "ml_ks_test",                  # exact two-sample KS, integer argmax
     "ml_permutation_test",         # randomization test, one scan
+    "agg_benford",                 # first-digit data-quality audit
 ]
 
 

@@ -1207,3 +1207,73 @@ def agg_kll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_ok("le_q50", 0.5).alias("p50_rank_ok"),
         rank_ok("le_q90", 0.9).alias("p90_rank_ok"),
     )
+
+
+#: Benford first-digit law P(d) = log10(1 + 1/d) — shortest-round-trip
+#: literals, parsed to identical doubles by both engines
+_BENFORD_P = [
+    "0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+    "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+    "0.05799194697768673", "0.05115252244738129", "0.04575749056067514",
+]
+
+
+def _benford_oracle() -> str:
+    # CAST each literal: DuckDB types a bare decimal literal as
+    # DECIMAL(18,17), not DOUBLE (dtype-parity check caught it)
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in enumerate(_BENFORD_P, start=1)
+    ) + " END"
+    return f"""
+    WITH fd AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ), h AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM fd GROUP BY 1
+    ), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fd)
+    SELECT digit, n_obs,
+           CAST(n_obs AS DOUBLE) / n AS obs_frac,
+           {exp_case} AS exp_frac,
+           ABS(CAST(n_obs AS DOUBLE) / n - {exp_case}) < 0.03 AS within_tol
+    FROM h, t
+    """
+
+
+@query("agg_benford", oracle=_benford_oracle())
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the classic fraud / synthetic-data
+    screen: naturally-occurring multi-magnitude amounts follow
+    P(d) = log10(1+1/d); fabricated or truncated data doesn't.  Run
+    per ingest batch, it is a one-scan data-quality tripwire — and
+    the fixture demonstrates it FIRING: TPC-H order totals live in a
+    narrow band (sums of a few line prices), so digits 1–4 are
+    uniform and 5–9 starved; several within_tol flags are
+    legitimately false, which the oracle hash-checks — exactly what
+    the screen reports on truncated/synthetic amounts.
+
+    Emitted PER DIGIT (9 rows: exact count, obs_frac as one int/int
+    division, the expected literal, and the |obs−exp| < 0.03 flag) —
+    no cross-row float statistic, so every value is
+    engine-deterministic; a chi-square rollup is one tiny local step
+    for the consumer.  First digit extracted from exact integer cents
+    (string head of a long), never from float formatting."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    h = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    t = orders.agg(F.count("*").alias("n"))
+    exp = F.lit(None).cast("double")
+    for d, p in reversed(list(enumerate(_BENFORD_P, start=1))):
+        exp = F.when(F.col("digit") == d, F.lit(float(p))).otherwise(exp)
+    obs_frac = F.col("n_obs").cast("double") / F.col("n")
+    return h.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_obs",
+        obs_frac.alias("obs_frac"),
+        exp.alias("exp_frac"),
+        (F.abs(obs_frac - exp) < 0.03).alias("within_tol"),
+    )

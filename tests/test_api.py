@@ -1402,3 +1402,31 @@ def test_permutation_test_matches_python(spark, sf_dir):
             n_ge += 1
     assert row["n_ge"] == n_ge
     assert row["p_value"] == n_ge / _PERM_REPS
+
+
+def test_benford_distribution_shape(spark, sf_dir):
+    """First-digit audit sanity: all nine digits report, counts
+    conserve the order count, obs_frac is the exact count ratio, the
+    expected fractions are the Benford constants summing to 1, and
+    digit 1 is the modal first digit (prices span magnitudes)."""
+    import math
+
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.tables import load_table
+
+    rows = {r["digit"]: r for r in QUERIES["agg_benford"](spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(1, 10))
+    n = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_obs"] for r in rows.values()) == n
+    for d, r in rows.items():
+        assert r["obs_frac"] == r["n_obs"] / n
+        assert abs(r["exp_frac"] - math.log10(1 + 1 / d)) < 1e-15
+    assert abs(sum(r["exp_frac"] for r in rows.values()) - 1.0) < 1e-12
+    for d, r in rows.items():
+        assert r["within_tol"] == (abs(r["obs_frac"] - r["exp_frac"]) < 0.03)
+    # the audit must DISCRIMINATE on this narrow-band fixture: the
+    # uniform 1-4 / starved 5-9 shape is a genuine Benford violation —
+    # digit 4 carries ~28% observed vs 9.7% expected, far past any
+    # tolerance, so its flag must be false at every SF
+    assert not rows[4]["within_tol"]
+    assert any(not r["within_tol"] for r in rows.values())
