@@ -97,6 +97,7 @@ EXTRA = [
     "ml_ks_test",                  # exact two-sample KS, integer argmax
     "ml_permutation_test",         # randomization test, one scan
     "agg_benford",                 # first-digit data-quality audit
+    "join_recursive_closure",      # frontier-iterated hierarchy closure
 ]
 
 

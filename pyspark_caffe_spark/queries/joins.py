@@ -1046,3 +1046,73 @@ def join_q22_cntrycode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "join_recursive_closure",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT p_partkey // 10 AS ancestor, p_partkey AS descendant
+      FROM part WHERE p_partkey >= 1 AND p_partkey // 10 >= 1
+    ), cl AS (
+      SELECT ancestor, descendant, 1 AS depth FROM e
+      UNION ALL
+      SELECT cl.ancestor, e.descendant, cl.depth + 1
+      FROM cl JOIN e ON cl.descendant = e.ancestor
+    )
+    SELECT CAST(ancestor AS BIGINT) AS ancestor,
+           CAST(descendant AS BIGINT) AS descendant,
+           CAST(depth AS INT) AS depth
+    FROM cl
+    """,
+)
+def join_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE hierarchy closure — the bill-of-materials / org-chart
+    workload (WITH RECURSIVE in SQL engines): every (ancestor,
+    descendant, depth) pair of a containment tree, here the synthetic
+    decimal hierarchy parent(k) = k div 10 over part keys (a forest
+    whose depth is log10(maxkey) — self-scaling: deeper at bigger SF).
+
+    Spark has no recursive CTE; the scale-correct translation is
+    FRONTIER ITERATION: closure starts as the edge set, and each hop
+    equi-joins only the PREVIOUS LEVEL's rows (the frontier) against
+    the edges — one hash-join shuffle per level, O(depth) ≈ log(N)
+    iterations, never re-joining the whole closure (the quadratic
+    mistake).  localCheckpoint per level truncates the growing
+    lineage, the dedup_clusters discipline.  The tree structure makes
+    every generated pair unique, so the union needs no dedup.  Oracle
+    is the genuine recursive CTE — proving the iterative plan equals
+    the declarative recursion exactly."""
+    part = load_table(spark, sf_dir, "part")
+    edges = (
+        part.filter(F.col("p_partkey") >= 1)
+        .select(
+            F.expr("p_partkey div 10").alias("ancestor"),
+            F.col("p_partkey").alias("descendant"),
+        )
+        .filter(F.col("ancestor") >= 1)
+        .localCheckpoint(eager=True)
+    )
+    closure = edges.withColumn("depth", F.lit(1).cast("int"))
+    frontier = closure
+    max_depth = 40  # >> log10 of any conceivable key space; raise-guarded
+    for _ in range(max_depth):
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.descendant") == F.col("e.ancestor"))
+            .select(
+                F.col("f.ancestor").alias("ancestor"),
+                F.col("e.descendant").alias("descendant"),
+                (F.col("f.depth") + 1).cast("int").alias("depth"),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.count() == 0:
+            break
+        closure = closure.unionByName(nxt)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"join_recursive_closure: hierarchy deeper than {max_depth} levels"
+        )
+    return closure

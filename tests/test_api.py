@@ -1430,3 +1430,36 @@ def test_benford_distribution_shape(spark, sf_dir):
     # tolerance, so its flag must be false at every SF
     assert not rows[4]["within_tol"]
     assert any(not r["within_tol"] for r in rows.values())
+
+
+def test_recursive_closure_matches_python_walk(spark, sf_dir):
+    """Exact python recompute: for every part key, walking parent =
+    k div 10 enumerates its proper ancestors with depths — the
+    closure must equal that pair set exactly."""
+    from pyspark_caffe_spark.queries import QUERIES
+    from pyspark_caffe_spark.tables import load_table
+
+    got = {
+        (r["ancestor"], r["descendant"]): r["depth"]
+        for r in QUERIES["join_recursive_closure"](spark, sf_dir).collect()
+    }
+    keys = [
+        r["p_partkey"]
+        for r in load_table(spark, sf_dir, "part").select("p_partkey").collect()
+        if r["p_partkey"] >= 1
+    ]
+    # exact reference: BFS over the actual edge set (edges only exist
+    # where BOTH endpoints are part keys)
+    edges = {}
+    for k in keys:
+        p = k // 10
+        if p >= 1:
+            edges.setdefault(p, []).append(k)
+    ref = {}
+    for a in keys:
+        stack = [(c, 1) for c in edges.get(a, [])]
+        while stack:
+            node, d = stack.pop()
+            ref[(a, node)] = d
+            stack.extend((c, d + 1) for c in edges.get(node, []))
+    assert got == ref
