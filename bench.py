@@ -2,9 +2,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints TWO JSON lines: the full per-query detail line, then a compact
+summary line (metric/value/calib/value_per_calib/load_hint/contended)
+LAST so a tail-capture-limited harness always gets a parseable
+headline:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+  {"metric": "...", "value": <total sec>, ..., "contended": bool}
 
 Queries are materialized through the noop sink (forces every column
 and operator, no driver-side transfer skew). Compare against
@@ -15,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -148,7 +153,9 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(time.perf_counter() - t0)
             samples.sort()
-            med[name] = round(samples[len(samples) // 2], 3)
+            # statistics.median interpolates for even rep counts — the
+            # upper-middle pick biased even-rep medians upward
+            med[name] = round(statistics.median(samples), 3)
             best[name] = round(samples[0], 3)
         return med, best
 
@@ -186,6 +193,36 @@ def main() -> None:
                 # environment-dependent).
                 "value_per_calib": round(total / calib_norm, 2) if calib_norm else None,
                 "sf": sf,
+            }
+        )
+    )
+    # Compact summary line LAST: the full line above outgrew the
+    # driver's 2000-char tail capture once queries_extra passed ~40
+    # entries (BENCH_r09.json recorded "parsed": null because the tail
+    # started mid-dict).  The driver parses the LAST json line it can,
+    # so this short line guarantees a parseable headline every round;
+    # the full per-query detail stays one line up for humans/PERF.md.
+    load_hint = (
+        round(max(calib, calib_end) / min(calib, calib_end), 2)
+        if min(calib, calib_end) > 0
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"headline suite wall-clock (22 queries, noop-materialized, median of {reps})",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "calib_sec": calib,
+                "calib_end_sec": calib_end,
+                "value_per_calib": round(total / calib_norm, 2) if calib_norm else None,
+                # contention telemetry: the two probes bracket the
+                # suite; if they disagree >1.3x, a steal burst hit
+                # mid-run and raw seconds are contaminated — read
+                # value_per_calib instead (r8/r9 lesson)
+                "load_hint": load_hint,
+                "contended": (load_hint is not None and load_hint > 1.3),
             }
         )
     )

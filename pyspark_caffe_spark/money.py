@@ -74,3 +74,30 @@ def exact_money_sum(col: Column, alias: str | None = None) -> Column:
     total = F.sum(hi).cast("decimal(38,0)") * SPLIT + F.sum(lo)
     out = (total / TT).cast("double")
     return out.alias(alias) if alias is not None else out
+
+
+def exact_money_units_sum(col: Column, alias: str | None = None) -> Column:
+    """Exact group sum of a 4dp-grid monetary expression as INTEGER
+    ten-thousandths (``decimal(38,0)``) — the mergeable-partial form
+    of :func:`exact_money_sum`.
+
+    Use when a group's sum must survive a LATER re-aggregation (state
+    + delta merge, rollup of persisted partials): integer partials
+    re-sum exactly in any order and any grouping, whereas re-summing
+    the rounded DOUBLE output of :func:`exact_money_sum` can be off
+    in the last ulp when a group is split across partials.  Convert
+    back once at the end: ``(F.sum(units) / money.TT).cast("double")``
+    via :func:`money_from_units_sum`."""
+    q = money_units(col)
+    lo = q % SPLIT
+    hi = (q - lo) / F.lit(SPLIT)
+    hi = hi.cast("long")
+    total = F.sum(hi).cast("decimal(38,0)") * SPLIT + F.sum(lo)
+    return total.alias(alias) if alias is not None else total
+
+
+def money_from_units_sum(col: Column, alias: str | None = None) -> Column:
+    """Final merge step for :func:`exact_money_units_sum` partials:
+    re-sum the integer partials exactly, divide by the grid ONCE."""
+    out = (F.sum(col) / TT).cast("double")
+    return out.alias(alias) if alias is not None else out

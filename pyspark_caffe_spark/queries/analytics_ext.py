@@ -1870,7 +1870,7 @@ def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ((CAST(ROUND(value * 100) AS BIGINT) % 120) + 30) AS e
       FROM events WHERE event_type = 'purchase'
     ), flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                        >= s
@@ -1878,7 +1878,7 @@ def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM iv
     ), islands AS (
       SELECT user_id, s, e,
-             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e, event_id
                                    ROWS UNBOUNDED PRECEDING) AS island
       FROM flagged
     )
@@ -1920,13 +1920,20 @@ def join_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1).alias("new_island"),
     )
+    # the running sum MUST replay the exact total order the flag was
+    # computed under — duplicate (user_id, s, e) intervals (two
+    # purchases, same user/ts/value) otherwise permute between the
+    # two windows and a flag-0 row can attach to the PREVIOUS island;
+    # event_id is the deterministic tiebreak in BOTH windows and the
+    # oracle (round-10 ADVICE fix)
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "e", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = flagged.select(

@@ -725,7 +725,13 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same inverted-index scale shape as dedup_ngram_jaccard: one shingle
     explode, one shingle-keyed self-join, one (id_a, id_b) aggregate —
     O(candidates) with the max_df document-frequency skew guard, never
-    O(n²).  Full value-hash oracle (same shingle space in DuckDB)."""
+    O(n²).  Full value-hash oracle (same shingle space in DuckDB).  The
+    oracle carries NO df cap, so parity relies on the fixture's shingle
+    df staying under the 1024 guard — like dedup_ngram_jaccard the
+    fixture max df is single-digit (asserted with ≥100× headroom in
+    tests/test_properties.py::test_containment_df_headroom); a corpus
+    that crosses the cap intentionally diverges from the uncapped SQL
+    (the guard drops the hot shingle from BOTH sides)."""
     docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
     return textops.containment_pairs(docs, "text", "doc_id", shingle_k=4, threshold=0.8)
 

@@ -18,7 +18,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_caffe_spark.money import exact_money_sum
+from pyspark_caffe_spark.money import (
+    exact_money_sum,
+    exact_money_units_sum,
+    money_from_units_sum,
+)
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 
@@ -1084,10 +1088,12 @@ def pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The refresh therefore scans |delta| + |state| bytes — at 100 TB
     with daily appends that is ~1/365th of the full-recompute bill,
     and the merge groupBy is the idempotent upsert point: a boundary
-    day arriving in both state and delta folds into one exact row
-    (value sums ride money.exact_money_sum, associative and exact in
-    any accumulation order).  Oracle = the full recompute over the
-    whole history, proving incremental == batch."""
+    (day, type) group arriving in BOTH state and delta folds into one
+    exact row because partials are carried as INTEGER ten-thousandths
+    (money.exact_money_units_sum) and divided back to money units once
+    post-merge — exact for any cutoff, day-aligned or not.  Oracle =
+    the full recompute over the whole history, proving incremental ==
+    batch."""
     from pyspark_caffe_spark.queries.relational import _scratch
 
     cutoff_day = "2024-01-25"
@@ -1098,9 +1104,14 @@ def pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff_ts = F.lit(cutoff_day).cast("timestamp")
 
     def day_agg(df: DataFrame) -> DataFrame:
+        # partials stay INTEGER ten-thousandths (decimal 38,0) so the
+        # state+delta merge re-sums exactly even if a future cutoff
+        # lands mid-day and splits a (day, type) group across the two
+        # sides — the rounded-double partial merge was exact only by
+        # the day-aligned-cutoff accident (round-10 ADVICE fix)
         return df.groupBy(F.col("day"), F.col("event_type")).agg(
             F.count("*").alias("n_events"),
-            exact_money_sum(F.col("value"), "sum_value"),
+            exact_money_units_sum(F.col("value"), "sum_value_tt"),
         )
 
     # (1) standing state: history aggregate, persisted once
@@ -1121,10 +1132,9 @@ def pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = state.unionByName(day_agg(delta)).groupBy("day", "event_type").agg(
         F.sum("n_events").alias("n_events"),
-        # disjoint-or-boundary groups: partial sums are exact 4dp-grid
-        # doubles, so re-summing the handful of partials per group is
-        # exact (each |partial| < 2^49/10^4)
-        F.sum("sum_value").alias("sum_value"),
+        # integer ten-thousandths partials merge exactly in any split;
+        # the grid divide happens ONCE here, post-merge
+        money_from_units_sum(F.col("sum_value_tt"), "sum_value"),
     )
     return merged.select("day", "event_type", "n_events", "sum_value")
 

@@ -306,3 +306,26 @@ def test_cdf_bounds_are_order_statistics(spark, vals):
         cum = sum(1 for v in vals if v <= row[f"b{k}"])
         assert cum >= math.ceil(k * n / 5)
     assert row["b1"] <= row["b2"] <= row["b3"] <= row["b4"]
+
+
+def test_containment_df_headroom(spark, sf_dir):
+    """text_containment's DuckDB oracle carries NO document-frequency
+    cap while containment_pairs drops shingles with df > 1024 — parity
+    is honest only while the fixture's max shingle df stays far below
+    the guard.  Assert ≥100× headroom on the ACTUAL perturbed fixture
+    so any future corpus change that approaches the cap fails loudly
+    here instead of flaking in the driver sweep (round-10 ADVICE)."""
+    from pyspark_caffe_spark import textops
+    from pyspark_caffe_spark.queries.llm import _perturbed_docs
+    from pyspark_caffe_spark.tables import load_table
+
+    docs = _perturbed_docs(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(textops.shingles_of("text", 4))).alias("sh"),
+    )
+    max_df = sh.groupBy("sh").count().agg(F.max("count")).collect()[0][0]
+    assert max_df is not None and max_df <= 1024 // 100, (
+        f"fixture max shingle df {max_df} is within 100x of the 1024 "
+        "containment_pairs guard; mirror the cap in the oracle SQL"
+    )
