@@ -78,6 +78,9 @@ EXTRA = [
     # round-9 additions
     "sink_ann_index",          # persisted IVF index build + audit
     "sim_knn_ivf_serve",       # serve query batch from the stored index
+    # round-10: PURE serve latency (reuses the index sink_ann_index
+    # just persisted — the amortized product number, r9 verdict #5)
+    "sim_knn_ivf_serve_only",
     "win_ewma",                # 20-term exact EWMA, one window exec
     "text_html_strip",         # boilerplate strip, scan-side map
     "pipeline_incremental",    # state + pruned-delta refresh

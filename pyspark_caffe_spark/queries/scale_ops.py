@@ -1152,13 +1152,35 @@ def pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: every query clears the 0.9-recall bar with margin.
 _ANN_NLIST, _ANN_NPROBE, _ANN_K, _ANN_M = 16, 10, 10, 3
 
+#: bumped whenever the on-disk index layout or geometry semantics
+#: change (postings schema, multi-assignment rule, centroid dtype…).
+#: The serve path REFUSES an index stamped with a different version —
+#: a scratch dir surviving a code upgrade must never silently serve
+#: stale geometry (round-9 verdict #4).
+_ANN_WRITER_VERSION = 2
 
-def _ann_index_paths(sf_dir: str) -> tuple[str, str]:
+
+def _ann_index_paths(sf_dir: str) -> tuple[str, str, str]:
     from pyspark_caffe_spark.queries.relational import _scratch
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     root = _scratch(f"ann_index_{tag}")
-    return os.path.join(root, "centroids"), os.path.join(root, "postings")
+    return (
+        os.path.join(root, "centroids"),
+        os.path.join(root, "postings"),
+        os.path.join(root, "meta"),
+    )
+
+
+def _ann_geometry_hash(centroids: "np.ndarray") -> str:
+    """Deterministic fingerprint of the centroid matrix: any drift
+    between the meta stamp and the centroid table (partial rewrite,
+    mixed-version dirs) breaks the serve-path check."""
+    import hashlib
+
+    return hashlib.sha256(
+        np.ascontiguousarray(np.round(centroids, 12), dtype=np.float64).tobytes()
+    ).hexdigest()
 
 
 def _build_ann_index(spark: SparkSession, sf_dir: str) -> tuple[int, int, str, str]:
@@ -1186,7 +1208,7 @@ def _build_ann_index(spark: SparkSession, sf_dir: str) -> tuple[int, int, str, s
         nlist = max(1, len(sample))
     m = min(m, nlist)
     centroids = _lloyd_spherical(sample, nlist, iters=10)
-    cpath, ppath = _ann_index_paths(sf_dir)
+    cpath, ppath, mpath = _ann_index_paths(sf_dir)
     spark.createDataFrame(
         [(int(i), centroids[i].tolist()) for i in range(nlist)],
         "cell int, centroid array<double>",
@@ -1217,6 +1239,21 @@ def _build_ann_index(spark: SparkSession, sf_dir: str) -> tuple[int, int, str, s
         .partitionBy("cell")
         .parquet(ppath)
     )
+    # version stamp LAST — a crash between postings and meta leaves no
+    # meta, which the serve path treats as "not a valid index" (same
+    # raise-with-route as an absent index)
+    spark.createDataFrame(
+        [
+            (
+                _ANN_WRITER_VERSION,
+                int(nlist),
+                int(m),
+                int(centroids.shape[1]),
+                _ann_geometry_hash(centroids),
+            )
+        ],
+        "writer_version int, nlist int, m int, dim int, geometry_hash string",
+    ).write.mode("overwrite").parquet(mpath)
     return nlist, m, cpath, ppath
 
 
@@ -1324,6 +1361,43 @@ def sim_knn_ivf_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_from_ann_index(spark, sf_dir)
 
 
+@query(
+    "sim_knn_ivf_serve_only",
+    oracle="""
+    SELECT vec_id AS qid, CAST(10 AS BIGINT) AS n_results
+    FROM embeddings
+    WHERE vec_id % 20 = 3 AND vec_id < 2000
+    """,
+)
+def sim_knn_ivf_serve_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE serve-path latency — the product metric sim_knn_ivf_serve
+    bundles away (its driver number includes a fresh index build AND
+    the exact-baseline recall scan; round-9 verdict #5 asked for the
+    amortized serve cost as a tracked bench number, not a PERF.md
+    footnote).
+
+    Reuses the PERSISTED index when its version stamp validates;
+    builds only when the serve path raises (absent or stale index) —
+    so in the bench suite, where sink_ann_index runs first, this key
+    times exactly: centroids read + driver probe-set + partition-pruned
+    postings scan + per-batch top-k + the bounded global merge.
+    Nothing else.
+
+    Invariant-literal oracle: the top-k lists themselves are
+    engine-specific (IVF candidates depend on the trained centroids),
+    but EVERY query must come back with exactly k results — nprobe=10
+    of nlist=16 cells at m=3 multi-assignment always holds ≥k corpus
+    candidates at fixture scale, so a short list means the serve path
+    dropped candidates (bad pruning, broken dedup) and breaks the
+    hash."""
+    try:
+        served = _serve_from_ann_index(spark, sf_dir, with_recall=False)
+    except (FileNotFoundError, ValueError):
+        _build_ann_index(spark, sf_dir)
+        served = _serve_from_ann_index(spark, sf_dir, with_recall=False)
+    return served.groupBy("qid").agg(F.count("*").alias("n_results"))
+
+
 def _serve_from_ann_index(
     spark: SparkSession, sf_dir: str, with_recall: bool = True
 ) -> DataFrame:
@@ -1338,16 +1412,37 @@ def _serve_from_ann_index(
     amortization measurement (PERF.md round 9) times the product
     path."""
     nprobe, k = _ANN_NPROBE, _ANN_K
-    cpath, ppath = _ann_index_paths(sf_dir)
-    if not (os.path.isdir(cpath) and os.path.isdir(ppath)):
+    cpath, ppath, mpath = _ann_index_paths(sf_dir)
+    if not (os.path.isdir(cpath) and os.path.isdir(ppath) and os.path.isdir(mpath)):
         raise FileNotFoundError(
-            "ANN index not built — run sink_ann_index/_build_ann_index first"
+            "ANN index not built (or missing its version-stamp meta table) "
+            "— run sink_ann_index/_build_ann_index first"
         )
 
     from pyspark_caffe_spark import vecops
 
+    meta = spark.read.parquet(mpath).collect()[0]
+    if meta["writer_version"] != _ANN_WRITER_VERSION:
+        raise ValueError(
+            f"ANN index was written by writer_version={meta['writer_version']} "
+            f"but this code serves version={_ANN_WRITER_VERSION}: a scratch "
+            "dir survived a code upgrade — rebuild via sink_ann_index/"
+            "_build_ann_index before serving"
+        )
     cent_rows = spark.read.parquet(cpath).orderBy("cell").collect()
     centroids = np.stack([np.array(r["centroid"]) for r in cent_rows])
+    if (
+        len(centroids) != meta["nlist"]
+        or centroids.shape[1] != meta["dim"]
+        or _ann_geometry_hash(centroids) != meta["geometry_hash"]
+        or meta["m"] != min(_ANN_M, meta["nlist"])
+    ):
+        raise ValueError(
+            "ANN index geometry drift: the centroids table does not match "
+            f"the meta stamp (nlist={meta['nlist']}, dim={meta['dim']}, "
+            f"m={meta['m']}) — mixed-version or partially rewritten index; "
+            "rebuild via sink_ann_index/_build_ann_index"
+        )
     nprobe = min(nprobe, len(centroids))  # degenerate tiny-corpus index
 
     emb = load_table(spark, sf_dir, "embeddings").select(
