@@ -69,6 +69,9 @@ _EXPENSIVE_LAST = [
     # round-9: complete-mode session drain (full streaming query)
     "stream_session_drain",
     "stream_dedup_watermark",
+    # round-10: O(log² n) alternating-star components (~7 iterative
+    # rounds of groupBy+join+distinct jobs)
+    "graph_connected_components",
 ]
 
 

@@ -106,6 +106,8 @@ EXTRA = [
     "ml_permutation_test",         # randomization test, one scan
     "agg_benford",                 # first-digit data-quality audit
     "join_recursive_closure",      # frontier-iterated hierarchy closure
+    # round-10 additions
+    "graph_connected_components",  # alternating large/small-star CC
 ]
 
 

@@ -15,7 +15,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_caffe_spark.money import (
@@ -704,6 +704,176 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=False)
     return ranks.select(
         F.col("src").alias("node"), F.round("rank", 4).alias("pagerank")
+    )
+
+
+def _cc_large_small_star(
+    edges: DataFrame, max_rounds: int = 48
+) -> tuple[DataFrame, int]:
+    """Connected components by ALTERNATING large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14 — public algorithm): converges in O(log² n) rounds on ANY
+    graph, where min-label propagation (dedup_clusters) needs
+    O(diameter) shuffles — degenerate on a long chain (10k hops for a
+    10k-link chain; this takes ~log₂ rounds, asserted in tests).
+
+    Per round, with Γ⁺(u) = neighbors(u) ∪ {u} and m(u) = min Γ⁺(u):
+
+    * large-star: emit (v, m(u)) for every neighbor v > u — hooks all
+      larger neighbors onto the local min;
+    * small-star: emit (v, m(u)) for every v ∈ Γ⁺(u) with v ≤ u —
+      flattens the remaining small edges onto the min.
+
+    Both operations preserve connectivity (paper lemmas 1-2); the
+    fixpoint is a star per component, every node pointing at the
+    component min.  DataFrame shape per round: one groupBy("u") for
+    the mins, one join back, one canonical distinct — narrow (u, v)
+    long pairs only, never adjacency lists, so a hot high-degree node
+    costs a skewed-key aggregate (AQE-splittable) rather than an OOM
+    row.  ``localCheckpoint`` per round truncates the iterative
+    lineage (same discipline as graph_pagerank / dedup_clusters).
+
+    Convergence check: the canonical edge set is compared by
+    (count, Σ xxhash64(u, v) as decimal) — one map-side-partial
+    aggregate per round, no extra join; equality of both under an
+    unchanged count is collision-safe in practice and the planted
+    fixtures assert exact labels independently.
+
+    Returns ``(star_edges, n_rounds)`` — canonicalized (u, v) with
+    u = the component min (root) and v = each non-root member."""
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        und = e.select("u", "v").unionAll(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = und.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        j = und.join(mins, "u")
+        if large:
+            return j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        small = j.filter(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        # Γ⁺ includes u itself: hook each node onto its own min once
+        # (from the already-aggregated mins, not the per-edge join)
+        self_hook = mins.select(F.col("u"), F.col("m").alias("v"))
+        return small.unionAll(self_hook)
+
+    def checksum(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    cur = canon(edges).localCheckpoint(eager=True)
+    prev_sig = checksum(cur)
+    rounds = 0
+    while rounds < max_rounds:
+        nxt = canon(star(canon(star(cur, large=True)), large=False))
+        nxt = nxt.localCheckpoint(eager=True)
+        rounds += 1
+        sig = checksum(nxt)
+        cur.unpersist()
+        cur = nxt
+        if sig == prev_sig:
+            return cur, rounds
+        prev_sig = sig
+    raise RuntimeError(
+        f"connected components did not converge in {max_rounds} "
+        "large/small-star rounds — graph far outside the O(log² n) "
+        "bound; check the edge derivation"
+    )
+
+
+#: LCG mix (same Mersenne-prime recipe as sample_seeded) — exact in
+#: both engines, so the derived graph is identical in Spark and DuckDB
+_CC_LCG_SQL = "((({col} % 2147483647) * 1103515245 + 12345) % 2147483647)"
+
+
+def _cc_lcg(col: Column) -> Column:
+    return F.pmod(
+        F.pmod(col, F.lit((1 << 31) - 1)) * F.lit(1103515245) + F.lit(12345),
+        F.lit((1 << 31) - 1),
+    )
+
+
+@query(
+    "graph_connected_components",
+    oracle=f"""
+    WITH RECURSIVE nodes AS (SELECT DISTINCT user_id AS u FROM events),
+    ch AS (
+      SELECT n.u, n.u + 1 AS v FROM nodes n JOIN nodes m ON m.u = n.u + 1
+      WHERE {_CC_LCG_SQL.format(col="n.u")} % 8 <> 0
+    ),
+    sc AS (
+      SELECT n.u, n.u + 17 AS v FROM nodes n JOIN nodes m ON m.u = n.u + 17
+      WHERE {_CC_LCG_SQL.format(col="n.u")} % 16 = 1
+    ),
+    edges AS (SELECT u, v FROM ch UNION SELECT u, v FROM sc),
+    und AS (SELECT u AS src, v AS dst FROM edges UNION SELECT v, u FROM edges),
+    reach(node, lbl) AS (
+      SELECT u, u FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN und e ON e.src = r.node
+    ),
+    lab AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node)
+    SELECT CAST(lbl AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM lab GROUP BY lbl
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components at SCALE — alternating large-star/
+    small-star over a deterministic user-adjacency graph, the
+    O(log² n)-round complement to dedup_clusters' O(diameter)
+    min-label propagation (round-9 verdict #6: a planted 10k-link
+    chain costs propagation 10k shuffles but this ~log₂ rounds;
+    tests/test_scale_ops.py plants exactly that chain and counts).
+
+    The graph, derived identically in both engines (LCG hash gate,
+    exact integer arithmetic): an edge links consecutive user ids
+    (u, u+1) unless the LCG breaks the chain (1/8 of positions), plus
+    sparse long-range shortcuts (u, u+17) at ~1/16 of positions — so
+    components are chain segments stitched by shortcuts: real
+    diameter, multiple non-trivial components, singletons included.
+
+    Oracle: a genuine DuckDB recursive CTE (min-label reachability
+    fixpoint) over the same edge set; output is one row per component
+    (cluster_id = min member, cluster_size), singletons included —
+    every node label matters, not just the big clusters."""
+    ev = load_table(spark, sf_dir, "events")
+    nodes = ev.select(F.col("user_id").alias("u")).distinct()
+    gate = _cc_lcg(F.col("u"))
+    nv = nodes.select(F.col("u").alias("v"))
+
+    def edges_step(step: int, keep: Column) -> DataFrame:
+        cand = nodes.filter(keep).select("u", (F.col("u") + step).alias("v"))
+        return cand.join(nv, "v", "semi")
+
+    edges = edges_step(1, F.pmod(gate, F.lit(8)) != 0).unionAll(
+        edges_step(17, F.pmod(gate, F.lit(16)) == 1)
+    )
+    stars, _ = _cc_large_small_star(edges)
+    # canonical star edges are (u = component min/root, v = member);
+    # roots and isolated nodes label themselves via the left join
+    memb = stars.select(F.col("v").alias("node"), F.col("u").alias("root"))
+    labels = nodes.join(memb, nodes.u == memb.node, "left").select(
+        F.coalesce(F.col("root"), F.col("u")).alias("lbl")
+    )
+    return labels.groupBy(F.col("lbl").alias("cluster_id")).agg(
+        F.count("*").cast("long").alias("cluster_size")
     )
 
 

@@ -395,3 +395,50 @@ def test_ann_index_stale_version_refuses_to_serve(spark, sf_dir):
     # leave a healthy index behind for any later test in the session
     _build_ann_index(spark, sf_dir)
     assert _serve_from_ann_index(spark, sf_dir, with_recall=False).count() > 0
+
+
+def test_cc_planted_chain_logarithmic_rounds(spark):
+    """Round-10 verdict #6: min-label propagation (dedup_clusters) is
+    O(diameter) shuffles — a planted 10k-link chain would take 10k
+    hops.  Alternating large-star/small-star must label the SAME chain
+    in ~log rounds: assert rounds <= 2*ceil(log2(n)) + 2 and the labels
+    are exactly {0 -> everyone} (one component, min label 0)."""
+    import math
+
+    from pyspark_caffe_spark.queries.scale_ops import _cc_large_small_star
+
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    stars, rounds = _cc_large_small_star(edges)
+    bound = 2 * math.ceil(math.log2(n)) + 2
+    assert rounds <= bound, f"{rounds} rounds on a {n}-chain (bound {bound})"
+    rows = stars.collect()
+    assert len(rows) == n - 1
+    assert all(r.u == 0 for r in rows), "chain did not collapse to one root"
+    assert sorted(r.v for r in rows) == list(range(1, n))
+
+
+def test_cc_star_and_disjoint_components(spark):
+    """Large/small-star edge cases: a hub star (already a fixpoint
+    shape, high degree), two disjoint components, and an isolated
+    self-contained pair — labels must be exact minima per component."""
+    from pyspark_caffe_spark.queries.scale_ops import _cc_large_small_star
+
+    edges = spark.createDataFrame(
+        # hub 100 with spokes, a 3-cycle {1,2,3}, a pair {50,51}
+        [(100, s) for s in (101, 102, 103, 104)]
+        + [(1, 2), (2, 3), (3, 1), (50, 51)],
+        "u long, v long",
+    )
+    stars, rounds = _cc_large_small_star(edges)
+    got = {}
+    for r in stars.collect():
+        got.setdefault(r.u, set()).add(r.v)
+    assert got == {
+        100: {101, 102, 103, 104},
+        1: {2, 3},
+        50: {51},
+    }, got
+    assert rounds <= 6
