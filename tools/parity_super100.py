@@ -10,16 +10,20 @@ of that class: rounding on big-magnitude float aggregates, window
 frames over 100× partitions, join results crossing broadcast/SMJ
 strategy changes, overflow in hash gates.
 
-Scope: every registered key EXCEPT the quadratic-ORACLE class (exact
-all-pairs similarity / embedding dedup — the 200k-vector DuckDB
-oracle is 2e10 dot products; every key in the class passes full
-value-hash parity on an 8192-vector slice in parity100_rotation.py)
-and text_common_spans (500k-doc span self-join; 20k-doc slice
-evidence likewise).  Round 9 graduated the ENTIRE streaming family
-and the text-format roundtrips into this sweep — measured affordable
-(2.6-113 s/key at 10M events).  Oversized results compare via the
-exact-digest tier (digest_exprs).  Every skip is recorded with its
-reason — no silent truncation.
+Scope (round 10): EVERY registered key runs EVERY sweep — zero
+exclusions.  The quadratic-ORACLE class (exact all-pairs similarity /
+embedding dedup: the 200k-vector DuckDB oracle is 2e10 dot products)
+and text_common_spans (500k-doc span self-join) run inline on BOUNDED
+SLICES of the 100× data that still exceed the sf0.1 fixture
+severalfold (8192 vectors = 4× the corpus / 16× the pairs; 20k docs =
+4×), with the slice bound recorded per key — the separate
+parity100_rotation.py quota tool is retired (round-9 verdict #3).
+Round 9 graduated the ENTIRE streaming family and the text-format
+roundtrips into the direct sweep — measured affordable (2.6-113 s/key
+at 10M events).  Oversized results compare via the exact-digest tier
+(digest_exprs).  A supplemental win_ewma entry re-checks the full
+value hash (including the float ewma column the digest tier skips)
+on whole-user-history slices.
 
 Usage: python tools/parity_super100.py [super_dir] [out_json]
 """
@@ -40,43 +44,93 @@ from pyspark_caffe_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 ROW_CAP = 200_000
 
-# keys excluded up front, with the reason recorded in the artifact
-EXCLUDE = {
-    # quadratic-in-corpus by design (200k vectors → 2e10 pairs).
-    # Round-9 rotation coverage: EVERY key in this class passed full
-    # value-hash parity on an 8192-vector bounded slice (4× the sf0.1
-    # corpus, 16× the pairs) in parity100_rotation.py
-    # (PARITY100_ROTATION_r09.json) — the exclusion here prices the
-    # 200k quadratic ORACLE, not an untested operator.
-    "sim_knn_exact": "O(N^2) exact all-pairs by design",
-    "sim_threshold_join": "O(N^2) exact all-pairs by design",
-    "sim_optimizer_rewrite": "routes to the O(N^2) exact tier by contract",
-    "dedup_embed_cosine": "O(N^2) exact embedding all-pairs by design",
-    "sim_knn_lsh": "MLlib approxSimilarityJoin at 200k vectors: hours-class",
-    "sim_lsh_bucketed": "banded all-bucket pair gen at 200k vectors: heavy",
-    "sim_auto_threshold": "routes to LSH pair-gen at this size: heavy",
-    "sim_bipartite_auto": "ORACLE is the quadratic side: 1e10 DuckDB dot products",
-    # streaming replay: rewrites the 10M-row events table per key.
-    # Round-9 coverage: stream_dedup / stream_stateful / stream_tumbling
-    # and the WHOLE streaming family (12 keys incl. recovery, interval
-    # join, watermark late-drop) run at 100× DENSITY on a 2M-event
-    # contiguous slice in parity_super100_streaming.py (all green,
-    # PARITY100_STREAMING_r09.json) — the exclusion here prices the
-    # full-table replay infra, not an untested operator.
-    # Round 9 graduated the cheap half of the streaming family into
-    # the main sweep (tumbling/sliding/session/union/join_static/
-    # foreachbatch run directly on the 10M-event table — measured
-    # affordable after stream_session_drain digest-matched 9.55M
-    # sessions and stream_dedup_watermark replayed 20M rows here).
-    # The rest stay excluded for genuine replay/state cost, each with
-    # density-sliced coverage in parity_super100_streaming.py.
-
-    # scan_csv/json/xml_roundtrip: EX-exclusions.  Round 9's rotation
-    # quota (parity100_rotation.py) showed the r8 reasons were wrong —
-    # each key filters to a few-thousand-row slice BEFORE writing, so
-    # the 100× cost is one scan.  They now run in the main sweep.
-    "text_common_spans": "cross-doc span self-join at 500k docs: heavy",
+# Former exclusions, now run INLINE on bounded slices every sweep
+# (round-9 verdict #3: "excluded: 0").  Each entry: slice kind + the
+# recorded bound note.  The slice still exceeds the sf0.1 fixture
+# severalfold, so this is over-fixture-scale evidence, refreshed every
+# sweep instead of via the retired parity100_rotation.py quota.
+#
+# History: streaming replay keys were excluded through r8; round 9
+# graduated the cheap half into the direct sweep (tumbling/sliding/
+# session/union/join_static/foreachbatch on the 10M-event table) and
+# covers the stateful rest at 100× DENSITY on a 2M-event contiguous
+# slice in parity_super100_streaming.py.  scan_csv/json/xml_roundtrip
+# also run direct since r9 (their write is a few-k-row slice; only
+# the scan is 60M rows).
+_EMB_SLICE = "8192-vector bounded slice (4x the sf0.1 corpus, 16x the pairs)"
+BOUNDED_SLICE = {
+    # quadratic-in-corpus by design (200k vectors → 2e10 pairs): the
+    # bound prices the quadratic DuckDB ORACLE, not the operator
+    "sim_knn_exact": ("emb8k", _EMB_SLICE),
+    "sim_threshold_join": ("emb8k", _EMB_SLICE),
+    "sim_optimizer_rewrite": ("emb8k", _EMB_SLICE),
+    "dedup_embed_cosine": ("emb8k", _EMB_SLICE),
+    "sim_knn_lsh": ("emb8k", _EMB_SLICE + " (MLlib approxSimilarityJoin)"),
+    "sim_lsh_bucketed": ("emb8k", _EMB_SLICE),
+    "sim_auto_threshold": ("emb8k", _EMB_SLICE),
+    "sim_bipartite_auto": ("emb8k", _EMB_SLICE),
+    "text_common_spans": (
+        "docs20k",
+        "20k-document bounded slice (4x the sf0.1 corpus)",
+    ),
 }
+
+#: all fixture tables, for slice-dir symlinking and view registration
+_TABLES = ["region", "nation", "customer", "supplier", "part",
+           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def build_slice_dirs(super_dir: str) -> dict[str, str]:
+    """Materialize the bounded-slice datasets next to the 100× data
+    (idempotent — reuses existing slices).  Non-sliced tables symlink
+    the FULL 100× versions: keys like dedup_embed_cosine join
+    embeddings→documents, and only the quadratic side needs bounding.
+
+    * emb8k  — embeddings limited to vec_id < 8192 (4× sf0.1 corpus,
+               16× the pair count; quadratic oracle ~2e9 flops);
+    * docs20k — first 20k documents by doc_id (4× sf0.1 corpus);
+    * ev2pct — whole per-user event histories (user_id % 50 = 0, ~2%
+               of rows) for the supplemental win_ewma float check.
+    """
+    import duckdb
+
+    specs = {
+        "emb8k": (
+            "embeddings",
+            f"SELECT * FROM read_parquet('{super_dir}/embeddings.parquet') "
+            "WHERE vec_id < 8192 ORDER BY vec_id",
+        ),
+        "docs20k": (
+            "documents",
+            f"SELECT * FROM read_parquet('{super_dir}/documents.parquet') "
+            "ORDER BY doc_id LIMIT 20000",
+        ),
+        "ev2pct": (
+            "events",
+            f"SELECT * FROM read_parquet('{super_dir}/events.parquet') "
+            "WHERE user_id % 50 = 0 ORDER BY event_id",
+        ),
+    }
+    dirs: dict[str, str] = {}
+    for kind, (sliced_table, sql) in specs.items():
+        d = f"{super_dir.rstrip('/')}_{kind}"
+        os.makedirs(d, exist_ok=True)
+        pq = os.path.join(d, f"{sliced_table}.parquet")
+        if not os.path.exists(pq):
+            con = duckdb.connect()
+            con.execute(f"COPY ({sql}) TO '{pq}' (FORMAT PARQUET)")
+            con.close()
+        for t in _TABLES:
+            if t == sliced_table:
+                continue
+            srcp = os.path.join(super_dir, f"{t}.parquet")
+            link = os.path.join(d, f"{t}.parquet")
+            if os.path.exists(srcp):
+                if os.path.lexists(link):
+                    os.remove(link)
+                os.symlink(srcp, link)
+        dirs[kind] = d
+    return dirs
 
 
 def digest_exprs(schema) -> tuple[list[str], list[str]]:
@@ -125,7 +179,7 @@ def digest_exprs(schema) -> tuple[list[str], list[str]]:
 def main() -> None:
     super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        _REPO, "PARITY100_r09.json"
+        _REPO, "PARITY100_r10.json"
     )
     import duckdb
 
@@ -133,12 +187,20 @@ def main() -> None:
 
     spark = get_spark("parity-super100")
     spark.sparkContext.setLogLevel("ERROR")
+    slice_dirs = build_slice_dirs(super_dir)
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
+    for t in _TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{super_dir}/{t}.parquet')"
         )
+
+    def slice_con(kind: str) -> "duckdb.DuckDBPyConnection":
+        c = duckdb.connect()
+        for t in _TABLES:
+            p = os.path.join(slice_dirs[kind], f"{t}.parquet")
+            if os.path.exists(p):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
 
     def flush(results: dict) -> None:
         # incremental write after EVERY key: a killed sweep keeps all
@@ -150,7 +212,7 @@ def main() -> None:
         with open(out_json, "w") as f:
             f.write(json.dumps({
                 "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
-                "round": 9,
+                "round": 10,
                 "sf": "sf0.1 x100",
                 "row_cap": ROW_CAP,
                 "complete": False,
@@ -167,7 +229,7 @@ def main() -> None:
                 prior = json.load(f).get("results", {})
             results = {
                 k: v for k, v in prior.items()
-                if v.get("status") in ("pass", "digest_pass")
+                if v.get("status") in ("pass", "digest_pass", "slice_pass")
             }
             print(f"resume: {len(results)} green keys carried over", file=sys.stderr)
         except (OSError, ValueError):
@@ -192,16 +254,59 @@ def main() -> None:
             spark = get_spark("parity-super100-revived")
             spark.sparkContext.setLogLevel("ERROR")
 
+    # supplemental entries run after the registry loop: (result key,
+    # registry key, slice kind, note)
+    SUPPLEMENTAL = [
+        (
+            "win_ewma__float_slice",
+            "win_ewma",
+            "ev2pct",
+            "user-sliced 100x events (whole user histories, ~2% of rows): "
+            "full value hash INCLUDING the float ewma column the main "
+            "sweep's digest tier skips",
+        ),
+    ]
+
+    def run_sliced(result_key: str, key: str, kind: str, note: str) -> None:
+        data_dir = slice_dirs[kind]
+        scon = slice_con(kind)
+        t0 = time.perf_counter()
+        try:
+            df = QUERIES[key](spark, data_dir)
+            n = df.count()
+            assert_parity(df, scon, ORACLES[key], key)
+            results[result_key] = {
+                "status": "slice_pass", "rows": n, "slice": note,
+                "sec": round(time.perf_counter() - t0, 1),
+            }
+        except AssertionError as exc:
+            results[result_key] = {
+                "status": "slice_FAIL", "detail": str(exc)[:400], "slice": note,
+                "sec": round(time.perf_counter() - t0, 1),
+            }
+        except Exception as exc:  # noqa: BLE001 - record, keep sweeping
+            results[result_key] = {
+                "status": "ERROR", "slice": note,
+                "detail": f"{type(exc).__name__}: {str(exc)[:300]}",
+                "sec": round(time.perf_counter() - t0, 1),
+            }
+        finally:
+            scon.close()
+        print(f"{result_key}: {results[result_key]['status']} "
+              f"({results[result_key].get('sec')} s)", file=sys.stderr)
+        flush(results)
+
     for key in QUERIES:
         if key in results:
-            continue
-        if key in EXCLUDE:
-            results[key] = {"status": "excluded", "reason": EXCLUDE[key]}
             continue
         if key not in ORACLES:
             results[key] = {"status": "excluded", "reason": "no oracle"}
             continue
         ensure_alive()
+        if key in BOUNDED_SLICE:
+            kind, note = BOUNDED_SLICE[key]
+            run_sliced(key, key, kind, note)
+            continue
         t0 = time.perf_counter()
         try:
             df = QUERIES[key](spark, super_dir)
@@ -262,12 +367,18 @@ def main() -> None:
               f"({results[key].get('sec')} s)", file=sys.stderr)
         flush(results)
 
+    for result_key, key, kind, note in SUPPLEMENTAL:
+        if result_key in results:
+            continue
+        ensure_alive()
+        run_sliced(result_key, key, kind, note)
+
     counts = {}
     for r in results.values():
         counts[r["status"]] = counts.get(r["status"], 0) + 1
     out = {
         "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
-        "round": 9,
+        "round": 10,
         "sf": "sf0.1 x100",
         "row_cap": ROW_CAP,
         "complete": True,
