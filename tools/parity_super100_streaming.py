@@ -64,7 +64,7 @@ CUTOFF = "2024-01-07"  # first 6 of 30 days ≈ 2M of the 10M 100× events
 def main() -> None:
     super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        _REPO, "PARITY100_STREAMING_r09.json"
+        _REPO, "PARITY100_STREAMING_r10.json"
     )
     import duckdb
 
@@ -204,7 +204,7 @@ def main() -> None:
     out = {
         "metric": "streaming availableNow-drain parity at 100x density "
                   "(contiguous 6-day slice of the 100x events table)",
-        "round": 9,
+        "round": 10,
         "slice_rows": n_slice,
         "slice_cutoff": CUTOFF,
         "row_cap": ROW_CAP,
