@@ -108,6 +108,7 @@ EXTRA = [
     "join_recursive_closure",      # frontier-iterated hierarchy closure
     # round-10 additions
     "graph_connected_components",  # alternating large/small-star CC
+    "graph_triangle_count",        # degree-oriented wedge triangle count
 ]
 
 

@@ -877,6 +877,119 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey % 400 AS a, l_suppkey % 400 AS b
+      FROM lineitem WHERE (l_partkey % 400) <> (l_suppkey % 400)
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM pairs
+      WHERE {_CC_LCG_SQL.format(col="(LEAST(a, b) * 400 + GREATEST(a, b))")} % 4 = 0
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+      SELECT DISTINCT u FROM (
+        SELECT l_partkey % 400 AS u FROM lineitem
+        UNION SELECT l_suppkey % 400 FROM lineitem
+      )
+    ),
+    cnt AS (
+      SELECT node, COUNT(*) AS n FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT CAST(n.u AS BIGINT) AS node,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+    FROM nodes n LEFT JOIN cnt c ON c.node = n.u
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node TRIANGLE counts by degree-ordered edge orientation —
+    the motif-counting workhorse (clustering coefficients, community
+    seeds, spam/bot subgraph detection).  The naive wedge join pays
+    Σ deg(v)² — a single celebrity node in a 100 TB graph generates
+    10¹² wedges.  The classic fix (Schank–Wagner / Suri–Vassilvitskii,
+    public): orient every edge from its LOWER-degree endpoint to the
+    higher ((deg, id) lexicographic tiebreak), which caps every
+    out-degree at O(√m), so wedge generation is Σ outdeg(v)² ≤ O(m^1.5)
+    REGARDLESS of skew — the hot node receives edges instead of
+    fanning them out.
+
+    Plan: one groupBy for degrees, one broadcast join to orient, one
+    self-join on the wedge center, one semi-ish join against the
+    canonical edge set to close each wedge; each triangle found
+    exactly once (a<b<c canonical), then exploded to its 3 members for
+    per-node counts.  Zero-triangle nodes kept via left join — the
+    full 400-row result value-hashes against the oracle's plain
+    a<b<c triple join.
+
+    The graph (deterministic in both engines): part/supplier residues
+    mod 400 co-occurring on a lineitem row, LCG-gated to keep 1/4 of
+    cells — ~dense-enough for thousands of triangles at sf0.01 while
+    the 100× oracle stays a ~2e6-wedge join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = F.pmod(F.col("l_partkey"), F.lit(400))
+    b = F.pmod(F.col("l_suppkey"), F.lit(400))
+    pairs = li.select(a.alias("a"), b.alias("b")).filter(F.col("a") != F.col("b"))
+    cell = F.least("u", "v") * 400 + F.greatest("u", "v")
+    edges = (
+        pairs.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .filter(F.pmod(_cc_lcg(cell), F.lit(4)) == 0)
+    )
+    nodes = (
+        li.select(a.alias("node"))
+        .unionAll(li.select(b.alias("node")))
+        .distinct()
+    )
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("deg"))
+    # orient each canonical edge low-degree → high-degree ((deg, id)
+    # lexicographic): guarantees outdeg = O(sqrt(m)) per node
+    du = deg.select(F.col("u").alias("_nu"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("u").alias("_nv"), F.col("deg").alias("dv"))
+    ed = (
+        edges.join(F.broadcast(du), edges.u == du._nu)
+        .join(F.broadcast(dv), edges.v == dv._nv)
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(o2, "src").filter(F.col("o1.dst") < F.col("o2.dst")).select(
+        F.col("src").alias("w"),
+        F.col("o1.dst").alias("x"),
+        F.col("o2.dst").alias("y"),
+    )
+    closing = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])  # (w, x, y) with x < y canonical
+    members = (
+        tri.select(F.col("w").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+    )
+    cnt = members.groupBy("node").agg(F.count("*").alias("n"))
+    return nodes.join(cnt, "node", "left").select(
+        F.col("node").cast("long").alias("node"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
 @query("sink_compact", oracle="SELECT * FROM orders")
 def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction (the OPTIMIZE maintenance job): a

@@ -442,3 +442,51 @@ def test_cc_star_and_disjoint_components(spark):
         50: {51},
     }, got
     assert rounds <= 6
+
+
+def test_triangle_count_bruteforce(spark, sf_dir):
+    """Independent check behind graph_triangle_count's oracle: rebuild
+    the SAME derived graph driver-side (bounded: <= ~20k gated edges on
+    400 residue nodes) and count each node's triangles by brute-force
+    set intersection; must match the key exactly.  Also locks the plan:
+    no CartesianProduct, and the degree-orientation join broadcasts."""
+    from itertools import combinations
+
+    from pyspark_caffe_spark.queries.scale_ops import _cc_lcg
+    from pyspark_caffe_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = F.pmod(F.col("l_partkey"), F.lit(400))
+    b = F.pmod(F.col("l_suppkey"), F.lit(400))
+    pairs = li.select(a.alias("a"), b.alias("b")).filter(F.col("a") != F.col("b"))
+    cell = F.least("u", "v") * 400 + F.greatest("u", "v")
+    edges = [
+        (r.u, r.v)
+        for r in pairs.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .filter(F.pmod(_cc_lcg(cell), F.lit(4)) == 0)
+        .collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want: dict[int, int] = {}
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            for n in (u, v, w):
+                want[n] = want.get(n, 0) + 1
+    want = {n: c // 3 for n, c in want.items()}  # each triangle seen via 3 edges
+
+    df = QUERIES["graph_triangle_count"](spark, sf_dir)
+    got = {r.node: r.n_triangles for r in df.collect()}
+    assert sum(got.values()) % 3 == 0
+    assert sum(got.values()) > 0, "fixture graph has no triangles — gate too tight"
+    for n, c in got.items():
+        assert want.get(n, 0) == c, (n, c, want.get(n, 0))
+
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "degree orientation join should broadcast"

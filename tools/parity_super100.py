@@ -235,24 +235,83 @@ def main() -> None:
         except (OSError, ValueError):
             pass
 
-    def ensure_alive():
+    def fresh_session() -> None:
+        """Stop the session AND hard-reset the pyspark process globals
+        (gateway, jvm, instantiated/active session) so get_spark
+        launches a brand-new JVM.  Needed in two cases, both observed
+        this round: (a) a heap OOM kills the py4j gateway listener, so
+        a plain getOrCreate dials a dead socket forever
+        (ConnectionRefusedError voided 10 keys); (b) getOrCreate
+        happily reuses a dead-but-non-None _instantiatedSession."""
         nonlocal spark
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        for candidate in (SparkSession.getActiveSession(), spark):
+            if candidate is not None:
+                try:
+                    candidate.stop()
+                except Exception:
+                    pass
+        gw = getattr(SparkContext, "_gateway", None)
+        if gw is not None:
+            try:
+                gw.shutdown()
+            except Exception:
+                pass
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkContext._active_spark_context = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        SparkSession._defaultSession = None
+        spark = get_spark("parity-super100-fresh")
+        spark.sparkContext.setLogLevel("ERROR")
+
+    # Proactive JVM recycling: one long session accumulates cached
+    # frames, checkpointed RDD blocks, and — the big one — streaming
+    # state-store provider maps from the drain keys; observed this
+    # round, ~220 keys (or a few 10M-row streaming drains) into a
+    # session the NEXT hash build OOMs the heap.  A fresh JVM every
+    # RECYCLE_EVERY keys costs ~15 s each (~2 min across the sweep)
+    # and keeps every key's memory baseline flat.  Keys must be
+    # self-contained anyway (the grading driver runs them in its own
+    # sessions), so a restart is semantics-free.
+    RECYCLE_EVERY = 40
+    keys_since_recycle = 0
+
+    # The 10-20M-row streaming drains leave state-store provider maps
+    # pinned after the query stops; three of them back-to-back OOM'd a
+    # fresh JVM this round (stream_session_drain 9.5M complete-mode +
+    # stream_dedup 10M keys + stream_dedup_watermark 20M replay).
+    # Each gets a flat-heap JVM of its own.
+    HEAVY_FRESH = {
+        "stream_session_drain", "stream_dedup", "stream_dedup_watermark",
+        "stream_stateful", "stream_recovery", "stream_join_stream",
+        "stream_python_datasource", "stream_python_sink",
+    }
+
+    def ensure_alive(key: str | None = None):
+        nonlocal keys_since_recycle
+        if key in HEAVY_FRESH and keys_since_recycle > 0:
+            print(f"fresh JVM for heavy streaming key {key}", file=sys.stderr)
+            fresh_session()
+            keys_since_recycle = 0
+            return
+        if keys_since_recycle >= RECYCLE_EVERY:
+            print(f"recycling JVM after {keys_since_recycle} keys",
+                  file=sys.stderr)
+            fresh_session()
+            keys_since_recycle = 0
+            return
         try:
             spark.range(1).count()
         except Exception:
-            # a prior key OOM'd the JVM: rebuild the session so one bad
-            # key cannot void the rest of the sweep
+            # a prior key OOM'd the JVM: rebuild so one bad key cannot
+            # void the rest of the sweep
             print("SparkContext dead — rebuilding session", file=sys.stderr)
-            from pyspark.sql import SparkSession
-
-            active = SparkSession.getActiveSession()
-            if active is not None:
-                try:
-                    active.stop()
-                except Exception:
-                    pass
-            spark = get_spark("parity-super100-revived")
-            spark.sparkContext.setLogLevel("ERROR")
+            fresh_session()
+            keys_since_recycle = 0
 
     # supplemental entries run after the registry loop: (result key,
     # registry key, slice kind, note)
@@ -268,6 +327,8 @@ def main() -> None:
     ]
 
     def run_sliced(result_key: str, key: str, kind: str, note: str) -> None:
+        nonlocal keys_since_recycle
+        keys_since_recycle += 1
         data_dir = slice_dirs[kind]
         scon = slice_con(kind)
         t0 = time.perf_counter()
@@ -302,7 +363,7 @@ def main() -> None:
         if key not in ORACLES:
             results[key] = {"status": "excluded", "reason": "no oracle"}
             continue
-        ensure_alive()
+        ensure_alive(key)
         if key in BOUNDED_SLICE:
             kind, note = BOUNDED_SLICE[key]
             run_sliced(key, key, kind, note)
@@ -366,11 +427,12 @@ def main() -> None:
         print(f"{key}: {results[key]['status']} "
               f"({results[key].get('sec')} s)", file=sys.stderr)
         flush(results)
+        keys_since_recycle += 1
 
     for result_key, key, kind, note in SUPPLEMENTAL:
         if result_key in results:
             continue
-        ensure_alive()
+        ensure_alive(key)
         run_sliced(result_key, key, kind, note)
 
     counts = {}
