@@ -72,6 +72,8 @@ _EXPENSIVE_LAST = [
     # round-10: O(log² n) alternating-star components (~7 iterative
     # rounds of groupBy+join+distinct jobs)
     "graph_connected_components",
+    # round-10: base-index build + two serves + delta append
+    "sim_knn_ivf_refresh",
 ]
 
 

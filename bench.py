@@ -109,6 +109,7 @@ EXTRA = [
     # round-10 additions
     "graph_connected_components",  # alternating large/small-star CC
     "graph_triangle_count",        # degree-oriented wedge triangle count
+    "sim_knn_ivf_refresh",         # incremental postings append + re-serve
 ]
 
 

@@ -1443,10 +1443,10 @@ _ANN_NLIST, _ANN_NPROBE, _ANN_K, _ANN_M = 16, 10, 10, 3
 _ANN_WRITER_VERSION = 2
 
 
-def _ann_index_paths(sf_dir: str) -> tuple[str, str, str]:
+def _ann_index_paths(sf_dir: str, suffix: str = "") -> tuple[str, str, str]:
     from pyspark_caffe_spark.queries.relational import _scratch
 
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + suffix
     root = _scratch(f"ann_index_{tag}")
     return (
         os.path.join(root, "centroids"),
@@ -1455,48 +1455,13 @@ def _ann_index_paths(sf_dir: str) -> tuple[str, str, str]:
     )
 
 
-def _ann_geometry_hash(centroids: "np.ndarray") -> str:
-    """Deterministic fingerprint of the centroid matrix: any drift
-    between the meta stamp and the centroid table (partial rewrite,
-    mixed-version dirs) breaks the serve-path check."""
-    import hashlib
-
-    return hashlib.sha256(
-        np.ascontiguousarray(np.round(centroids, 12), dtype=np.float64).tobytes()
-    ).hexdigest()
-
-
-def _build_ann_index(spark: SparkSession, sf_dir: str) -> tuple[int, int, str, str]:
-    """Build and PERSIST the IVF index: a centroids table (nlist tiny
-    rows) and a postings table — every corpus vector stored under its
-    top-m cells — written ``partitionBy("cell")`` so a probe is a
-    PARTITION-PRUNED scan of nprobe directories, not a corpus scan.
-
-    The build is one bounded driver-side Lloyd (≤4096-row hash sample,
-    the FAISS recipe) plus ONE corpus pass for assignment; the m×
-    postings blow-up is the standard IVF storage trade (FAISS stores
-    vectors inside the inverted lists for the same reason: the serve
-    path then never touches the base table).  Returns
-    ``(nlist, m, centroids_path, postings_path)``."""
-    nlist, m = _ANN_NLIST, _ANN_M
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    train = (
-        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) == 0)
-        .orderBy("vec_id").limit(4096).collect()
-    )
-    sample = np.stack([np.array(r["emb"]) for r in train])
-    if len(sample) < nlist:
-        nlist = max(1, len(sample))
-    m = min(m, nlist)
-    centroids = _lloyd_spherical(sample, nlist, iters=10)
-    cpath, ppath, mpath = _ann_index_paths(sf_dir)
-    spark.createDataFrame(
-        [(int(i), centroids[i].tolist()) for i in range(nlist)],
-        "cell int, centroid array<double>",
-    ).write.mode("overwrite").parquet(cpath)
-
+def _ann_assign(df: DataFrame, centroids: "np.ndarray", m: int) -> DataFrame:
+    """Assign each (vec_id, emb) row to its top-m centroid cells —
+    ONE Arrow-batched corpus pass, shared by the initial index build
+    and the incremental refresh (the refresh MUST use the identical
+    assignment rule or appended vectors land in cells the probe math
+    won't look in)."""
+    spark = df.sparkSession
     bc = spark.sparkContext.broadcast((centroids, m))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1516,8 +1481,63 @@ def _build_ann_index(spark: SparkSession, sf_dir: str) -> tuple[int, int, str, s
                 }
             )
 
+    return df.mapInPandas(assign, schema="cell int, vec_id long, emb array<double>")
+
+
+def _ann_geometry_hash(centroids: "np.ndarray") -> str:
+    """Deterministic fingerprint of the centroid matrix: any drift
+    between the meta stamp and the centroid table (partial rewrite,
+    mixed-version dirs) breaks the serve-path check."""
+    import hashlib
+
+    return hashlib.sha256(
+        np.ascontiguousarray(np.round(centroids, 12), dtype=np.float64).tobytes()
+    ).hexdigest()
+
+
+def _build_ann_index(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_filter: Column | None = None,
+    suffix: str = "",
+) -> tuple[int, int, str, str]:
+    """Build and PERSIST the IVF index: a centroids table (nlist tiny
+    rows) and a postings table — every corpus vector stored under its
+    top-m cells — written ``partitionBy("cell")`` so a probe is a
+    PARTITION-PRUNED scan of nprobe directories, not a corpus scan.
+
+    The build is one bounded driver-side Lloyd (≤4096-row hash sample,
+    the FAISS recipe) plus ONE corpus pass for assignment; the m×
+    postings blow-up is the standard IVF storage trade (FAISS stores
+    vectors inside the inverted lists for the same reason: the serve
+    path then never touches the base table).  ``corpus_filter``
+    restricts the indexed corpus (sim_knn_ivf_refresh builds its base
+    index without the delta slice); ``suffix`` namespaces the on-disk
+    index so variant indexes never shadow the default one.  Returns
+    ``(nlist, m, centroids_path, postings_path)``."""
+    nlist, m = _ANN_NLIST, _ANN_M
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    if corpus_filter is not None:
+        emb = emb.filter(corpus_filter)
+    train = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) == 0)
+        .orderBy("vec_id").limit(4096).collect()
+    )
+    sample = np.stack([np.array(r["emb"]) for r in train])
+    if len(sample) < nlist:
+        nlist = max(1, len(sample))
+    m = min(m, nlist)
+    centroids = _lloyd_spherical(sample, nlist, iters=10)
+    cpath, ppath, mpath = _ann_index_paths(sf_dir, suffix)
+    spark.createDataFrame(
+        [(int(i), centroids[i].tolist()) for i in range(nlist)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(cpath)
+
     (
-        emb.mapInPandas(assign, schema="cell int, vec_id long, emb array<double>")
+        _ann_assign(emb, centroids, m)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(ppath)
@@ -1681,8 +1701,77 @@ def sim_knn_ivf_serve_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return served.groupBy("qid").agg(F.count("*").alias("n_results"))
 
 
+@query(
+    "sim_knn_ivf_refresh",
+    oracle="""
+    SELECT vec_id AS qid,
+           CAST(10 AS BIGINT) AS n_results,
+           true AS best_cos_not_worse
+    FROM embeddings
+    WHERE vec_id % 20 = 3 AND vec_id < 2000
+    """,
+)
+def sim_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index refresh — the missing third verb of the ANN
+    lifecycle (build → serve → REFRESH): new corpus vectors are
+    APPENDED to the persisted postings without retraining centroids or
+    rewriting the index.  This is how a real 100 TB vector store takes
+    daily ingest: assignment geometry is frozen (same centroids, same
+    top-m rule via the shared ``_ann_assign`` pass), the delta lands
+    as an append into the same ``partitionBy("cell")`` layout, and the
+    version stamp stays valid because centroids — the thing the stamp
+    fingerprints — are untouched.  Write cost is O(|delta|·m), never
+    O(|corpus|); FAISS's ``add()`` on a trained index is the same
+    contract.
+
+    The key proves the refresh OBSERVABLY works, not just that files
+    appeared: (1) build the base index EXCLUDING a ~10% delta slice
+    (vec_id % 10 = 7); (2) serve the standard query batch → per-query
+    best cosine BEFORE; (3) append the delta; (4) serve again.
+    Invariants per query, all hash-checked: exactly k results, and
+    best-after ≥ best-before (a grown corpus can only improve the
+    best match — any regression means appended vectors corrupted or
+    displaced existing postings).  Probe sets are identical in both
+    serves (same centroids), so the comparison isolates the append."""
+    delta_pred = F.pmod(F.col("vec_id"), F.lit(10)) == 7
+    suffix = "_refresh"
+    _, m, cpath, ppath = _build_ann_index(
+        spark, sf_dir, corpus_filter=~delta_pred, suffix=suffix
+    )
+    before = (
+        _serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+        .groupBy("qid")
+        .agg(F.max("cos").alias("best_before"))
+    ).localCheckpoint(eager=True)  # materialize BEFORE the append mutates postings
+
+    cent_rows = spark.read.parquet(cpath).orderBy("cell").collect()
+    centroids = np.stack([np.array(r["centroid"]) for r in cent_rows])
+    delta = load_table(spark, sf_dir, "embeddings").filter(delta_pred).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    (
+        _ann_assign(delta, centroids, m)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(ppath)
+    )
+
+    after = _serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+    per_q = after.groupBy("qid").agg(
+        F.count("*").alias("n_results"),
+        F.max("cos").alias("best_after"),
+    )
+    return per_q.join(before, "qid").select(
+        "qid",
+        "n_results",
+        (F.col("best_after") >= F.col("best_before") - F.lit(1e-9)).alias(
+            "best_cos_not_worse"
+        ),
+    )
+
+
 def _serve_from_ann_index(
-    spark: SparkSession, sf_dir: str, with_recall: bool = True
+    spark: SparkSession, sf_dir: str, with_recall: bool = True, suffix: str = ""
 ) -> DataFrame:
     """Pure read path: answer the query batch from the PERSISTED index
     files only (raises if the index has not been built).
@@ -1695,7 +1784,7 @@ def _serve_from_ann_index(
     amortization measurement (PERF.md round 9) times the product
     path."""
     nprobe, k = _ANN_NPROBE, _ANN_K
-    cpath, ppath, mpath = _ann_index_paths(sf_dir)
+    cpath, ppath, mpath = _ann_index_paths(sf_dir, suffix)
     if not (os.path.isdir(cpath) and os.path.isdir(ppath) and os.path.isdir(mpath)):
         raise FileNotFoundError(
             "ANN index not built (or missing its version-stamp meta table) "

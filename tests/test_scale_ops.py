@@ -490,3 +490,33 @@ def test_triangle_count_bruteforce(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, "degree orientation join should broadcast"
+
+
+def test_ivf_refresh_delta_actually_served(spark, sf_dir):
+    """sim_knn_ivf_refresh's best_cos_not_worse flag could pass
+    vacuously if appended vectors never surfaced in any top-k.  Prove
+    the refresh is OBSERVABLE: after the key runs, serve the refreshed
+    index directly and assert (a) delta vectors (vec_id % 10 == 7)
+    appear among served results, (b) the postings dir actually grew by
+    m x |delta| rows, and (c) the key's flags are all green."""
+    from pyspark_caffe_spark.queries.scale_ops import (
+        _ann_index_paths,
+        _serve_from_ann_index,
+    )
+    from pyspark_caffe_spark.tables import load_table
+
+    rows = QUERIES["sim_knn_ivf_refresh"](spark, sf_dir).collect()
+    assert rows and all(r.n_results == 10 and r.best_cos_not_worse for r in rows)
+
+    served = _serve_from_ann_index(
+        spark, sf_dir, with_recall=False, suffix="_refresh"
+    )
+    n_delta_hits = served.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7).count()
+    assert n_delta_hits > 0, "no appended vector ever surfaced in a top-k"
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_all = emb.count()
+    n_delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7).count()
+    _, ppath, _ = _ann_index_paths(sf_dir, "_refresh")
+    n_postings = spark.read.parquet(ppath).count()
+    assert n_postings == 3 * n_all, (n_postings, n_all, n_delta)
