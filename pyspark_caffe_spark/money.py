@@ -67,12 +67,7 @@ def exact_money_sum(col: Column, alias: str | None = None) -> Column:
     Use inside ``.agg(...)``; see module docstring for the scale
     bound (~9e13 rows per group) and overflow behavior (ANSI raise).
     """
-    q = money_units(col)
-    lo = q % SPLIT
-    hi = (q - lo) / F.lit(SPLIT)  # exact: q - lo is a multiple of SPLIT
-    hi = hi.cast("long")
-    total = F.sum(hi).cast("decimal(38,0)") * SPLIT + F.sum(lo)
-    out = (total / TT).cast("double")
+    out = (exact_money_units_sum(col) / TT).cast("double")
     return out.alias(alias) if alias is not None else out
 
 

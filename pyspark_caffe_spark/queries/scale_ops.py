@@ -1440,7 +1440,7 @@ _ANN_NLIST, _ANN_NPROBE, _ANN_K, _ANN_M = 16, 10, 10, 3
 #: The serve path REFUSES an index stamped with a different version —
 #: a scratch dir surviving a code upgrade must never silently serve
 #: stale geometry (round-9 verdict #4).
-_ANN_WRITER_VERSION = 2
+_ANN_WRITER_VERSION = 3  # v3: meta gains the corpus fingerprint columns
 
 
 def _ann_index_paths(sf_dir: str, suffix: str = "") -> tuple[str, str, str]:
@@ -1453,6 +1453,24 @@ def _ann_index_paths(sf_dir: str, suffix: str = "") -> tuple[str, str, str]:
         os.path.join(root, "postings"),
         os.path.join(root, "meta"),
     )
+
+
+def _ann_corpus_fingerprint(emb: DataFrame) -> tuple[int, str]:
+    """(row count, decimal sum of xxhash64(vec_id)) over the indexed
+    corpus — ONE scan of the thin vec_id column.  Stamped into meta at
+    build time so a reuse-path serve can detect that the dataset under
+    the same sf tag was REGENERATED or swapped since the index was
+    built (the geometry hash alone validates centroids, not corpus:
+    a stale-corpus index would otherwise serve vec_ids that no longer
+    exist)."""
+    row = emb.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("vec_id").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("fp"),
+    ).collect()[0]
+    return int(row["n"]), str(row["fp"])
 
 
 def _ann_assign(df: DataFrame, centroids: "np.ndarray", m: int) -> DataFrame:
@@ -1545,6 +1563,7 @@ def _build_ann_index(
     # version stamp LAST — a crash between postings and meta leaves no
     # meta, which the serve path treats as "not a valid index" (same
     # raise-with-route as an absent index)
+    corpus_n, corpus_fp = _ann_corpus_fingerprint(emb)
     spark.createDataFrame(
         [
             (
@@ -1553,9 +1572,12 @@ def _build_ann_index(
                 int(m),
                 int(centroids.shape[1]),
                 _ann_geometry_hash(centroids),
+                corpus_n,
+                corpus_fp,
             )
         ],
-        "writer_version int, nlist int, m int, dim int, geometry_hash string",
+        "writer_version int, nlist int, m int, dim int, "
+        "geometry_hash string, corpus_n long, corpus_fp string",
     ).write.mode("overwrite").parquet(mpath)
     return nlist, m, cpath, ppath
 
@@ -1680,11 +1702,12 @@ def sim_knn_ivf_serve_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     footnote).
 
     Reuses the PERSISTED index when its version stamp validates;
-    builds only when the serve path raises (absent or stale index) —
-    so in the bench suite, where sink_ann_index runs first, this key
-    times exactly: centroids read + driver probe-set + partition-pruned
-    postings scan + per-batch top-k + the bounded global merge.
-    Nothing else.
+    builds only when the serve path raises (absent, stale, or
+    corpus-drifted index) — so in the bench suite, where
+    sink_ann_index runs first, this key times exactly: centroids read
+    + corpus-fingerprint guard (one column-pruned vec_id scan) +
+    driver probe-set + partition-pruned postings scan + per-batch
+    top-k + the bounded global merge.  Nothing else.
 
     Invariant-literal oracle: the top-k lists themselves are
     engine-specific (IVF candidates depend on the trained centroids),
@@ -1694,10 +1717,18 @@ def sim_knn_ivf_serve_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped candidates (bad pruning, broken dedup) and breaks the
     hash."""
     try:
-        served = _serve_from_ann_index(spark, sf_dir, with_recall=False)
+        # THE reuse path, so corpus validation is on: a persisted index
+        # whose geometry still validates but whose DATASET was
+        # regenerated under the same tag must rebuild, not serve
+        # phantom vec_ids (round-10 review finding)
+        served = _serve_from_ann_index(
+            spark, sf_dir, with_recall=False, validate_corpus=True
+        )
     except (FileNotFoundError, ValueError):
         _build_ann_index(spark, sf_dir)
-        served = _serve_from_ann_index(spark, sf_dir, with_recall=False)
+        served = _serve_from_ann_index(
+            spark, sf_dir, with_recall=False, validate_corpus=True
+        )
     return served.groupBy("qid").agg(F.count("*").alias("n_results"))
 
 
@@ -1732,7 +1763,12 @@ def sim_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     best-after ≥ best-before (a grown corpus can only improve the
     best match — any regression means appended vectors corrupted or
     displaced existing postings).  Probe sets are identical in both
-    serves (same centroids), so the comparison isolates the append."""
+    serves (same centroids), so the comparison isolates the append.
+    The append deliberately does NOT restamp meta: centroids (what the
+    geometry hash covers) are untouched, and meta's corpus fingerprint
+    remains the base-build one — this key validates the refresh
+    observably (before/after comparison) rather than via the
+    reuse-path fingerprint guard, which it leaves off."""
     delta_pred = F.pmod(F.col("vec_id"), F.lit(10)) == 7
     suffix = "_refresh"
     _, m, cpath, ppath = _build_ann_index(
@@ -1771,7 +1807,11 @@ def sim_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _serve_from_ann_index(
-    spark: SparkSession, sf_dir: str, with_recall: bool = True, suffix: str = ""
+    spark: SparkSession,
+    sf_dir: str,
+    with_recall: bool = True,
+    suffix: str = "",
+    validate_corpus: bool = False,
 ) -> DataFrame:
     """Pure read path: answer the query batch from the PERSISTED index
     files only (raises if the index has not been built).
@@ -1820,6 +1860,21 @@ def _serve_from_ann_index(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    if validate_corpus:
+        # reuse-path guard: geometry validation alone cannot tell that
+        # the DATASET under this sf tag was regenerated/swapped since
+        # the index was built — recompute the corpus fingerprint (one
+        # column-pruned scan of vec_id, corpus-thin by design) and
+        # compare to the build-time stamp
+        cur_n, cur_fp = _ann_corpus_fingerprint(emb)
+        if cur_n != meta["corpus_n"] or cur_fp != meta["corpus_fp"]:
+            raise ValueError(
+                "ANN index corpus drift: the embeddings table "
+                f"(n={cur_n}) no longer matches the corpus the index "
+                f"was built from (n={meta['corpus_n']}) — the dataset "
+                "was regenerated or swapped under the same tag; rebuild "
+                "via sink_ann_index/_build_ann_index"
+            )
     # bounded query slice (same contract as sim_knn_ivf_batch: a fixed
     # hash-exact slice, capped so the serving pass is O(N), not O(N²))
     qpred = (F.pmod(F.col("vec_id"), F.lit(20)) == 3) & (F.col("vec_id") < 2000)

@@ -392,9 +392,30 @@ def test_ann_index_stale_version_refuses_to_serve(spark, sf_dir):
     with _pytest.raises(FileNotFoundError, match="meta"):
         _serve_from_ann_index(spark, sf_dir, with_recall=False)
 
+    # (d) corpus drift: geometry validates but the dataset under the
+    # tag changed since the build — the reuse path (validate_corpus)
+    # must refuse; the non-validating path stays permissive by design
+    _build_ann_index(spark, sf_dir)
+    meta2 = spark.read.parquet(mpath)
+    drifted_meta = meta2.withColumn(
+        "corpus_fp", F.concat(F.col("corpus_fp"), F.lit("1"))
+    )
+    drifted_meta.write.mode("overwrite").parquet(mpath + "_cd")
+    shutil.rmtree(mpath)
+    shutil.move(mpath + "_cd", mpath)
+    with _pytest.raises(ValueError, match="corpus drift"):
+        _serve_from_ann_index(
+            spark, sf_dir, with_recall=False, validate_corpus=True
+        )
+    assert (
+        _serve_from_ann_index(spark, sf_dir, with_recall=False).count() > 0
+    ), "non-validating serve should not consult the corpus fingerprint"
+
     # leave a healthy index behind for any later test in the session
     _build_ann_index(spark, sf_dir)
-    assert _serve_from_ann_index(spark, sf_dir, with_recall=False).count() > 0
+    assert _serve_from_ann_index(
+        spark, sf_dir, with_recall=False, validate_corpus=True
+    ).count() > 0
 
 
 def test_cc_planted_chain_logarithmic_rounds(spark):

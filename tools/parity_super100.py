@@ -116,6 +116,16 @@ def build_slice_dirs(super_dir: str) -> dict[str, str]:
         d = f"{super_dir.rstrip('/')}_{kind}"
         os.makedirs(d, exist_ok=True)
         pq = os.path.join(d, f"{sliced_table}.parquet")
+        src = os.path.join(super_dir, f"{sliced_table}.parquet")
+        # a slice surviving a dataset REGENERATION would mix
+        # generations (stale sliced table joined against freshly
+        # symlinked full tables) — rebuild whenever the source is
+        # newer than the slice, not just when the slice is absent
+        stale = os.path.exists(pq) and os.path.exists(src) and (
+            os.path.getmtime(src) > os.path.getmtime(pq)
+        )
+        if stale:
+            os.remove(pq)
         if not os.path.exists(pq):
             con = duckdb.connect()
             con.execute(f"COPY ({sql}) TO '{pq}' (FORMAT PARQUET)")
@@ -247,7 +257,15 @@ def main() -> None:
         from pyspark import SparkContext
         from pyspark.sql import SparkSession
 
-        for candidate in (SparkSession.getActiveSession(), spark):
+        # getActiveSession itself reflects over the py4j socket when
+        # _active_spark_context is non-None — on a dead gateway it
+        # RAISES, which would crash the recovery path on exactly the
+        # failure it heals; guard it like everything else here
+        try:
+            candidates = (SparkSession.getActiveSession(), spark)
+        except Exception:
+            candidates = (spark,)
+        for candidate in candidates:
             if candidate is not None:
                 try:
                     candidate.stop()
