@@ -777,12 +777,15 @@ def _cc_large_small_star(
         ).collect()[0]
         return int(row["n"]), int(row["h"])
 
-    cur = canon(edges).localCheckpoint(eager=True)
+    # lazy checkpoints: the checksum collect is the round's ONE action
+    # and materializes the checkpoint as a side effect — an eager
+    # checkpoint would run the whole round's chain twice per iteration
+    cur = canon(edges).localCheckpoint(eager=False)
     prev_sig = checksum(cur)
     rounds = 0
     while rounds < max_rounds:
         nxt = canon(star(canon(star(cur, large=True)), large=False))
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.localCheckpoint(eager=False)
         rounds += 1
         sig = checksum(nxt)
         cur.unpersist()
