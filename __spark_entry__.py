@@ -77,6 +77,21 @@ _EXPENSIVE_LAST = [
 ]
 
 
+# Keys whose IMPLEMENTATION changed in round 11 (CC convergence test,
+# triangle broadcast un-pin, ANN refresh restamp + guard cache): their
+# surviving driver rows validate round-10 code, so they re-sweep ahead
+# of the green pool until a row from round ≥ 11 exists — a green
+# CORRECTNESS row should always describe the code that is actually in
+# the tree.  Auto-expires: once the fresh row lands, the keys rejoin
+# group 2 at normal staleness order.
+_CODE_CHANGED = {
+    "graph_connected_components": 11,
+    "graph_triangle_count": 11,
+    "sim_knn_ivf_refresh": 11,
+    "sim_knn_ivf_serve_only": 11,
+}
+
+
 def _driver_rows() -> dict[str, dict]:
     """Latest CORRECTNESS_r*.json row per key (accumulated over rounds)."""
     import glob
@@ -160,6 +175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 1  # swept rows-only, but now has a hash oracle: re-sweep
         if row.get("rows_match") is None:
             return 1  # err-free but never actually verified: treat as unswept
+        if row.get("_round", 0) < _CODE_CHANGED.get(key, 0):
+            return 1  # green row, but it validates OLDER code: re-sweep
         return 2
 
     def staleness(key: str) -> int:

@@ -180,10 +180,19 @@ def main() -> None:
     calib_end = round(calib_probe(), 3)
     calib_norm = max(calib, calib_end)
     total = round(sum(timings.values()), 3)
+    # Metric names: the query count is DERIVED from the headline list
+    # (a hardcoded "22" would drift silently if HEADLINE changes), and
+    # the summary line carries a distinct "(summary)" suffix so a
+    # consumer aggregating by metric name never double-counts the
+    # suite (round-10 advice).
+    metric_base = (
+        f"headline suite wall-clock ({len(HEADLINE)} queries, "
+        f"noop-materialized, median of {reps})"
+    )
     print(
         json.dumps(
             {
-                "metric": f"headline suite wall-clock (22 queries, noop-materialized, median of {reps})",
+                "metric": metric_base,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -217,7 +226,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"headline suite wall-clock (22 queries, noop-materialized, median of {reps})",
+                "metric": metric_base + " (summary)",
                 "value": total,
                 "unit": "sec",
                 "sf": sf,

@@ -18,11 +18,12 @@ Design rules (enforced throughout):
     and projections pushed into the scan.
 """
 
-from pyspark_caffe_spark.session import get_spark
+from pyspark_caffe_spark.session import get_spark, recycle_session
 from pyspark_caffe_spark.tables import TABLE_NAMES, load_tables
 
 __all__ = [
     "get_spark",
+    "recycle_session",
     "load_tables",
     "TABLE_NAMES",
     # public API modules (import directly):

@@ -91,3 +91,74 @@ def get_spark(app_name: str = "pyspark-caffe-spark", cpus: int | None = None) ->
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def recycle_session(
+    app_name: str = "pyspark-caffe-spark",
+    cpus: int | None = None,
+    also_stop: tuple = (),
+) -> SparkSession:
+    """Hard JVM recycle: stop every live session, shut down the py4j
+    gateway, reset pyspark's process globals, and return a brand-new
+    session from :func:`get_spark`.
+
+    Why this exists (promoted from tools/parity_super100.py after a
+    real OOM lesson at the 100x sweep, round 10): a single long-lived
+    local Spark JVM accumulates cached frames, checkpointed RDD
+    blocks, and — worst — streaming state-store provider maps that
+    stay pinned AFTER their query stops.  A few hundred registry keys
+    (or three 10-20M-row streaming drains back-to-back) into one
+    session, the NEXT key OOMs a heap it would clear easily when
+    fresh.  And once a heap OOM kills the py4j gateway listener, a
+    plain ``getOrCreate()`` redials the dead socket forever
+    (ConnectionRefusedError) because pyspark's module globals still
+    point at the corpse — reviving requires the hard resets below,
+    not a retry.
+
+    Use it two ways, exactly as the 100x parity harness does:
+
+    * **proactively** — every ~40 keys in a long multi-key run, a
+      ~15 s fresh JVM keeps every key's memory baseline flat (and a
+      per-drain fresh heap before each heavy streaming key);
+    * **reactively** — when ``spark.range(1).count()`` raises, the
+      JVM is gone; this both clears the dead globals and hands back a
+      working session, so one bad key cannot void the rest of a run.
+
+    Safe to call with a healthy session too (it is simply stopped).
+    ``also_stop`` takes extra session handles the caller may hold
+    (e.g. a local variable that outlived the globals).  Every stop /
+    shutdown is exception-guarded: the whole point is to run while
+    the JVM is in an arbitrary state of dead.
+    """
+    from pyspark import SparkContext
+
+    # getActiveSession itself reflects over the py4j socket when the
+    # active-context global is non-None — on a dead gateway it RAISES,
+    # which would crash the recovery path on exactly the failure it
+    # heals; guard it like everything else here.
+    try:
+        candidates = (SparkSession.getActiveSession(),)
+    except Exception:
+        candidates = ()
+    candidates = candidates + tuple(also_stop) + (
+        getattr(SparkSession, "_instantiatedSession", None),
+    )
+    for candidate in candidates:
+        if candidate is not None:
+            try:
+                candidate.stop()
+            except Exception:
+                pass
+    gw = getattr(SparkContext, "_gateway", None)
+    if gw is not None:
+        try:
+            gw.shutdown()
+        except Exception:
+            pass
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    SparkContext._active_spark_context = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    SparkSession._defaultSession = None
+    return get_spark(app_name, cpus=cpus)

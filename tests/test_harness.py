@@ -22,6 +22,11 @@ from pyspark_caffe_spark.queries import ORACLES, QUERIES
 
 def _order_with_rows(monkeypatch, rows: dict) -> list[str]:
     monkeypatch.setattr(entry, "_driver_rows", lambda: rows)
+    # the code-changed re-sweep set varies per round; ordering tests
+    # that aren't ABOUT it must not depend on its current content
+    # (test_sweep_order_rechecks_code_changed_keys installs its own
+    # synthetic set AFTER calling this helper)
+    monkeypatch.setattr(entry, "_CODE_CHANGED", {})
     return list(entry.queries())
 
 
@@ -168,3 +173,96 @@ def test_ensure_session_confs_memoized_but_verifying(spark):
         assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     finally:
         real_set("spark.sql.session.timeZone", "UTC")
+
+
+def test_recycle_session_resets_process_globals(monkeypatch):
+    """``recycle_session`` (round-10 verdict #6: the JVM-hygiene
+    recipe promoted from tools/parity_super100.py into the library)
+    must stop live sessions — including extra handles passed via
+    ``also_stop`` — shut down the py4j gateway, null every pyspark
+    process global ``getOrCreate`` consults, and return whatever
+    ``get_spark`` builds.  All of it exception-tolerantly: the whole
+    point is to run while the JVM is in an arbitrary state of dead
+    (here, ``getActiveSession`` raising and one session whose
+    ``stop()`` raises — both observed failure modes of a dead
+    gateway).  Pure monkeypatch unit test: no real JVM is restarted
+    (a real recycle costs ~15 s and would kill the shared fixture)."""
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    import pyspark_caffe_spark.session as sess
+
+    stopped: list[str] = []
+
+    class FakeSession:
+        def __init__(self, name: str, raise_on_stop: bool = False):
+            self.name, self.raise_on_stop = name, raise_on_stop
+
+        def stop(self):
+            stopped.append(self.name)
+            if self.raise_on_stop:
+                raise RuntimeError("py4j socket closed")
+
+    class FakeGateway:
+        down = False
+
+        def shutdown(self):
+            self.down = True
+
+    def raising_get_active():
+        raise RuntimeError("dead gateway: reflection failed")
+
+    gw = FakeGateway()
+    inst = FakeSession("instantiated", raise_on_stop=True)
+    extra = FakeSession("extra")
+    sentinel = object()
+
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", staticmethod(raising_get_active)
+    )
+    monkeypatch.setattr(SparkSession, "_instantiatedSession", inst, raising=False)
+    monkeypatch.setattr(SparkSession, "_activeSession", inst, raising=False)
+    monkeypatch.setattr(SparkSession, "_defaultSession", inst, raising=False)
+    monkeypatch.setattr(SparkContext, "_gateway", gw, raising=False)
+    monkeypatch.setattr(SparkContext, "_jvm", object(), raising=False)
+    monkeypatch.setattr(
+        SparkContext, "_active_spark_context", object(), raising=False
+    )
+    monkeypatch.setattr(sess, "get_spark", lambda app_name, cpus=None: sentinel)
+
+    out = sess.recycle_session("test-recycle", also_stop=(extra,))
+
+    assert out is sentinel, "must return whatever get_spark builds"
+    assert stopped == ["extra", "instantiated"], stopped
+    assert gw.down, "gateway.shutdown() not called"
+    for attr in ("_gateway", "_jvm", "_active_spark_context"):
+        assert getattr(SparkContext, attr) is None, attr
+    for attr in ("_instantiatedSession", "_activeSession", "_defaultSession"):
+        assert getattr(SparkSession, attr) is None, attr
+
+
+def test_sweep_order_rechecks_code_changed_keys(monkeypatch):
+    """A green driver row that validates OLDER code than the tree
+    (entry._CODE_CHANGED maps key → round its implementation changed)
+    must re-sweep ahead of the green pool — and stop doing so once a
+    row from that round (or later) exists.  Uses a synthetic
+    _CODE_CHANGED so the pin survives the real set changing every
+    round."""
+    keys = [k for k in QUERIES if k not in entry._EXPENSIVE_LAST]
+    changed, need = keys[3], 7
+    # stale green row (validates pre-change code) → group 1 (front)
+    rows = {k: {**GREEN, "_round": need - 1} for k in QUERIES}
+    monkeypatch.setattr(entry, "_driver_rows", lambda: rows)
+    monkeypatch.setattr(entry, "_CODE_CHANGED", {changed: need})
+    order = list(entry.queries())
+    assert order.index(changed) == 0, (
+        f"{changed} (row r{need - 1} < change r{need}) must re-sweep first"
+    )
+    # fresh green row (validates the changed code) → back to group 2
+    rows2 = {k: {**GREEN, "_round": 1} for k in QUERIES}
+    rows2[changed] = {**GREEN, "_round": need}
+    monkeypatch.setattr(entry, "_driver_rows", lambda: rows2)
+    order = list(entry.queries())
+    assert order.index(changed) > len(keys) // 2, (
+        "a row at/after the change round must rejoin normal staleness order"
+    )

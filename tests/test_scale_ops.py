@@ -418,6 +418,38 @@ def test_ann_index_stale_version_refuses_to_serve(spark, sf_dir):
     ).count() > 0
 
 
+def test_ann_corpus_validation_cached_per_generation(spark, sf_dir, monkeypatch):
+    """Round-10 verdict #4 follow-through: the reuse-path corpus
+    fingerprint guard runs ONCE per (index generation, dataset
+    generation) — repeated serves of an unchanged pair skip the
+    O(corpus) vec_id scan (the steady-state serve is guard-free),
+    while a REBUILT index is a new generation (meta stat signature
+    changes) and forces exactly one fresh validation scan."""
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    so._build_ann_index(spark, sf_dir)
+    so._ANN_VALIDATED.clear()
+    calls = {"n": 0}
+    real = so._ann_corpus_fingerprint
+
+    def counting(emb):
+        calls["n"] += 1
+        return real(emb)
+
+    monkeypatch.setattr(so, "_ann_corpus_fingerprint", counting)
+    kw = dict(with_recall=False, validate_corpus=True)
+    assert so._serve_from_ann_index(spark, sf_dir, **kw).count() > 0
+    assert calls["n"] == 1, "first guarded serve must scan the corpus"
+    assert so._serve_from_ann_index(spark, sf_dir, **kw).count() > 0
+    assert calls["n"] == 1, "unchanged (index, dataset) pair must not re-scan"
+    # rebuild rewrites meta → new generation: the build fingerprints
+    # once (stamp) and the next guarded serve re-validates once
+    so._build_ann_index(spark, sf_dir)
+    assert calls["n"] == 2
+    assert so._serve_from_ann_index(spark, sf_dir, **kw).count() > 0
+    assert calls["n"] == 3, "new index generation must re-validate exactly once"
+
+
 def test_cc_planted_chain_logarithmic_rounds(spark):
     """Round-10 verdict #6: min-label propagation (dedup_clusters) is
     O(diameter) shuffles — a planted 10k-link chain would take 10k
@@ -509,8 +541,15 @@ def test_triangle_count_bruteforce(spark, sf_dir):
         assert want.get(n, 0) == c, (n, c, want.get(n, 0))
 
     plan = _plan(df)
+    # round-11: the degree-orientation joins carry NO broadcast hint
+    # (a pinned |V|-row broadcast would OOM a 100 TB graph); all joins
+    # are equi-joins, so the plan must never degrade to a nested-loop
+    # or cartesian shape — AQE picks broadcast at runtime when the
+    # measured side is small, without pinning it into the plan.
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan, "degree orientation join should broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "degree orientation must stay an equi-join:\n" + plan
+    )
 
 
 def test_ivf_refresh_delta_actually_served(spark, sf_dir):
@@ -538,6 +577,15 @@ def test_ivf_refresh_delta_actually_served(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     n_all = emb.count()
     n_delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7).count()
-    _, ppath, _ = _ann_index_paths(sf_dir, "_refresh")
+    _, ppath, mpath = _ann_index_paths(sf_dir, "_refresh")
     n_postings = spark.read.parquet(ppath).count()
     assert n_postings == 3 * n_all, (n_postings, n_all, n_delta)
+
+    # round-11 (r10 advice): the append RESTAMPS meta, so the on-disk
+    # stamp describes the postings actually on disk — the guarded
+    # serve must validate the refreshed index as the FULL corpus
+    meta = spark.read.parquet(mpath).collect()[0]
+    assert meta.corpus_n == n_all, (meta.corpus_n, n_all)
+    assert _serve_from_ann_index(
+        spark, sf_dir, with_recall=False, suffix="_refresh", validate_corpus=True
+    ).count() > 0, "restamped refresh index spuriously refused"

@@ -189,7 +189,7 @@ def digest_exprs(schema) -> tuple[list[str], list[str]]:
 def main() -> None:
     super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        _REPO, "PARITY100_r10.json"
+        _REPO, "PARITY100_r11.json"
     )
     import duckdb
 
@@ -222,7 +222,7 @@ def main() -> None:
         with open(out_json, "w") as f:
             f.write(json.dumps({
                 "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
-                "round": 10,
+                "round": 11,
                 "sf": "sf0.1 x100",
                 "row_cap": ROW_CAP,
                 "complete": False,
@@ -246,44 +246,16 @@ def main() -> None:
             pass
 
     def fresh_session() -> None:
-        """Stop the session AND hard-reset the pyspark process globals
-        (gateway, jvm, instantiated/active session) so get_spark
-        launches a brand-new JVM.  Needed in two cases, both observed
-        this round: (a) a heap OOM kills the py4j gateway listener, so
-        a plain getOrCreate dials a dead socket forever
-        (ConnectionRefusedError voided 10 keys); (b) getOrCreate
-        happily reuses a dead-but-non-None _instantiatedSession."""
+        """Hard JVM recycle — the dead-gateway/OOM-revival recipe this
+        tool pioneered in round 10 now lives in the library as
+        ``pyspark_caffe_spark.recycle_session`` (round-10 verdict #6:
+        registry consumers running hundreds of keys in one process
+        need it as API, not tool-internal code); this wrapper just
+        threads the tool's local ``spark`` handle through."""
         nonlocal spark
-        from pyspark import SparkContext
-        from pyspark.sql import SparkSession
+        from pyspark_caffe_spark import recycle_session
 
-        # getActiveSession itself reflects over the py4j socket when
-        # _active_spark_context is non-None — on a dead gateway it
-        # RAISES, which would crash the recovery path on exactly the
-        # failure it heals; guard it like everything else here
-        try:
-            candidates = (SparkSession.getActiveSession(), spark)
-        except Exception:
-            candidates = (spark,)
-        for candidate in candidates:
-            if candidate is not None:
-                try:
-                    candidate.stop()
-                except Exception:
-                    pass
-        gw = getattr(SparkContext, "_gateway", None)
-        if gw is not None:
-            try:
-                gw.shutdown()
-            except Exception:
-                pass
-        SparkContext._gateway = None
-        SparkContext._jvm = None
-        SparkContext._active_spark_context = None
-        SparkSession._instantiatedSession = None
-        SparkSession._activeSession = None
-        SparkSession._defaultSession = None
-        spark = get_spark("parity-super100-fresh")
+        spark = recycle_session("parity-super100-fresh", also_stop=(spark,))
         spark.sparkContext.setLogLevel("ERROR")
 
     # Proactive JVM recycling: one long session accumulates cached
@@ -458,7 +430,7 @@ def main() -> None:
         counts[r["status"]] = counts.get(r["status"], 0) + 1
     out = {
         "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
-        "round": 10,
+        "round": 11,
         "sf": "sf0.1 x100",
         "row_cap": ROW_CAP,
         "complete": True,

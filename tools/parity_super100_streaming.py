@@ -38,6 +38,15 @@ slice:
   so every excluded streaming key carries 100×-density drain
   evidence, not just the four the verdict named.
 
+Round-11 upgrade (round-10 verdict #5): the four keys whose drained
+output is PER-EVENT (~2M rows — inherently above the 200k value-hash
+cap, so digest is the ceiling for the FULL output) now ALSO get a
+bounded-slice FULL VALUE HASH: an LCG hash gate (the same
+cross-engine-exact mix sample_seeded uses) keeps ~1/16 of the output
+rows (~120k ≤ cap) in BOTH engines, and that slice is value-hashed
+column-for-column.  Digest proves the whole output's counts/sums;
+the slice proves actual VALUES row-for-row on an unbiased 1/16th.
+
 Usage: python tools/parity_super100_streaming.py [super_dir] [out_json]
 """
 
@@ -60,11 +69,25 @@ from parity_super100 import ROW_CAP, digest_exprs  # noqa: E402
 
 CUTOFF = "2024-01-07"  # first 6 of 30 days ≈ 2M of the 10M 100× events
 
+#: cross-engine-exact LCG hash gate (the sample_seeded mix): keeps
+#: ~1/16 of rows, unbiased w.r.t. the id column, identical text runs
+#: as a Spark SQL filter and inside the DuckDB oracle wrapper.
+_LCG_GATE = "((({col} % 2147483647) * 1103515245 + 12345) % 2147483647) % 16 = 3"
+
+#: per-event-output keys (full output > ROW_CAP → digest tier) and the
+#: gate column for their bounded-slice full value hash.
+SLICE_GATES = {
+    "stream_dedup": _LCG_GATE.format(col="event_id"),
+    "stream_dedup_watermark": _LCG_GATE.format(col="event_id"),
+    "stream_recovery": _LCG_GATE.format(col="event_id"),
+    "stream_session_drain": _LCG_GATE.format(col="user_id"),
+}
+
 
 def main() -> None:
     super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        _REPO, "PARITY100_STREAMING_r10.json"
+        _REPO, "PARITY100_STREAMING_r11.json"
     )
     import duckdb
 
@@ -126,11 +149,57 @@ def main() -> None:
                     "status": "digest_pass" if match else "digest_FAIL",
                     "rows": n,
                     "digest_terms": len(s_digest),
+                    "ceiling": "per-event output > row cap: digest is the "
+                               "full-output ceiling; see __slice for values",
                     "sec": round(time.perf_counter() - t0, 1),
                 }
                 if not match:
                     results[key]["spark_digest"] = s_digest
                     results[key]["oracle_digest"] = d_digest
+                gate = SLICE_GATES.get(key)
+                if match and gate is not None:
+                    # bounded-slice FULL VALUE HASH on ~1/16 of the
+                    # output (round-10 verdict #5): the digest above
+                    # proves whole-output counts/sums; this proves
+                    # row-for-row values on an unbiased LCG-gated slice
+                    t1 = time.perf_counter()
+                    skey = key + "__slice"
+                    try:
+                        sdf = df.filter(gate)
+                        n2 = sdf.count()
+                        if n2 > ROW_CAP:
+                            results[skey] = {
+                                "status": "excluded",
+                                "reason": f"slice still {n2} rows > cap",
+                            }
+                        else:
+                            assert_parity(
+                                sdf, con,
+                                f"SELECT * FROM ({oracle_sql}) WHERE {gate}",
+                                skey,
+                            )
+                            results[skey] = {
+                                "status": "slice_pass",
+                                "rows": n2,
+                                "slice": "LCG-gated 1/16 of the drained "
+                                         "output, full value hash",
+                                "sec": round(time.perf_counter() - t1, 1),
+                            }
+                    except AssertionError as exc:
+                        results[skey] = {
+                            "status": "slice_FAIL",
+                            "detail": str(exc)[:400],
+                            "sec": round(time.perf_counter() - t1, 1),
+                        }
+                    except Exception as exc:  # noqa: BLE001
+                        results[skey] = {
+                            "status": "ERROR",
+                            "detail": f"{type(exc).__name__}: {str(exc)[:300]}",
+                            "sec": round(time.perf_counter() - t1, 1),
+                        }
+                    print(f"{skey}: {results[skey]['status']} "
+                          f"({results[skey].get('rows', '?')} rows)",
+                          file=sys.stderr)
             else:
                 assert_parity(df, con, oracle_sql, key)
                 results[key] = {
@@ -203,8 +272,9 @@ def main() -> None:
         counts[r["status"]] = counts.get(r["status"], 0) + 1
     out = {
         "metric": "streaming availableNow-drain parity at 100x density "
-                  "(contiguous 6-day slice of the 100x events table)",
-        "round": 10,
+                  "(contiguous 6-day slice of the 100x events table; "
+                  "per-event outputs also value-hashed on an LCG 1/16 slice)",
+        "round": 11,
         "slice_rows": n_slice,
         "slice_cutoff": CUTOFF,
         "row_cap": ROW_CAP,
