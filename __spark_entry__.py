@@ -89,6 +89,11 @@ _CODE_CHANGED = {
     "graph_triangle_count": 11,
     "sim_knn_ivf_refresh": 11,
     "sim_knn_ivf_serve_only": 11,
+    # exact-money-sum fixes after the r11 100× sweep caught
+    # agg_unpivot red (ROUND(SUM(double),2) cent-flip at ~1.2e12)
+    "agg_unpivot": 11,
+    "agg_histogram": 11,
+    "agg_q6_selective": 11,
 }
 
 

@@ -277,7 +277,8 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_q6_selective",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -292,7 +293,11 @@ def agg_q6_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical pushdown probe. All three conjuncts reach the
     parquet scan as PushedFilters, so row-groups outside the 1996
     ship-year never leave storage; the agg itself is a map-side
-    partial + 1-row final merge (no meaningful shuffle at any scale)."""
+    partial + 1-row final merge (no meaningful shuffle at any scale).
+    The revenue sum is EXACT (price 2dp × discount 2dp lives on the
+    4dp money grid): at the 100× single-group magnitude (~1.5e9) a
+    rounded double sum is the cent-flip class the round-11 sweep
+    caught red on agg_unpivot — same fix as Q1's sum_disc_price."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -302,7 +307,9 @@ def agg_q6_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            exact_money_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue"
+            ),
             F.count("*").alias("n_rows"),
         )
     )
@@ -385,8 +392,9 @@ def agg_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wide AS (
       SELECT o_orderstatus,
              CAST(COUNT(*) AS DOUBLE) AS n_orders,
-             ROUND(SUM(o_totalprice), 2) AS total,
-             ROUND(AVG(o_totalprice), 2) AS avg_price
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 2) AS avg_price
       FROM orders GROUP BY 1)
     SELECT o_orderstatus, metric, value
     FROM wide UNPIVOT (value FOR metric IN (n_orders, total, avg_price))
@@ -396,12 +404,22 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) — the inverse of agg_pivot: a wide per-status
     metrics row becomes (status, metric, value) long form. Purely a
     projection+explode over the already-aggregated (tiny) wide table —
-    no additional shuffle beyond the groupBy that built it."""
+    no additional shuffle beyond the groupBy that built it.
+
+    The per-status price total is summed EXACTLY (money radix split):
+    the round-11 100× sweep caught ROUND(SUM(double), 2) flipping a
+    full cent between engines at the F-status magnitude (~1.2e12 —
+    double ulp there is 2.4e-4 and 20M adds random-walk past the
+    half-cent), the same class the round-8 sweep caught on Q1.  The
+    average divides the exact sum by the exact count, so both engines
+    round the identical double."""
     orders = load_table(spark, sf_dir, "orders")
     wide = orders.groupBy("o_orderstatus").agg(
         F.count("*").cast("double").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        exact_money_sum(F.col("o_totalprice"), "total"),
+        F.round(
+            exact_money_sum(F.col("o_totalprice")) / F.count("*"), 2
+        ).alias("avg_price"),
     )
     return wide.unpivot(
         ids=["o_orderstatus"],
@@ -416,7 +434,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(LEAST(FLOOR(o_totalprice / 50000) + 1, 11) AS BIGINT) AS bucket,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
     FROM orders GROUP BY 1
     """,
 )
@@ -426,7 +444,10 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEAST(..., 11) so the two sides stay structurally identical even
     if a regenerated fixture ever exceeds 550k). One hash agg over ≤10
     groups: the shuffle carries bucket ids, the canonical
-    distribution-profile pass at any scale."""
+    distribution-profile pass at any scale.  Bucket totals are EXACT
+    money sums (~3e11 per bucket at 100×: a double ROUND(SUM, 2)
+    there is the cent-flip class the round-11 sweep caught red on
+    agg_unpivot — same table, same magnitude)."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(
@@ -436,7 +457,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            exact_money_sum(F.col("o_totalprice"), "total"),
         )
     )
 
