@@ -90,10 +90,14 @@ _CODE_CHANGED = {
     "sim_knn_ivf_refresh": 11,
     "sim_knn_ivf_serve_only": 11,
     # exact-money-sum fixes after the r11 100× sweep caught
-    # agg_unpivot red (ROUND(SUM(double),2) cent-flip at ~1.2e12)
+    # agg_unpivot red (ROUND(SUM(double),2) cent-flip at ~1.2e12),
+    # plus the proactive same-class audit fixes
     "agg_unpivot": 11,
     "agg_histogram": 11,
     "agg_q6_selective": 11,
+    "join_multiway": 11,
+    "join_q22_cntrycode": 11,
+    "agg_weighted": 11,
 }
 
 

@@ -564,8 +564,9 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_weighted",
     oracle="""
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS w_avg_price,
-           ROUND(SUM(l_quantity), 4) AS total_qty
+           ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS w_avg_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -574,14 +575,23 @@ def agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted average (quantity-weighted price per return flag) —
     one hash aggregate with two partial sums; the division happens
     post-aggregation on the tiny grouped frame. Map-side combine means
-    the shuffle carries |groups|×2 doubles per task, independent of
-    fact-table size."""
+    the shuffle carries |groups|×2 longs per task, independent of
+    fact-table size.
+
+    Both sums are EXACT money-grid sums (price 2dp × integral qty =
+    2dp; qty integral) — the round-11 cent-flip audit: total_qty
+    reaches ~5e8 per flag at 100× where ROUND(SUM(double), 4) is the
+    same drift class the sweep caught red on agg_unpivot, and the
+    weighted average then divides two identical doubles in both
+    engines."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"), 6
+            exact_money_sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / exact_money_sum(F.col("l_quantity")),
+            6,
         ).alias("w_avg_price"),
-        F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        exact_money_sum(F.col("l_quantity"), "total_qty"),
     )
 
 

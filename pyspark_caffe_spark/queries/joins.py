@@ -60,7 +60,8 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_multiway",
     oracle="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -76,7 +77,10 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style 6-table chain. Hand-ordered dims-last so the two
     fact tables join first on their shared key; nation/region/supplier
-    broadcast. Date filter lands on the orders scan (pushdown)."""
+    broadcast. Date filter lands on the orders scan (pushdown).
+    Per-nation revenue is an EXACT money sum (round-11 cent-flip
+    audit: ~1.4e9 per nation at 100×, the ROUND(SUM(double)) drift
+    class the sweep caught red on agg_unpivot)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -97,8 +101,8 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
+            exact_money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
             )
         )
     )
@@ -996,7 +1000,8 @@ def agg_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
       WHERE c_custkey % 7 IN (1, 2, 3)
     )
-    SELECT cntrycode, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 4) AS totacctbal
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
     FROM eligible e
     WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 4) FROM eligible WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
@@ -1043,7 +1048,7 @@ def join_q22_cntrycode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+            exact_money_sum(F.col("c_acctbal"), "totacctbal"),
         )
     )
 

@@ -1589,20 +1589,34 @@ def _ann_write_meta(
     ).write.mode("overwrite").parquet(mpath)
 
 
-def _path_sig(path: str) -> tuple:
-    """Cheap filesystem identity of a parquet file/dir: (name, size,
-    mtime_ns) per entry — an O(#files) stat, no data read.  Any
-    rewrite, append, or dataset regeneration changes it."""
+def _path_sig(path: str) -> tuple | None:
+    """Cheap filesystem identity of a parquet file/dir: (relpath,
+    size, mtime_ns) per file, RECURSIVE — an O(#files) stat walk, no
+    data read.  Any rewrite, append, or dataset regeneration changes
+    it, including one confined to a partition subdirectory.
+
+    Returns ``None`` when the path is not statable by the local os
+    module (absent, or a non-filesystem URI like an object-store
+    path): the caller must treat None as "identity unknown" and skip
+    CACHING, never as a stable signature — a constant sentinel here
+    would make the dataset-generation half of the validation cache
+    key inert and let a regenerated corpus serve from cache (round-11
+    review finding)."""
     if not os.path.exists(path):
-        return ("absent",)
+        return None
     if os.path.isdir(path):
         entries = []
-        for name in sorted(os.listdir(path)):
-            try:
-                st = os.stat(os.path.join(path, name))
-                entries.append((name, st.st_size, st.st_mtime_ns))
-            except OSError:
-                entries.append((name, -1, -1))
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            rel = os.path.relpath(root, path)
+            for name in sorted(files):
+                try:
+                    st = os.stat(os.path.join(root, name))
+                    entries.append(
+                        (os.path.join(rel, name), st.st_size, st.st_mtime_ns)
+                    )
+                except OSError:
+                    entries.append((os.path.join(rel, name), -1, -1))
         return ("dir", tuple(entries))
     st = os.stat(path)
     return ("file", st.st_size, st.st_mtime_ns)
@@ -2014,16 +2028,23 @@ def _serve_from_ann_index(
         # an unchanged pair skip it (the steady-state serve is then
         # guard-free), while any meta rewrite or dataset regeneration
         # changes the stat signatures and forces a fresh scan.
+        meta_sig = _path_sig(mpath)
+        emb_sig = _path_sig(f"{sf_dir}/embeddings.parquet")
         cache_key = (
             mpath,
-            _path_sig(mpath),
-            _path_sig(f"{sf_dir}/embeddings.parquet"),
+            meta_sig,
+            emb_sig,
             int(meta["writer_version"]),
             meta["geometry_hash"],
             int(meta["corpus_n"]),
             meta["corpus_fp"],
         )
-        if not _ANN_VALIDATED.get(cache_key):
+        # a None signature means the local os module cannot establish
+        # the artifact's identity (object-store URI, vanished path):
+        # the guard then runs on EVERY serve — cache only provable
+        # identities, never a degraded sentinel
+        cacheable = meta_sig is not None and emb_sig is not None
+        if not (cacheable and _ANN_VALIDATED.get(cache_key)):
             cur_n, cur_fp = _ann_corpus_fingerprint(emb)
             if cur_n != meta["corpus_n"] or cur_fp != meta["corpus_fp"]:
                 raise ValueError(
@@ -2033,9 +2054,10 @@ def _serve_from_ann_index(
                     "was regenerated or swapped under the same tag; rebuild "
                     "via sink_ann_index/_build_ann_index"
                 )
-            if len(_ANN_VALIDATED) > 64:  # bounded: stale generations dangle
-                _ANN_VALIDATED.clear()
-            _ANN_VALIDATED[cache_key] = True
+            if cacheable:
+                if len(_ANN_VALIDATED) > 64:  # bounded: stale keys dangle
+                    _ANN_VALIDATED.clear()
+                _ANN_VALIDATED[cache_key] = True
     # bounded query slice (same contract as sim_knn_ivf_batch: a fixed
     # hash-exact slice, capped so the serving pass is O(N), not O(N²))
     qpred = (F.pmod(F.col("vec_id"), F.lit(20)) == 3) & (F.col("vec_id") < 2000)

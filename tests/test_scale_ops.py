@@ -583,9 +583,16 @@ def test_ivf_refresh_delta_actually_served(spark, sf_dir):
 
     # round-11 (r10 advice): the append RESTAMPS meta, so the on-disk
     # stamp describes the postings actually on disk — the guarded
-    # serve must validate the refreshed index as the FULL corpus
+    # serve must validate the refreshed index as the FULL corpus.
+    # Cache cleared first: the key's own after-serve already validated
+    # and cached this generation, which would make the assertion
+    # vacuous (round-11 review finding) — this serve must re-run the
+    # actual fingerprint comparison against the restamp.
+    import pyspark_caffe_spark.queries.scale_ops as so
+
     meta = spark.read.parquet(mpath).collect()[0]
     assert meta.corpus_n == n_all, (meta.corpus_n, n_all)
+    so._ANN_VALIDATED.clear()
     assert _serve_from_ann_index(
         spark, sf_dir, with_recall=False, suffix="_refresh", validate_corpus=True
     ).count() > 0, "restamped refresh index spuriously refused"

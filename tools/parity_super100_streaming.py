@@ -69,10 +69,14 @@ from parity_super100 import ROW_CAP, digest_exprs  # noqa: E402
 
 CUTOFF = "2024-01-07"  # first 6 of 30 days ≈ 2M of the 10M 100× events
 
-#: cross-engine-exact LCG hash gate (the sample_seeded mix): keeps
+from pyspark_caffe_spark.queries.scale_ops import _CC_LCG_SQL  # noqa: E402
+
+#: cross-engine-exact LCG hash gate — the SAME library mix the CC /
+#: sample_seeded keys use (imported, not re-hardcoded, so the parity
+#: slice can never silently diverge from library semantics): keeps
 #: ~1/16 of rows, unbiased w.r.t. the id column, identical text runs
 #: as a Spark SQL filter and inside the DuckDB oracle wrapper.
-_LCG_GATE = "((({col} % 2147483647) * 1103515245 + 12345) % 2147483647) % 16 = 3"
+_LCG_GATE = _CC_LCG_SQL + " % 16 = 3"
 
 #: per-event-output keys (full output > ROW_CAP → digest tier) and the
 #: gate column for their bounded-slice full value hash.
