@@ -74,6 +74,8 @@ _EXPENSIVE_LAST = [
     "graph_connected_components",
     # round-10: base-index build + two serves + delta append
     "sim_knn_ivf_refresh",
+    # round-11: base build + two appends + full postings rewrite
+    "sink_ann_index_compact",
 ]
 
 

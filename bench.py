@@ -110,6 +110,8 @@ EXTRA = [
     "graph_connected_components",  # alternating large/small-star CC
     "graph_triangle_count",        # degree-oriented wedge triangle count
     "sim_knn_ivf_refresh",         # incremental postings append + re-serve
+    # round-11 addition
+    "sink_ann_index_compact",      # per-cell postings OPTIMIZE + identity proof
 ]
 
 

@@ -1910,43 +1910,17 @@ def sim_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full corpus."""
     delta_pred = F.pmod(F.col("vec_id"), F.lit(10)) == 7
     suffix = "_refresh"
-    _, m, cpath, ppath = _build_ann_index(
-        spark, sf_dir, corpus_filter=~delta_pred, suffix=suffix
-    )
+    _build_ann_index(spark, sf_dir, corpus_filter=~delta_pred, suffix=suffix)
     before = (
         _serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
         .groupBy("qid")
         .agg(F.max("cos").alias("best_before"))
     ).localCheckpoint(eager=True)  # materialize BEFORE the append mutates postings
 
-    cent_rows = spark.read.parquet(cpath).orderBy("cell").collect()
-    centroids = np.stack([np.array(r["centroid"]) for r in cent_rows])
     delta = load_table(spark, sf_dir, "embeddings").filter(delta_pred).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    (
-        _ann_assign(delta, centroids, m)
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(ppath)
-    )
-    # restamp: the on-disk fingerprint must describe the postings
-    # actually on disk (base + delta).  Additive, so only the delta
-    # slice is scanned; geometry fields pass through unchanged.
-    _, _, mpath = _ann_index_paths(sf_dir, suffix)
-    meta = spark.read.parquet(mpath).collect()[0]
-    d_n, d_fp = _ann_corpus_fingerprint(delta)
-    _ann_write_meta(
-        spark,
-        mpath,
-        meta["writer_version"],
-        meta["nlist"],
-        meta["m"],
-        meta["dim"],
-        meta["geometry_hash"],
-        int(meta["corpus_n"]) + d_n,
-        str(int(meta["corpus_fp"]) + int(d_fp)),
-    )
+    _ann_append(spark, sf_dir, suffix, delta)
 
     after = _serve_from_ann_index(
         spark, sf_dir, with_recall=False, suffix=suffix, validate_corpus=True
@@ -1960,6 +1934,149 @@ def sim_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_results",
         (F.col("best_after") >= F.col("best_before") - F.lit(1e-9)).alias(
             "best_cos_not_worse"
+        ),
+    )
+
+
+def _ann_append(spark: SparkSession, sf_dir: str, suffix: str, delta: DataFrame) -> None:
+    """Frozen-geometry postings APPEND + truthful restamp — the shared
+    ingest step of the ANN lifecycle (sim_knn_ivf_refresh's daily
+    delta, sink_ann_index_compact's multi-day setup): assign the delta
+    under the index's OWN stamped geometry (same centroids, same top-m
+    rule via the shared ``_ann_assign``), append into the
+    ``partitionBy("cell")`` layout, and rewrite meta with the additive
+    post-append corpus fingerprint (one thin scan of the DELTA only —
+    the fingerprint is (count, Σ xxhash64(vec_id)), so base + delta
+    sums exactly).  O(|delta|·m) write cost, never O(|corpus|)."""
+    cpath, ppath, mpath = _ann_index_paths(sf_dir, suffix)
+    meta = spark.read.parquet(mpath).collect()[0]
+    cent_rows = spark.read.parquet(cpath).orderBy("cell").collect()
+    centroids = np.stack([np.array(r["centroid"]) for r in cent_rows])
+    (
+        _ann_assign(delta, centroids, int(meta["m"]))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(ppath)
+    )
+    d_n, d_fp = _ann_corpus_fingerprint(delta)
+    _ann_write_meta(
+        spark,
+        mpath,
+        meta["writer_version"],
+        meta["nlist"],
+        meta["m"],
+        meta["dim"],
+        meta["geometry_hash"],
+        int(meta["corpus_n"]) + d_n,
+        str(int(meta["corpus_fp"]) + int(d_fp)),
+    )
+
+
+def _count_part_files(path: str) -> int:
+    """Data files under a parquet dataset dir (commit markers and
+    hidden files excluded) — the small-files metric compaction acts
+    on."""
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                n += 1
+    return n
+
+
+@query(
+    "sink_ann_index_compact",
+    oracle="""
+    SELECT COUNT(*) AS n_vectors,
+           CAST(3 AS BIGINT) * COUNT(*) AS n_postings,
+           true AS content_identical,
+           true AS files_collapsed,
+           true AS stamp_still_valid
+    FROM embeddings
+    """,
+)
+def sink_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files COMPACTION of the persisted IVF index — the fourth
+    verb of the ANN lifecycle (build → serve → refresh → COMPACT).
+    Every incremental refresh appends at least one new file into each
+    touched cell directory; after weeks of daily ingest a probe's
+    partition-pruned read opens dozens of tiny files per cell, and
+    open/footer overhead starts to dominate the very seek the
+    partitioning exists to make cheap.  The maintenance job rewrites
+    each cell's postings into ONE file (``repartition("cell")`` hash-
+    routes every cell wholly into one task, so the partitionBy write
+    emits exactly one file per cell directory), then swaps the
+    compacted dataset in atomically (write-aside → rename) — the same
+    OPTIMIZE pattern as sink_compact, applied per partition.
+
+    The key proves three things IN-PLAN over the swapped-in files:
+    content identity (row count + decimal Σ xxhash64(cell, vec_id,
+    emb) equal before vs after — a dropped, duplicated, or corrupted
+    posting breaks the hash), the file collapse itself (strictly
+    fewer data files; tests additionally pin exactly one per cell),
+    and stamp validity (the meta corpus fingerprint, untouched by the
+    rewrite, still describes the compacted postings' distinct
+    vectors — compaction must never need a restamp, because it moves
+    bytes, not content).
+
+    Setup simulates the real ingest history: the base index is built
+    EXCLUDING two ~10% slices which then arrive as two separate
+    ``_ann_append`` days, leaving ≥3 write generations of files per
+    cell before compaction."""
+    import shutil
+
+    suffix = "_compact"
+    d1 = F.pmod(F.col("vec_id"), F.lit(10)) == 3
+    d2 = F.pmod(F.col("vec_id"), F.lit(10)) == 7
+    _build_ann_index(spark, sf_dir, corpus_filter=~(d1 | d2), suffix=suffix)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    _ann_append(spark, sf_dir, suffix, emb.filter(d1))
+    _ann_append(spark, sf_dir, suffix, emb.filter(d2))
+
+    _, ppath, mpath = _ann_index_paths(sf_dir, suffix)
+    files_before = _count_part_files(ppath)
+    row_hash = F.xxhash64("cell", "vec_id", "emb").cast("decimal(38,0)")
+    before = (
+        spark.read.parquet(ppath)
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(row_hash), F.lit(0).cast("decimal(38,0)")).alias("h"),
+        )
+        .collect()[0]
+    )
+
+    rewrite = ppath + "_rewrite"
+    (
+        spark.read.parquet(ppath)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(rewrite)
+    )
+    bak = ppath + "_precompact"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(ppath, bak)
+    os.rename(rewrite, ppath)
+    shutil.rmtree(bak)
+    files_after = _count_part_files(ppath)
+
+    meta = spark.read.parquet(mpath).collect()[0]
+    compacted = spark.read.parquet(ppath)
+    return compacted.agg(
+        F.countDistinct("vec_id").alias("n_vectors"),
+        F.count("*").alias("n_postings"),
+        (
+            (F.count("*") == F.lit(int(before["n"])))
+            & (
+                F.coalesce(F.sum(row_hash), F.lit(0).cast("decimal(38,0)"))
+                == F.lit(str(before["h"])).cast("decimal(38,0)")
+            )
+        ).alias("content_identical"),
+        F.lit(files_after < files_before).alias("files_collapsed"),
+        (F.countDistinct("vec_id") == F.lit(int(meta["corpus_n"]))).alias(
+            "stamp_still_valid"
         ),
     )
 

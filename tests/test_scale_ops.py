@@ -596,3 +596,38 @@ def test_ivf_refresh_delta_actually_served(spark, sf_dir):
     assert _serve_from_ann_index(
         spark, sf_dir, with_recall=False, suffix="_refresh", validate_corpus=True
     ).count() > 0, "restamped refresh index spuriously refused"
+
+
+def test_ann_index_compact_one_file_per_cell(spark, sf_dir):
+    """sink_ann_index_compact's in-plan flags prove content identity
+    and a strict file-count drop; this test pins the stronger layout
+    contract the key's docstring sells: after compaction every cell
+    directory holds EXACTLY ONE data file (repartition("cell") routes
+    each cell wholly into one task), and the untouched meta stamp
+    still VALIDATES on a guarded serve (compaction moves bytes, not
+    content — it must never need a restamp)."""
+    import os
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    row = QUERIES["sink_ann_index_compact"](spark, sf_dir).collect()[0]
+    assert row.content_identical and row.files_collapsed and row.stamp_still_valid
+    assert row.n_postings == 3 * row.n_vectors
+
+    _, ppath, _ = so._ann_index_paths(sf_dir, "_compact")
+    for cell_dir in sorted(os.listdir(ppath)):
+        if not cell_dir.startswith("cell="):
+            continue
+        data = [
+            f
+            for f in os.listdir(os.path.join(ppath, cell_dir))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        assert len(data) == 1, (cell_dir, data)
+
+    # the stamp survived the rewrite: a guarded serve (cache cleared so
+    # the fingerprint comparison actually runs) must NOT refuse
+    so._ANN_VALIDATED.clear()
+    assert so._serve_from_ann_index(
+        spark, sf_dir, with_recall=False, suffix="_compact", validate_corpus=True
+    ).count() > 0, "compacted index spuriously refused by the corpus guard"
