@@ -79,27 +79,20 @@ _EXPENSIVE_LAST = [
 ]
 
 
-# Keys whose IMPLEMENTATION changed in round 11 (CC convergence test,
-# triangle broadcast un-pin, ANN refresh restamp + guard cache): their
-# surviving driver rows validate round-10 code, so they re-sweep ahead
-# of the green pool until a row from round ≥ 11 exists — a green
-# CORRECTNESS row should always describe the code that is actually in
-# the tree.  Auto-expires: once the fresh row lands, the keys rejoin
-# group 2 at normal staleness order.
+# Keys whose IMPLEMENTATION changed in round 12 (ANN postings now
+# resolve through the crash-safe generation pointer; the compact swap
+# commits via the atomic pointer flip instead of two directory
+# renames): their surviving driver rows validate round-11 code, so
+# they re-sweep ahead of the green pool until a row from round ≥ 12
+# exists — a green CORRECTNESS row should always describe the code
+# that is actually in the tree.  Auto-expires: once the fresh row
+# lands, the keys rejoin group 2 at normal staleness order.
 _CODE_CHANGED = {
-    "graph_connected_components": 11,
-    "graph_triangle_count": 11,
-    "sim_knn_ivf_refresh": 11,
-    "sim_knn_ivf_serve_only": 11,
-    # exact-money-sum fixes after the r11 100× sweep caught
-    # agg_unpivot red (ROUND(SUM(double),2) cent-flip at ~1.2e12),
-    # plus the proactive same-class audit fixes
-    "agg_unpivot": 11,
-    "agg_histogram": 11,
-    "agg_q6_selective": 11,
-    "join_multiway": 11,
-    "join_q22_cntrycode": 11,
-    "agg_weighted": 11,
+    "sink_ann_index": 12,
+    "sim_knn_ivf_serve": 12,
+    "sim_knn_ivf_serve_only": 12,
+    "sim_knn_ivf_refresh": 12,
+    "sink_ann_index_compact": 12,
 }
 
 

@@ -30,6 +30,69 @@ from pyspark_caffe_spark.queries import QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-key median history (rolling, cross-run) for the steal detector.
+# The single-job calib probe under-detects thin steal spread across
+# keys: BENCH_r11 shipped an 11%-regressed headline with
+# `contended: false` because the probe happened to land between
+# bursts.  Each key's timing vs its OWN history is a far stronger
+# signal — a burst that slows >DRIFT_KEYS_MAX headline keys >25% in
+# the slow direction at once is contention, not a plan change (plan
+# changes move specific keys, not the board).
+HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_MEDIANS.json"
+)
+HISTORY_CAP = 12          # runs kept per history file
+DRIFT_THRESHOLD = 0.25    # a key "drifts" if median > 1.25x its history median
+DRIFT_KEYS_MAX = 5        # >5 drifting headline keys => contended, rerun once
+
+
+def _load_history() -> list[dict]:
+    try:
+        with open(HISTORY_PATH) as f:
+            data = json.load(f)
+        runs = data.get("runs", [])
+        return [r for r in runs if isinstance(r, dict)]
+    except (OSError, ValueError):
+        return []
+
+
+def _history_medians(runs: list[dict]) -> dict[str, float]:
+    """Per-key median over prior CLEAN runs (contended runs excluded so
+    a bad streak can't ratchet the reference upward; falls back to all
+    runs if no clean one exists yet)."""
+    clean = [r for r in runs if not r.get("contended")]
+    pool = clean if clean else runs
+    acc: dict[str, list[float]] = {}
+    for r in pool:
+        for k, v in (r.get("queries") or {}).items():
+            if isinstance(v, (int, float)):
+                acc.setdefault(k, []).append(float(v))
+    return {k: statistics.median(v) for k, v in acc.items() if v}
+
+
+def _drifting_keys(
+    timings: dict[str, float], ref: dict[str, float]
+) -> list[str]:
+    """Headline keys slower than (1+DRIFT_THRESHOLD)x their own history
+    median.  Only the slow direction counts: faster keys are
+    improvements (or favorable noise), not steal."""
+    out = []
+    for k, v in timings.items():
+        m = ref.get(k)
+        if m and m > 0 and (v / m - 1.0) > DRIFT_THRESHOLD:
+            out.append(k)
+    return out
+
+
+def _save_history(runs: list[dict], record: dict) -> None:
+    runs = (runs + [record])[-HISTORY_CAP:]
+    try:
+        with open(HISTORY_PATH, "w") as f:
+            json.dump({"version": 1, "runs": runs}, f)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: the detector still ran, just unsaved
+
 # Headline set (22): the BASELINE.md shapes plus one representative per
 # capability layer (relational / window / streaming twin / ML / LLM /
 # round-2 training-data ops).
@@ -168,7 +231,28 @@ def main() -> None:
             best[name] = round(samples[0], 3)
         return med, best
 
+    history = _load_history()
+    ref_medians = _history_medians(history)
+
     timings, best_case = run_set(HEADLINE)
+    # Per-key drift check vs this key's own cross-run median.  If the
+    # board drifted slow (>DRIFT_KEYS_MAX keys >25% over history), a
+    # steal burst hit the suite — rerun the headline ONCE and keep the
+    # per-key min of the two medians (the less-contended estimate for
+    # each key).  One rerun bounds added wall-clock at ~1 suite pass;
+    # if the box is busy all day both passes drift and the summary
+    # honestly reports contended=true.
+    drifted = _drifting_keys(timings, ref_medians)
+    drift_rerun = False
+    if len(drifted) > DRIFT_KEYS_MAX:
+        drift_rerun = True
+        timings2, best2 = run_set(HEADLINE)
+        timings = {
+            k: min(timings[k], timings2[k]) for k in timings
+        }
+        best_case = {k: min(best_case[k], best2[k]) for k in best_case}
+        drifted = _drifting_keys(timings, ref_medians)
+    drift_contended = len(drifted) > DRIFT_KEYS_MAX
     extra_timings, _ = run_set(EXTRA)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
@@ -211,6 +295,11 @@ def main() -> None:
                 # environment-dependent).
                 "value_per_calib": round(total / calib_norm, 2) if calib_norm else None,
                 "sf": sf,
+                # per-key steal detector detail (summary carries the
+                # boolean; this line carries which keys drifted)
+                "drift_ref_runs": len(history),
+                "drift_keys": drifted,
+                "drift_rerun": drift_rerun,
             }
         )
     )
@@ -235,14 +324,35 @@ def main() -> None:
                 "calib_sec": calib,
                 "calib_end_sec": calib_end,
                 "value_per_calib": round(total / calib_norm, 2) if calib_norm else None,
-                # contention telemetry: the two probes bracket the
-                # suite; if they disagree >1.3x, a steal burst hit
-                # mid-run and raw seconds are contaminated — read
-                # value_per_calib instead (r8/r9 lesson)
+                # contention telemetry, TWO detectors OR-ed:
+                # (a) calib probes bracketing the suite disagree >1.3x
+                #     (a burst big enough to move the probe), and
+                # (b) per-key drift: >DRIFT_KEYS_MAX headline keys ran
+                #     >25% over their own cross-run median even after
+                #     one auto-rerun (thin steal spread the probe
+                #     misses — the BENCH_r11 failure mode).
+                # When contended=true, read value_per_calib, not raw
+                # seconds.
                 "load_hint": load_hint,
-                "contended": (load_hint is not None and load_hint > 1.3),
+                "drift_keys_n": len(drifted),
+                "drift_rerun": drift_rerun,
+                "contended": (
+                    (load_hint is not None and load_hint > 1.3)
+                    or drift_contended
+                ),
             }
         )
+    )
+    _save_history(
+        history,
+        {
+            "queries": timings,
+            "calib_sec": calib_norm,
+            "value_per_calib": round(total / calib_norm, 2) if calib_norm else None,
+            "contended": (
+                (load_hint is not None and load_hint > 1.3) or drift_contended
+            ),
+        },
     )
 
 

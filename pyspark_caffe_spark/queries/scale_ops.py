@@ -1500,6 +1500,68 @@ _ANN_NLIST, _ANN_NPROBE, _ANN_K, _ANN_M = 16, 10, 10, 3
 _ANN_WRITER_VERSION = 3  # v3: meta gains the corpus fingerprint columns
 
 
+#: pointer file naming the LIVE postings generation directory.  The
+#: compaction swap commits by atomically replacing this one small file
+#: (``os.replace`` — atomic for files on the same POSIX filesystem),
+#: never by renaming the postings directories themselves: a directory
+#: cannot be atomically renamed OVER a non-empty directory, so any
+#: dir-rename dance has a crash window with no readable index (the
+#: round-11 finding).  No pointer file ⇒ the base ``postings`` dir is
+#: live (the layout every build writes), so pre-pointer indexes keep
+#: reading unchanged.
+_ANN_GEN_POINTER = "POSTINGS_GEN"
+
+
+def _ann_postings_current(root: str) -> str:
+    """Resolve the live postings generation under ``root``: the dir
+    named by the pointer file if it exists and is present on disk,
+    else the base ``postings`` dir.  A pointer naming a vanished dir
+    (manual deletion) falls back to base, where the serve path's
+    existence check fails loud with the rebuild route."""
+    try:
+        with open(os.path.join(root, _ANN_GEN_POINTER)) as f:
+            name = os.path.basename(f.read().strip())
+    except OSError:
+        name = ""
+    if name:
+        cand = os.path.join(root, name)
+        if os.path.isdir(cand):
+            return cand
+    return os.path.join(root, "postings")
+
+
+def _ann_flip_pointer(root: str, name: str) -> None:
+    """THE commit point of a compaction: fsync a temp pointer file,
+    then ``os.replace`` it over the live pointer — readers see either
+    the old generation or the new one, never neither."""
+    tmp = os.path.join(root, _ANN_GEN_POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(name + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _ANN_GEN_POINTER))
+
+
+def _ann_reset_generations(root: str) -> None:
+    """A fresh build supersedes every compaction generation: drop the
+    pointer (FIRST — a crash mid-cleanup then resolves to the base
+    layout the build is about to overwrite, never a dangling pointer)
+    and any ``postings_gen*`` dirs.  A crash inside the subsequent
+    build leaves no valid index, which the serve path reports loud
+    with the rebuild route — the same contract the in-place overwrite
+    build always had."""
+    import shutil
+
+    try:
+        os.remove(os.path.join(root, _ANN_GEN_POINTER))
+    except OSError:
+        pass
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith("postings_gen"):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
 def _ann_index_paths(sf_dir: str, suffix: str = "") -> tuple[str, str, str]:
     from pyspark_caffe_spark.queries.relational import _scratch
 
@@ -1507,7 +1569,7 @@ def _ann_index_paths(sf_dir: str, suffix: str = "") -> tuple[str, str, str]:
     root = _scratch(f"ann_index_{tag}")
     return (
         os.path.join(root, "centroids"),
-        os.path.join(root, "postings"),
+        _ann_postings_current(root),
         os.path.join(root, "meta"),
     )
 
@@ -1591,9 +1653,15 @@ def _ann_write_meta(
 
 def _path_sig(path: str) -> tuple | None:
     """Cheap filesystem identity of a parquet file/dir: (relpath,
-    size, mtime_ns) per file, RECURSIVE — an O(#files) stat walk, no
-    data read.  Any rewrite, append, or dataset regeneration changes
-    it, including one confined to a partition subdirectory.
+    size, mtime_ns, inode) per file, RECURSIVE — an O(#files) stat
+    walk, no data read.  Any rewrite, append, or dataset regeneration
+    changes it, including one confined to a partition subdirectory.
+    The inode is included because some network/FUSE mounts truncate
+    mtime to whole seconds: an in-place regeneration producing
+    same-named same-sized files within one timestamp tick would
+    otherwise collide, and new files virtually always get new inodes
+    (round-11 advice).  Residual risk — same tick AND recycled inode
+    AND identical size — is accepted for local scratch dirs.
 
     Returns ``None`` when the path is not statable by the local os
     module (absent, or a non-filesystem URI like an object-store
@@ -1613,13 +1681,13 @@ def _path_sig(path: str) -> tuple | None:
                 try:
                     st = os.stat(os.path.join(root, name))
                     entries.append(
-                        (os.path.join(rel, name), st.st_size, st.st_mtime_ns)
+                        (os.path.join(rel, name), st.st_size, st.st_mtime_ns, st.st_ino)
                     )
                 except OSError:
-                    entries.append((os.path.join(rel, name), -1, -1))
+                    entries.append((os.path.join(rel, name), -1, -1, -1))
         return ("dir", tuple(entries))
     st = os.stat(path)
-    return ("file", st.st_size, st.st_mtime_ns)
+    return ("file", st.st_size, st.st_mtime_ns, st.st_ino)
 
 
 #: successful corpus-fingerprint validations, keyed by (meta path, meta
@@ -1682,7 +1750,13 @@ def _build_ann_index(
         nlist = max(1, len(sample))
     m = min(m, nlist)
     centroids = _lloyd_spherical(sample, nlist, iters=10)
-    cpath, ppath, mpath = _ann_index_paths(sf_dir, suffix)
+    cpath, _resolved, mpath = _ann_index_paths(sf_dir, suffix)
+    # a build starts a new index: retire every compaction generation
+    # and write the base layout (resolution after the reset is always
+    # root/postings)
+    root = os.path.dirname(mpath)
+    _ann_reset_generations(root)
+    ppath = os.path.join(root, "postings")
     spark.createDataFrame(
         [(int(i), centroids[i].tolist()) for i in range(nlist)],
         "cell int, centroid array<double>",
@@ -1947,7 +2021,15 @@ def _ann_append(spark: SparkSession, sf_dir: str, suffix: str, delta: DataFrame)
     ``partitionBy("cell")`` layout, and rewrite meta with the additive
     post-append corpus fingerprint (one thin scan of the DELTA only —
     the fingerprint is (count, Σ xxhash64(vec_id)), so base + delta
-    sums exactly).  O(|delta|·m) write cost, never O(|corpus|)."""
+    sums exactly).  O(|delta|·m) write cost, never O(|corpus|).
+
+    Crash ordering (mirrors _build_ann_index's "version stamp LAST"
+    note): the append is NOT transactional — a crash after the
+    postings append but before the meta restamp leaves a stamp
+    describing the base corpus while postings include the delta.  The
+    next guarded serve then REFUSES the index (fingerprint mismatch)
+    with the rebuild route: fails closed, a rebuild recovers, and no
+    serve ever reads the half-applied state as valid."""
     cpath, ppath, mpath = _ann_index_paths(sf_dir, suffix)
     meta = spark.read.parquet(mpath).collect()[0]
     cent_rows = spark.read.parquet(cpath).orderBy("cell").collect()
@@ -1984,6 +2066,46 @@ def _count_part_files(path: str) -> int:
     return n
 
 
+def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
+    """The crash-safe compaction swap, shared by sink_ann_index_compact
+    and the crash-window tests: rewrite the live postings dataset
+    one-file-per-cell into a NEW generation dir, COMMIT via the atomic
+    pointer flip, then garbage-collect every superseded postings dir
+    (the one just replaced and any orphans from crashed earlier
+    compactions).  Returns the new live postings path.
+
+    Crash at any point leaves a servable index: before the flip the
+    old generation is still the resolved one; after it the new one is.
+    The generation number is 1 + max over EXISTING gen dirs (not the
+    live dir's number), so a crash orphan can never collide with the
+    next write-aside target."""
+    import shutil
+
+    root = os.path.dirname(ppath)
+    gens = [
+        int(n[len("postings_gen"):])
+        for n in os.listdir(root)
+        if n.startswith("postings_gen") and n[len("postings_gen"):].isdigit()
+    ]
+    new_name = f"postings_gen{max(gens, default=0) + 1}"
+    rewrite = os.path.join(root, new_name)
+    (
+        spark.read.parquet(ppath)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(rewrite)
+    )
+    # COMMIT — everything before this line is invisible to serves
+    _ann_flip_pointer(root, new_name)
+    for name in os.listdir(root):
+        if (
+            name == "postings" or name.startswith("postings_gen")
+        ) and name != new_name:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return rewrite
+
+
 @query(
     "sink_ann_index_compact",
     oracle="""
@@ -2005,9 +2127,18 @@ def sink_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning exists to make cheap.  The maintenance job rewrites
     each cell's postings into ONE file (``repartition("cell")`` hash-
     routes every cell wholly into one task, so the partitionBy write
-    emits exactly one file per cell directory), then swaps the
-    compacted dataset in atomically (write-aside → rename) — the same
-    OPTIMIZE pattern as sink_compact, applied per partition.
+    emits exactly one file per cell directory), written as a NEW
+    GENERATION directory (``postings_gen<N>``) and committed by an
+    atomic pointer-file flip (``_ann_flip_pointer``: fsync'd temp +
+    ``os.replace``) — genuinely atomic, unlike a directory-rename
+    dance: POSIX cannot rename over a non-empty dir, so the round-11
+    two-rename swap had a window with NO postings dir at all.  Now a
+    crash at ANY point leaves a servable index: before the flip the
+    old generation is still live (the orphaned rewrite is garbage-
+    collected by the next compact/build); after the flip the new
+    generation serves and the superseded dir is mere leftover bytes.
+    Only after the commit is the old generation deleted.  Same
+    two-phase-commit shape as sink_python_datasource.
 
     The key proves three things IN-PLAN over the swapped-in files:
     content identity (row count + decimal Σ xxhash64(cell, vec_id,
@@ -2023,8 +2154,6 @@ def sink_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCLUDING two ~10% slices which then arrive as two separate
     ``_ann_append`` days, leaving ≥3 write generations of files per
     cell before compaction."""
-    import shutil
-
     suffix = "_compact"
     d1 = F.pmod(F.col("vec_id"), F.lit(10)) == 3
     d2 = F.pmod(F.col("vec_id"), F.lit(10)) == 7
@@ -2047,19 +2176,7 @@ def sink_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
 
-    rewrite = ppath + "_rewrite"
-    (
-        spark.read.parquet(ppath)
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(rewrite)
-    )
-    bak = ppath + "_precompact"
-    shutil.rmtree(bak, ignore_errors=True)
-    os.rename(ppath, bak)
-    os.rename(rewrite, ppath)
-    shutil.rmtree(bak)
+    ppath = _ann_compact_postings(spark, ppath)
     files_after = _count_part_files(ppath)
 
     meta = spark.read.parquet(mpath).collect()[0]

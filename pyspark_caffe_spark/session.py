@@ -158,7 +158,12 @@ def recycle_session(
     SparkContext._gateway = None
     SparkContext._jvm = None
     SparkContext._active_spark_context = None
-    SparkSession._instantiatedSession = None
-    SparkSession._activeSession = None
-    SparkSession._defaultSession = None
+    # Reset only globals the pinned pyspark actually consults: 4.1.2
+    # has _instantiatedSession and _activeSession; assigning names that
+    # don't exist (e.g. _defaultSession, removed upstream) would just
+    # fabricate dead class attributes (round-11 advice).  hasattr-guard
+    # so the recipe tracks whatever pyspark version is installed.
+    for attr in ("_instantiatedSession", "_activeSession", "_defaultSession"):
+        if hasattr(SparkSession, attr):
+            setattr(SparkSession, attr, None)
     return get_spark(app_name, cpus=cpus)

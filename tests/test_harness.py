@@ -240,6 +240,16 @@ def test_recycle_session_resets_process_globals(monkeypatch):
     for attr in ("_instantiatedSession", "_activeSession", "_defaultSession"):
         assert getattr(SparkSession, attr) is None, attr
 
+    # hasattr guard (round-11 advice): a global the installed pyspark
+    # does NOT define (_defaultSession was removed upstream; 4.1.2 has
+    # only _instantiatedSession/_activeSession) must not be fabricated
+    # as a dead class attribute by the reset loop.
+    monkeypatch.delattr(SparkSession, "_defaultSession", raising=False)
+    sess.recycle_session("test-recycle-2")
+    assert not hasattr(SparkSession, "_defaultSession"), (
+        "reset loop fabricated a class attribute pyspark never defines"
+    )
+
 
 def test_sweep_order_rechecks_code_changed_keys(monkeypatch):
     """A green driver row that validates OLDER code than the tree
@@ -266,3 +276,41 @@ def test_sweep_order_rechecks_code_changed_keys(monkeypatch):
     assert order.index(changed) > len(keys) // 2, (
         "a row at/after the change round must rejoin normal staleness order"
     )
+
+
+def test_bench_drift_detector_pure_functions(tmp_path, monkeypatch):
+    """bench.py's per-key steal detector (round-11 verdict ask #1):
+    history medians exclude contended runs, the drift check counts only
+    the SLOW direction, and the history file round-trips with its cap.
+    Pure functions — no Spark session involved."""
+    import bench
+
+    runs = [
+        {"queries": {"a": 1.0, "b": 2.0}, "contended": False},
+        {"queries": {"a": 1.2, "b": 2.2}, "contended": False},
+        # contended run must NOT ratchet the reference upward
+        {"queries": {"a": 9.0, "b": 9.0}, "contended": True},
+    ]
+    ref = bench._history_medians(runs)
+    assert ref == {"a": 1.1, "b": 2.1}
+    # all-contended history still yields a reference (fallback to all)
+    assert bench._history_medians([runs[2]]) == {"a": 9.0, "b": 9.0}
+
+    # slow direction only: a 30%-slower key drifts, a faster key never
+    drifted = bench._drifting_keys({"a": 1.1 * 1.3, "b": 0.5}, ref)
+    assert drifted == ["a"]
+    # at exactly the threshold (25%) it does NOT drift (strict >)
+    assert bench._drifting_keys({"a": 1.1 * 1.25}, ref) == []
+    # keys with no history are skipped, not flagged
+    assert bench._drifting_keys({"zzz": 99.0}, ref) == []
+
+    # history file round-trip + cap
+    path = tmp_path / "BENCH_MEDIANS.json"
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(path))
+    assert bench._load_history() == []
+    acc: list = []
+    for i in range(bench.HISTORY_CAP + 3):
+        bench._save_history(acc, {"queries": {"a": float(i)}, "contended": False})
+        acc = bench._load_history()
+    assert len(acc) == bench.HISTORY_CAP
+    assert acc[-1]["queries"]["a"] == float(bench.HISTORY_CAP + 2)

@@ -631,3 +631,148 @@ def test_ann_index_compact_one_file_per_cell(spark, sf_dir):
     assert so._serve_from_ann_index(
         spark, sf_dir, with_recall=False, suffix="_compact", validate_corpus=True
     ).count() > 0, "compacted index spuriously refused by the corpus guard"
+
+
+def test_ann_compact_crash_windows_leave_servable_index(spark, sf_dir):
+    """Round-11 verdict ask #3: the compact swap must have NO window
+    with an unreadable index.  The commit point is the atomic pointer-
+    file flip (_ann_flip_pointer); this test walks the swap manually
+    and verifies a simulated crash at EVERY boundary leaves a serve
+    that answers:
+
+      crash 1 — rewrite generation fully written, pointer NOT flipped:
+                serves the OLD generation (orphan is garbage);
+      crash 2 — pointer flipped, superseded dir NOT yet deleted:
+                serves the NEW generation;
+      and a later compact garbage-collects the crash-1 orphan without
+      ever reusing its generation number.
+    """
+    import os
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    suffix = "_crash"
+    so._build_ann_index(spark, sf_dir, suffix=suffix)
+    _, ppath, mpath = so._ann_index_paths(sf_dir, suffix)
+    root = os.path.dirname(mpath)
+    assert os.path.basename(ppath) == "postings", "fresh build = base layout"
+
+    baseline = (
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+        .count()
+    )
+    assert baseline > 0
+
+    # --- crash 1: write-aside done, crash BEFORE the pointer flip ---
+    orphan = os.path.join(root, "postings_gen1")
+    (
+        spark.read.parquet(ppath)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(orphan)
+    )
+    # no flip — resolution must still point at the base generation
+    _, resolved, _ = so._ann_index_paths(sf_dir, suffix)
+    assert resolved == ppath, "unflipped rewrite must be invisible"
+    assert (
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+        .count()
+        == baseline
+    ), "crash between write-aside and flip broke the serve path"
+
+    # --- crash 2: pointer flipped, superseded dirs NOT deleted ---
+    so._ann_flip_pointer(root, "postings_gen1")
+    _, resolved, _ = so._ann_index_paths(sf_dir, suffix)
+    assert resolved == orphan, "flip must re-route resolution atomically"
+    assert os.path.isdir(ppath), "test premise: old dir still on disk"
+    assert (
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+        .count()
+        == baseline
+    ), "crash between flip and cleanup broke the serve path"
+
+    # --- a real compact from the crash-2 state: must pick gen2 (no
+    # collision with the crash orphan's number) and GC both the stale
+    # base dir and nothing else ---
+    new_ppath = so._ann_compact_postings(spark, resolved)
+    assert os.path.basename(new_ppath) == "postings_gen2"
+    leftovers = sorted(
+        n for n in os.listdir(root) if n == "postings" or n.startswith("postings_gen")
+    )
+    assert leftovers == ["postings_gen2"], leftovers
+    assert (
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+        .count()
+        == baseline
+    ), "post-compact generation does not serve"
+
+    # pointer naming a vanished dir: falls back to base, serve fails
+    # LOUD with the rebuild route (never silently serves nothing)
+    import shutil
+
+    shutil.rmtree(new_ppath)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+
+    # a rebuild recovers from any of the above states
+    so._build_ann_index(spark, sf_dir, suffix=suffix)
+    assert (
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+        .count()
+        == baseline
+    )
+    assert not os.path.exists(os.path.join(root, so._ANN_GEN_POINTER)), (
+        "rebuild must retire the generation pointer"
+    )
+
+
+def test_cc_hub_skew_bounded(spark):
+    """Round-11 verdict ask #4: pin the docstring claim that a hot
+    high-degree node "costs a skewed-key aggregate (AQE-splittable)
+    rather than an OOM row" (scale_ops.py, _cc_large_small_star) —
+    the chain test covers diameter; this covers SKEW, the other way a
+    100 TB graph kills you.
+
+    Plant a 50k-spoke star whose hub id is LARGER than every spoke
+    (so the canonical set is NOT already the fixpoint: the hub is a
+    50k-parent child and large-star must re-hook every spoke onto the
+    min).  Assert the run completes with
+
+      * rounds <= a small constant (skew must not stall convergence),
+      * ZERO spill bytes (the hub's 50k-row key fits the skewed-key
+        aggregate's memory — per-task input is bounded by map-side
+        partial_min combine over narrow long pairs, never a single
+        materialized adjacency row),
+      * the exact star output: every node labeled with the component
+        min (spoke 0).
+    """
+    from pyspark_caffe_spark.queries.scale_ops import _cc_large_small_star
+
+    n = 50_000
+    hub = 10_000_000  # larger than every spoke id
+    edges = spark.range(n).select(F.col("id").alias("u"), F.lit(hub).alias("v"))
+    spark.sparkContext._jvm.System.gc()  # settle metrics before measuring
+    spilled_before = _total_spilled(spark)
+    stars, rounds = _cc_large_small_star(edges)
+    got = stars.agg(
+        F.count("*").alias("n_edges"),
+        F.min("u").alias("root_min"),
+        F.max("u").alias("root_max"),
+        F.countDistinct("v").alias("n_children"),
+    ).collect()[0]
+    # component = {0..n-1, hub}, min label 0 → n children, one root
+    assert got["n_edges"] == n and got["n_children"] == n
+    assert got["root_min"] == 0 and got["root_max"] == 0, "root must be the min"
+    assert rounds <= 6, f"{rounds} rounds on a planted hub (skew stalled it?)"
+    assert _total_spilled(spark) - spilled_before == 0, (
+        "hub-skew round spilled: the skewed-key aggregate claim is broken"
+    )
+    # structural invariant the OOM-row claim rides on: rounds exchange
+    # narrow (u, v) long pairs, never collected adjacency lists
+    assert [f.dataType.simpleString() for f in stars.schema.fields] == [
+        "bigint",
+        "bigint",
+    ]
