@@ -76,6 +76,8 @@ _EXPENSIVE_LAST = [
     "sim_knn_ivf_refresh",
     # round-11: base build + two appends + full postings rewrite
     "sink_ann_index_compact",
+    # round-12: standalone fallback replays the same ingest history
+    "sink_ann_index_compact_only",
 ]
 
 

@@ -175,6 +175,10 @@ EXTRA = [
     "sim_knn_ivf_refresh",         # incremental postings append + re-serve
     # round-11 addition
     "sink_ann_index_compact",      # per-cell postings OPTIMIZE + identity proof
+    # round-12: PURE compaction latency (reuses the _compact index the
+    # full verb just persisted — the amortized maintenance number,
+    # r11 verdict #5; same split serve_only made for serve)
+    "sink_ann_index_compact_only",
 ]
 
 

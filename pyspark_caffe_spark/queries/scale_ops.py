@@ -2066,6 +2066,52 @@ def _count_part_files(path: str) -> int:
     return n
 
 
+def _ann_validate_corpus(sf_dir: str, mpath: str, meta, emb: DataFrame) -> None:
+    """Reuse-path corpus guard, shared by the serve path and the
+    maintenance verbs: geometry validation alone cannot tell that the
+    DATASET under this sf tag was regenerated/swapped since the index
+    was built — recompute the corpus fingerprint (one column-pruned
+    scan of vec_id, corpus-thin by design) and compare to the
+    build-time stamp; raise ValueError (with the rebuild route) on
+    drift.  The scan is cached per (index generation, dataset
+    generation): repeated calls on an unchanged pair skip it (the
+    steady-state serve is then guard-free), while any meta rewrite or
+    dataset regeneration changes the stat signatures and forces a
+    fresh scan.  Postings rewrites (compaction) do NOT touch meta, so
+    the cache rightly survives them — compaction moves bytes, not
+    content."""
+    meta_sig = _path_sig(mpath)
+    emb_sig = _path_sig(f"{sf_dir}/embeddings.parquet")
+    cache_key = (
+        mpath,
+        meta_sig,
+        emb_sig,
+        int(meta["writer_version"]),
+        meta["geometry_hash"],
+        int(meta["corpus_n"]),
+        meta["corpus_fp"],
+    )
+    # a None signature means the local os module cannot establish
+    # the artifact's identity (object-store URI, vanished path):
+    # the guard then runs on EVERY call — cache only provable
+    # identities, never a degraded sentinel
+    cacheable = meta_sig is not None and emb_sig is not None
+    if not (cacheable and _ANN_VALIDATED.get(cache_key)):
+        cur_n, cur_fp = _ann_corpus_fingerprint(emb)
+        if cur_n != meta["corpus_n"] or cur_fp != meta["corpus_fp"]:
+            raise ValueError(
+                "ANN index corpus drift: the embeddings table "
+                f"(n={cur_n}) no longer matches the corpus the index "
+                f"was built from (n={meta['corpus_n']}) — the dataset "
+                "was regenerated or swapped under the same tag; rebuild "
+                "via sink_ann_index/_build_ann_index"
+            )
+        if cacheable:
+            if len(_ANN_VALIDATED) > 64:  # bounded: stale keys dangle
+                _ANN_VALIDATED.clear()
+            _ANN_VALIDATED[cache_key] = True
+
+
 def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
     """The crash-safe compaction swap, shared by sink_ann_index_compact
     and the crash-window tests: rewrite the live postings dataset
@@ -2198,6 +2244,92 @@ def sink_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sink_ann_index_compact_only",
+    oracle="""
+    SELECT COUNT(*) AS n_vectors,
+           CAST(3 AS BIGINT) * COUNT(*) AS n_postings,
+           true AS content_identical,
+           true AS stamp_still_valid
+    FROM embeddings
+    """,
+)
+def sink_ann_index_compact_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE compaction-path latency — the amortized maintenance metric
+    sink_ann_index_compact bundles away (its number includes a fresh
+    base build, two ingest appends, AND the identity proofs over both
+    layouts; round-11 verdict #5 asked for the postings rewrite alone
+    as a tracked bench number, the same split serve_only did for
+    serve).
+
+    Reuses the PERSISTED ``_compact`` index when its stamp validates
+    against the current corpus (the cached ``_ann_validate_corpus``
+    guard — compaction never touches meta, so the validation cache
+    survives every rewrite); rebuilds the full ingest history only
+    when reuse fails (absent/stale/drifted index — the standalone
+    correctness-sweep case).  In the bench suite, where
+    sink_ann_index_compact runs first, this key times exactly: one
+    postings read + ``repartition("cell")`` rewrite into the next
+    generation + atomic pointer flip + superseded-dir GC + the in-plan
+    content-identity proof.  Nothing else.
+
+    Same oracle shape as the full verb minus ``files_collapsed``: a
+    reused index is already one-file-per-cell, so the rewrite holds
+    the file count flat rather than shrinking it (the layout contract
+    — exactly one data file per cell — is pinned by tests either
+    way)."""
+    suffix = "_compact"
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cpath, ppath, mpath = _ann_index_paths(sf_dir, suffix)
+    try:
+        if not (
+            os.path.isdir(cpath) and os.path.isdir(ppath) and os.path.isdir(mpath)
+        ):
+            raise FileNotFoundError("ANN _compact index not built")
+        meta = spark.read.parquet(mpath).collect()[0]
+        if meta["writer_version"] != _ANN_WRITER_VERSION:
+            raise ValueError("stale writer version")
+        _ann_validate_corpus(sf_dir, mpath, meta, emb)
+    except (FileNotFoundError, ValueError):
+        # standalone run: lay down the same ingest history the full
+        # verb simulates (base build minus two slices + two appends)
+        d1 = F.pmod(F.col("vec_id"), F.lit(10)) == 3
+        d2 = F.pmod(F.col("vec_id"), F.lit(10)) == 7
+        _build_ann_index(spark, sf_dir, corpus_filter=~(d1 | d2), suffix=suffix)
+        _ann_append(spark, sf_dir, suffix, emb.filter(d1))
+        _ann_append(spark, sf_dir, suffix, emb.filter(d2))
+        _, ppath, mpath = _ann_index_paths(sf_dir, suffix)
+        meta = spark.read.parquet(mpath).collect()[0]
+
+    row_hash = F.xxhash64("cell", "vec_id", "emb").cast("decimal(38,0)")
+    before = (
+        spark.read.parquet(ppath)
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(row_hash), F.lit(0).cast("decimal(38,0)")).alias("h"),
+        )
+        .collect()[0]
+    )
+    ppath = _ann_compact_postings(spark, ppath)
+    compacted = spark.read.parquet(ppath)
+    return compacted.agg(
+        F.countDistinct("vec_id").alias("n_vectors"),
+        F.count("*").alias("n_postings"),
+        (
+            (F.count("*") == F.lit(int(before["n"])))
+            & (
+                F.coalesce(F.sum(row_hash), F.lit(0).cast("decimal(38,0)"))
+                == F.lit(str(before["h"])).cast("decimal(38,0)")
+            )
+        ).alias("content_identical"),
+        (F.countDistinct("vec_id") == F.lit(int(meta["corpus_n"]))).alias(
+            "stamp_still_valid"
+        ),
+    )
+
+
 def _serve_from_ann_index(
     spark: SparkSession,
     sf_dir: str,
@@ -2253,45 +2385,7 @@ def _serve_from_ann_index(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     if validate_corpus:
-        # reuse-path guard: geometry validation alone cannot tell that
-        # the DATASET under this sf tag was regenerated/swapped since
-        # the index was built — recompute the corpus fingerprint (one
-        # column-pruned scan of vec_id, corpus-thin by design) and
-        # compare to the build-time stamp.  The scan is cached per
-        # (index generation, dataset generation): repeated serves of
-        # an unchanged pair skip it (the steady-state serve is then
-        # guard-free), while any meta rewrite or dataset regeneration
-        # changes the stat signatures and forces a fresh scan.
-        meta_sig = _path_sig(mpath)
-        emb_sig = _path_sig(f"{sf_dir}/embeddings.parquet")
-        cache_key = (
-            mpath,
-            meta_sig,
-            emb_sig,
-            int(meta["writer_version"]),
-            meta["geometry_hash"],
-            int(meta["corpus_n"]),
-            meta["corpus_fp"],
-        )
-        # a None signature means the local os module cannot establish
-        # the artifact's identity (object-store URI, vanished path):
-        # the guard then runs on EVERY serve — cache only provable
-        # identities, never a degraded sentinel
-        cacheable = meta_sig is not None and emb_sig is not None
-        if not (cacheable and _ANN_VALIDATED.get(cache_key)):
-            cur_n, cur_fp = _ann_corpus_fingerprint(emb)
-            if cur_n != meta["corpus_n"] or cur_fp != meta["corpus_fp"]:
-                raise ValueError(
-                    "ANN index corpus drift: the embeddings table "
-                    f"(n={cur_n}) no longer matches the corpus the index "
-                    f"was built from (n={meta['corpus_n']}) — the dataset "
-                    "was regenerated or swapped under the same tag; rebuild "
-                    "via sink_ann_index/_build_ann_index"
-                )
-            if cacheable:
-                if len(_ANN_VALIDATED) > 64:  # bounded: stale keys dangle
-                    _ANN_VALIDATED.clear()
-                _ANN_VALIDATED[cache_key] = True
+        _ann_validate_corpus(sf_dir, mpath, meta, emb)
     # bounded query slice (same contract as sim_knn_ivf_batch: a fixed
     # hash-exact slice, capped so the serving pass is O(N), not O(N²))
     qpred = (F.pmod(F.col("vec_id"), F.lit(20)) == 3) & (F.col("vec_id") < 2000)

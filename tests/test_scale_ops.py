@@ -776,3 +776,47 @@ def test_cc_hub_skew_bounded(spark):
         "bigint",
         "bigint",
     ]
+
+
+def test_ann_compact_only_reuses_index_and_keeps_meta(spark, sf_dir):
+    """sink_ann_index_compact_only (round-11 verdict ask #5: the
+    amortized maintenance metric) must (a) REUSE a persisted valid
+    _compact index — no rebuild, proven by the meta stamp's stat
+    signature being byte-identical across the run — (b) advance the
+    postings generation via the pointer (the crash-safe swap), (c)
+    keep the one-file-per-cell layout, and (d) report content
+    identity + stamp validity.  A second invocation must reuse again
+    (the validation cache survives postings rewrites because
+    compaction never touches meta)."""
+    import os
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    # lay down the ingest history + first compaction via the full verb
+    QUERIES["sink_ann_index_compact"](spark, sf_dir).collect()
+    _, ppath_before, mpath = so._ann_index_paths(sf_dir, "_compact")
+    meta_sig_before = so._path_sig(mpath)
+
+    row = QUERIES["sink_ann_index_compact_only"](spark, sf_dir).collect()[0]
+    assert row.content_identical and row.stamp_still_valid
+    assert row.n_postings == 3 * row.n_vectors
+
+    _, ppath_after, _ = so._ann_index_paths(sf_dir, "_compact")
+    assert ppath_after != ppath_before, "generation did not advance"
+    assert not os.path.exists(ppath_before), "superseded generation not GC'd"
+    assert so._path_sig(mpath) == meta_sig_before, (
+        "compact_only restamped or rebuilt meta — it must move bytes only"
+    )
+    for cell_dir in sorted(os.listdir(ppath_after)):
+        if not cell_dir.startswith("cell="):
+            continue
+        data = [
+            f
+            for f in os.listdir(os.path.join(ppath_after, cell_dir))
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        assert len(data) == 1, (cell_dir, data)
+
+    row2 = QUERIES["sink_ann_index_compact_only"](spark, sf_dir).collect()[0]
+    assert row2.content_identical and row2.stamp_still_valid
+    assert so._path_sig(mpath) == meta_sig_before
