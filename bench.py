@@ -13,6 +13,15 @@ headline:
 Queries are materialized through the noop sink (forces every column
 and operator, no driver-side transfer skew). Compare against
 BASELINE.md's PySpark column — same engine class, same box.
+
+Contention detection is two independent detectors OR-ed into the
+summary line's ``contended`` flag: (a) calibration probes bracketing
+the suite (a steal burst big enough to move a fixed JVM-side job),
+and (b) a per-key drift check against each key's OWN rolling median
+across prior clean runs (``BENCH_MEDIANS.json``), with one automatic
+headline re-run before flagging — thin steal spread across many keys
+moves (b) long before it moves (a), which is how round 11 shipped an
+11%-regressed artifact with ``contended: false``.
 """
 
 from __future__ import annotations
