@@ -215,6 +215,19 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return sorted(samples)[1]
 
+    # TWO opening probes, for two different jobs:
+    #   calib_cold — the probe shape's FIRST execution (fresh JIT
+    #     profile), the exact number every round r8-r11 recorded as
+    #     calib_sec: it stays the value_per_calib divisor so the
+    #     normalized suite cost remains comparable across rounds
+    #     (r10's vpc-39 bar was set on this definition);
+    #   calib — the SAME probe re-run warm, apples-to-apples with the
+    #     closing probe: the cold probe runs a systematic ~1.15-1.3x
+    #     slower than the closing one on clean runs (r8: 1.27, r10:
+    #     1.29 — grazing the 1.3 contention threshold with zero
+    #     actual steal), so load_hint must compare warm vs warm or it
+    #     cries wolf.
+    calib_cold = round(calib_probe(), 3)
     calib = round(calib_probe(), 3)
     # Three passes per query, report the MEDIAN: single warm runs on
     # this suite swing ±20-40% under box-level contention (r02→r04
@@ -277,7 +290,10 @@ def main() -> None:
     # the WORSE (slower) of the two probes — a conservative divisor, so
     # value_per_calib never flatters a contended run.
     calib_end = round(calib_probe(), 3)
-    calib_norm = max(calib, calib_end)
+    # legacy-conservative divisor: max over ALL probes including the
+    # cold one, exactly as r8-r11 (max of cold-start and end) — vpc
+    # never flatters a contended run AND stays on the historical scale
+    calib_norm = max(calib_cold, calib, calib_end)
     total = round(sum(timings.values()), 3)
     # Metric names: the query count is DERIVED from the headline list
     # (a hardcoded "22" would drift silently if HEADLINE changes), and
@@ -297,7 +313,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": best_case,
                 "queries_extra": extra_timings,
-                "calib_sec": calib,
+                "calib_sec": calib_cold,
+                "calib_warm_sec": calib,
                 "calib_end_sec": calib_end,
                 # contention-normalized suite cost: suite seconds per
                 # calibration second.  The hypervisor steals up to ~45%
@@ -334,7 +351,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "calib_sec": calib,
+                "calib_sec": calib_cold,
+                "calib_warm_sec": calib,
                 "calib_end_sec": calib_end,
                 "value_per_calib": round(total / calib_norm, 2) if calib_norm else None,
                 # contention telemetry, TWO detectors OR-ed:
