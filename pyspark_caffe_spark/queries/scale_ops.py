@@ -1533,13 +1533,29 @@ def _ann_postings_current(root: str) -> str:
 def _ann_flip_pointer(root: str, name: str) -> None:
     """THE commit point of a compaction: fsync a temp pointer file,
     then ``os.replace`` it over the live pointer — readers see either
-    the old generation or the new one, never neither."""
+    the old generation or the new one, never neither.  The containing
+    DIRECTORY is fsynced after the replace: without it, a power loss
+    can persist the superseded generation's deletion (the caller GCs
+    it right after this returns) while the rename's directory entry is
+    still unwritten — the pointer would then name a vanished dir and
+    fall back to a base layout an earlier compaction already removed
+    (no servable index).  Process crashes never reorder this way; only
+    power/kernel loss does, and the dir fsync closes exactly that
+    window."""
     tmp = os.path.join(root, _ANN_GEN_POINTER + ".tmp")
     with open(tmp, "w") as f:
         f.write(name + "\n")
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, _ANN_GEN_POINTER))
+    try:
+        dfd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # non-fsyncable fs (some FUSE mounts): process-crash safety holds
 
 
 def _ann_reset_generations(root: str) -> None:
@@ -2066,6 +2082,30 @@ def _count_part_files(path: str) -> int:
     return n
 
 
+def _ann_check_geometry(spark: SparkSession, cpath: str, meta) -> "np.ndarray":
+    """Centroids-vs-stamp consistency check, shared by the serve path
+    and the maintenance verbs' reuse gates: read the (nlist tiny rows)
+    centroid table and raise ValueError — with the rebuild route — if
+    it does not match the meta stamp (a crash remnant where the build
+    overwrote centroids but not yet postings/meta, or any other
+    mixed-version dir).  Returns the validated centroid matrix."""
+    cent_rows = spark.read.parquet(cpath).orderBy("cell").collect()
+    centroids = np.stack([np.array(r["centroid"]) for r in cent_rows])
+    if (
+        len(centroids) != meta["nlist"]
+        or centroids.shape[1] != meta["dim"]
+        or _ann_geometry_hash(centroids) != meta["geometry_hash"]
+        or meta["m"] != min(_ANN_M, meta["nlist"])
+    ):
+        raise ValueError(
+            "ANN index geometry drift: the centroids table does not match "
+            f"the meta stamp (nlist={meta['nlist']}, dim={meta['dim']}, "
+            f"m={meta['m']}) — mixed-version or partially rewritten index; "
+            "rebuild via sink_ann_index/_build_ann_index"
+        )
+    return centroids
+
+
 def _ann_validate_corpus(sf_dir: str, mpath: str, meta, emb: DataFrame) -> None:
     """Reuse-path corpus guard, shared by the serve path and the
     maintenance verbs: geometry validation alone cannot tell that the
@@ -2152,6 +2192,70 @@ def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
     return rewrite
 
 
+def _ann_lay_ingest_history(spark: SparkSession, sf_dir: str, suffix: str) -> None:
+    """Simulate the real multi-day ingest history both compaction verbs
+    start from: base index built EXCLUDING two ~10% slices, which then
+    arrive as two separate ``_ann_append`` days — leaving ≥3 write
+    generations of files per cell."""
+    d1 = F.pmod(F.col("vec_id"), F.lit(10)) == 3
+    d2 = F.pmod(F.col("vec_id"), F.lit(10)) == 7
+    _build_ann_index(spark, sf_dir, corpus_filter=~(d1 | d2), suffix=suffix)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    _ann_append(spark, sf_dir, suffix, emb.filter(d1))
+    _ann_append(spark, sf_dir, suffix, emb.filter(d2))
+
+
+def _ann_compact_and_prove(
+    spark: SparkSession,
+    ppath: str,
+    mpath: str,
+    with_files_collapsed: bool,
+) -> DataFrame:
+    """Shared proof block of both compaction verbs: snapshot the live
+    postings' (count, decimal Σ xxhash64) identity, run the crash-safe
+    swap, and emit the audit row over the swapped-in files — content
+    identity, stamp validity, and (full verb only) the strict file
+    collapse.  One definition so the identity proof can never diverge
+    between the bundled and amortized keys."""
+    files_before = _count_part_files(ppath)
+    row_hash = F.xxhash64("cell", "vec_id", "emb").cast("decimal(38,0)")
+    before = (
+        spark.read.parquet(ppath)
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(row_hash), F.lit(0).cast("decimal(38,0)")).alias("h"),
+        )
+        .collect()[0]
+    )
+
+    ppath = _ann_compact_postings(spark, ppath)
+    files_after = _count_part_files(ppath)
+
+    meta = spark.read.parquet(mpath).collect()[0]
+    compacted = spark.read.parquet(ppath)
+    cols = [
+        F.countDistinct("vec_id").alias("n_vectors"),
+        F.count("*").alias("n_postings"),
+        (
+            (F.count("*") == F.lit(int(before["n"])))
+            & (
+                F.coalesce(F.sum(row_hash), F.lit(0).cast("decimal(38,0)"))
+                == F.lit(str(before["h"])).cast("decimal(38,0)")
+            )
+        ).alias("content_identical"),
+    ]
+    if with_files_collapsed:
+        cols.append(F.lit(files_after < files_before).alias("files_collapsed"))
+    cols.append(
+        (F.countDistinct("vec_id") == F.lit(int(meta["corpus_n"]))).alias(
+            "stamp_still_valid"
+        )
+    )
+    return compacted.agg(*cols)
+
+
 @query(
     "sink_ann_index_compact",
     oracle="""
@@ -2201,47 +2305,9 @@ def sink_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_ann_append`` days, leaving ≥3 write generations of files per
     cell before compaction."""
     suffix = "_compact"
-    d1 = F.pmod(F.col("vec_id"), F.lit(10)) == 3
-    d2 = F.pmod(F.col("vec_id"), F.lit(10)) == 7
-    _build_ann_index(spark, sf_dir, corpus_filter=~(d1 | d2), suffix=suffix)
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    _ann_append(spark, sf_dir, suffix, emb.filter(d1))
-    _ann_append(spark, sf_dir, suffix, emb.filter(d2))
-
+    _ann_lay_ingest_history(spark, sf_dir, suffix)
     _, ppath, mpath = _ann_index_paths(sf_dir, suffix)
-    files_before = _count_part_files(ppath)
-    row_hash = F.xxhash64("cell", "vec_id", "emb").cast("decimal(38,0)")
-    before = (
-        spark.read.parquet(ppath)
-        .agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum(row_hash), F.lit(0).cast("decimal(38,0)")).alias("h"),
-        )
-        .collect()[0]
-    )
-
-    ppath = _ann_compact_postings(spark, ppath)
-    files_after = _count_part_files(ppath)
-
-    meta = spark.read.parquet(mpath).collect()[0]
-    compacted = spark.read.parquet(ppath)
-    return compacted.agg(
-        F.countDistinct("vec_id").alias("n_vectors"),
-        F.count("*").alias("n_postings"),
-        (
-            (F.count("*") == F.lit(int(before["n"])))
-            & (
-                F.coalesce(F.sum(row_hash), F.lit(0).cast("decimal(38,0)"))
-                == F.lit(str(before["h"])).cast("decimal(38,0)")
-            )
-        ).alias("content_identical"),
-        F.lit(files_after < files_before).alias("files_collapsed"),
-        (F.countDistinct("vec_id") == F.lit(int(meta["corpus_n"]))).alias(
-            "stamp_still_valid"
-        ),
-    )
+    return _ann_compact_and_prove(spark, ppath, mpath, with_files_collapsed=True)
 
 
 @query(
@@ -2262,16 +2328,20 @@ def sink_ann_index_compact_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a tracked bench number, the same split serve_only did for
     serve).
 
-    Reuses the PERSISTED ``_compact`` index when its stamp validates
-    against the current corpus (the cached ``_ann_validate_corpus``
-    guard — compaction never touches meta, so the validation cache
-    survives every rewrite); rebuilds the full ingest history only
-    when reuse fails (absent/stale/drifted index — the standalone
-    correctness-sweep case).  In the bench suite, where
-    sink_ann_index_compact runs first, this key times exactly: one
-    postings read + ``repartition("cell")`` rewrite into the next
-    generation + atomic pointer flip + superseded-dir GC + the in-plan
-    content-identity proof.  Nothing else.
+    Reuses the PERSISTED ``_compact`` index when it FULLY validates:
+    writer version, geometry (``_ann_check_geometry`` — the same
+    centroids-vs-stamp check every serve runs, so a crash remnant
+    where a rebuild overwrote centroids but not yet postings/meta can
+    never be compacted and reported green), and corpus fingerprint
+    (the cached ``_ann_validate_corpus`` guard — compaction never
+    touches meta, so the validation cache survives every rewrite).
+    Rebuilds the full ingest history only when any gate fails
+    (absent/stale/drifted index — the standalone correctness-sweep
+    case).  In the bench suite, where sink_ann_index_compact runs
+    first, this key times exactly: one postings read +
+    ``repartition("cell")`` rewrite into the next generation + atomic
+    pointer flip + superseded-dir GC + the in-plan content-identity
+    proof.  Nothing else.
 
     Same oracle shape as the full verb minus ``files_collapsed``: a
     reused index is already one-file-per-cell, so the rewrite holds
@@ -2291,43 +2361,13 @@ def sink_ann_index_compact_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta = spark.read.parquet(mpath).collect()[0]
         if meta["writer_version"] != _ANN_WRITER_VERSION:
             raise ValueError("stale writer version")
+        _ann_check_geometry(spark, cpath, meta)
         _ann_validate_corpus(sf_dir, mpath, meta, emb)
     except (FileNotFoundError, ValueError):
-        # standalone run: lay down the same ingest history the full
-        # verb simulates (base build minus two slices + two appends)
-        d1 = F.pmod(F.col("vec_id"), F.lit(10)) == 3
-        d2 = F.pmod(F.col("vec_id"), F.lit(10)) == 7
-        _build_ann_index(spark, sf_dir, corpus_filter=~(d1 | d2), suffix=suffix)
-        _ann_append(spark, sf_dir, suffix, emb.filter(d1))
-        _ann_append(spark, sf_dir, suffix, emb.filter(d2))
+        _ann_lay_ingest_history(spark, sf_dir, suffix)
         _, ppath, mpath = _ann_index_paths(sf_dir, suffix)
-        meta = spark.read.parquet(mpath).collect()[0]
 
-    row_hash = F.xxhash64("cell", "vec_id", "emb").cast("decimal(38,0)")
-    before = (
-        spark.read.parquet(ppath)
-        .agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum(row_hash), F.lit(0).cast("decimal(38,0)")).alias("h"),
-        )
-        .collect()[0]
-    )
-    ppath = _ann_compact_postings(spark, ppath)
-    compacted = spark.read.parquet(ppath)
-    return compacted.agg(
-        F.countDistinct("vec_id").alias("n_vectors"),
-        F.count("*").alias("n_postings"),
-        (
-            (F.count("*") == F.lit(int(before["n"])))
-            & (
-                F.coalesce(F.sum(row_hash), F.lit(0).cast("decimal(38,0)"))
-                == F.lit(str(before["h"])).cast("decimal(38,0)")
-            )
-        ).alias("content_identical"),
-        (F.countDistinct("vec_id") == F.lit(int(meta["corpus_n"]))).alias(
-            "stamp_still_valid"
-        ),
-    )
+    return _ann_compact_and_prove(spark, ppath, mpath, with_files_collapsed=False)
 
 
 def _serve_from_ann_index(
@@ -2365,20 +2405,7 @@ def _serve_from_ann_index(
             "dir survived a code upgrade — rebuild via sink_ann_index/"
             "_build_ann_index before serving"
         )
-    cent_rows = spark.read.parquet(cpath).orderBy("cell").collect()
-    centroids = np.stack([np.array(r["centroid"]) for r in cent_rows])
-    if (
-        len(centroids) != meta["nlist"]
-        or centroids.shape[1] != meta["dim"]
-        or _ann_geometry_hash(centroids) != meta["geometry_hash"]
-        or meta["m"] != min(_ANN_M, meta["nlist"])
-    ):
-        raise ValueError(
-            "ANN index geometry drift: the centroids table does not match "
-            f"the meta stamp (nlist={meta['nlist']}, dim={meta['dim']}, "
-            f"m={meta['m']}) — mixed-version or partially rewritten index; "
-            "rebuild via sink_ann_index/_build_ann_index"
-        )
+    centroids = _ann_check_geometry(spark, cpath, meta)
     nprobe = min(nprobe, len(centroids))  # degenerate tiny-corpus index
 
     emb = load_table(spark, sf_dir, "embeddings").select(

@@ -820,3 +820,34 @@ def test_ann_compact_only_reuses_index_and_keeps_meta(spark, sf_dir):
     row2 = QUERIES["sink_ann_index_compact_only"](spark, sf_dir).collect()[0]
     assert row2.content_identical and row2.stamp_still_valid
     assert so._path_sig(mpath) == meta_sig_before
+
+
+def test_ann_compact_only_refuses_geometry_crash_remnant(spark, sf_dir):
+    """Round-12 review finding: compact_only's reuse gate must run the
+    SAME centroids-vs-stamp check every serve runs — a crash remnant
+    where a rebuild overwrote centroids but not yet postings/meta
+    (new centroids, old meta whose corpus stamp still matches) must
+    route to the REBUILD path, never be compacted and reported green.
+    Observable: the rebuild rewrites meta (stat signature changes),
+    where the healthy reuse path leaves meta untouched."""
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    QUERIES["sink_ann_index_compact"](spark, sf_dir).collect()
+    cpath, _, mpath = so._ann_index_paths(sf_dir, "_compact")
+
+    # simulate the crash remnant: different-geometry centroids under
+    # the same path, meta/postings untouched
+    cents = spark.read.parquet(cpath).collect()
+    broken = [(int(r["cell"]), [v + 1.0 for v in r["centroid"]]) for r in cents]
+    spark.createDataFrame(broken, "cell int, centroid array<double>").write.mode(
+        "overwrite"
+    ).parquet(cpath)
+    so._ANN_VALIDATED.clear()
+    meta_sig_broken = so._path_sig(mpath)
+
+    row = QUERIES["sink_ann_index_compact_only"](spark, sf_dir).collect()[0]
+    assert row.content_identical and row.stamp_still_valid
+    assert so._path_sig(mpath) != meta_sig_broken, (
+        "compact_only reused a geometry-inconsistent crash remnant "
+        "instead of rebuilding"
+    )
