@@ -196,14 +196,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     order = list(QUERIES)
     idx = {k: i for i, k in enumerate(order)}
-    # rotation quota: the 5 stalest expensive GREEN keys sort with the
-    # cheap keys (stalest-first puts their old r1/r2 stamps near the
-    # front of group 2), guaranteeing a budget-limited sweep refreshes
-    # some expensive evidence every round
-    expensive_green = [k for k in order if group(k) == 2 and k in _EXPENSIVE_LAST]
-    promoted = set(
-        sorted(expensive_green, key=lambda k: (staleness(k), idx[k]))[:5]
+    # rotation quota: stalest expensive GREEN keys sort with the cheap
+    # keys (stalest-first puts their old stamps near the front of
+    # group 2), guaranteeing a budget-limited sweep refreshes some
+    # expensive evidence every round.  The quota covers the WHOLE
+    # oldest evidence tier (capped at 8 so a huge stale tier cannot
+    # crowd the cheap keys out of the budget), with a floor of the 5
+    # stalest — a fixed 5 left round 12's sixth r6-stamped expensive
+    # key (ml_kmeans, the registry-order tiebreak loser) stranded at
+    # position ~256 while the verdict's "minimum evidence age
+    # advances" target needed the full tier cleared.
+    expensive_green = sorted(
+        (k for k in order if group(k) == 2 and k in _EXPENSIVE_LAST),
+        key=lambda k: (staleness(k), idx[k]),
     )
+    n_promote = 5
+    if expensive_green:
+        oldest = staleness(expensive_green[0])
+        tier = sum(1 for k in expensive_green if staleness(k) == oldest)
+        n_promote = min(8, max(5, tier))
+    promoted = set(expensive_green[:n_promote])
     ranked = sorted(
         order,
         key=lambda k: (
