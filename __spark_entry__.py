@@ -200,12 +200,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys (stalest-first puts their old stamps near the front of
     # group 2), guaranteeing a budget-limited sweep refreshes some
     # expensive evidence every round.  The quota covers the WHOLE
-    # oldest evidence tier (capped at 8 so a huge stale tier cannot
-    # crowd the cheap keys out of the budget), with a floor of the 5
-    # stalest — a fixed 5 left round 12's sixth r6-stamped expensive
-    # key (ml_kmeans, the registry-order tiebreak loser) stranded at
-    # position ~256 while the verdict's "minimum evidence age
-    # advances" target needed the full tier cleared.
+    # oldest evidence tier, with a floor of the 5 stalest — a fixed 5
+    # left round 12's sixth r6-stamped expensive key (ml_kmeans, the
+    # registry-order tiebreak loser) stranded at position ~256 while
+    # the verdict's "minimum evidence age advances" target needed the
+    # full tier cleared.  The cap-at-8 exists so a HUGE stale tier
+    # cannot crowd the cheap keys out of the ~50-key budget — but
+    # crowding is only possible when the whole oldest tier (cheap +
+    # expensive) outgrows the budget, so the cap applies ONLY then:
+    # round 13's oldest tier was 41 keys with NINE expensive members,
+    # and a blanket cap of 8 would have stranded the ninth
+    # (ml_train_tree) for a full extra round even though the entire
+    # tier fit in one sweep.
     expensive_green = sorted(
         (k for k in order if group(k) == 2 and k in _EXPENSIVE_LAST),
         key=lambda k: (staleness(k), idx[k]),
@@ -214,7 +220,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if expensive_green:
         oldest = staleness(expensive_green[0])
         tier = sum(1 for k in expensive_green if staleness(k) == oldest)
-        n_promote = min(8, max(5, tier))
+        tier_all = sum(
+            1 for k in order if group(k) == 2 and staleness(k) == oldest
+        )
+        if tier_all <= 45:  # whole tier fits one ~50-key budget
+            n_promote = max(5, tier)
+        else:
+            n_promote = min(8, max(5, tier))
     promoted = set(expensive_green[:n_promote])
     ranked = sorted(
         order,

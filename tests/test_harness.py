@@ -318,17 +318,23 @@ def test_bench_drift_detector_pure_functions(tmp_path, monkeypatch):
 
 def test_rotation_quota_covers_whole_oldest_expensive_tier(monkeypatch):
     """The rotation quota must promote EVERY expensive green key in the
-    oldest evidence tier (capped at 8), not a fixed 5 — the round-12
-    regression: six r6-stamped expensive keys with a 5-slot quota left
-    the registry-order tiebreak loser stranded past position 250 while
-    the budget-limited sweep needed the full tier cleared.  A huge
-    stale tier still caps at 8 so cheap keys keep most of the budget."""
+    oldest evidence tier, not a fixed 5 — the round-12 regression: six
+    r6-stamped expensive keys with a 5-slot quota left the
+    registry-order tiebreak loser stranded past position 250 while the
+    budget-limited sweep needed the full tier cleared.  The cap-at-8
+    applies ONLY when the whole oldest tier (cheap + expensive)
+    outgrows one ~50-key budget — the round-13 refinement: a 41-key r7
+    tier with nine expensive members fits the budget entirely, so a
+    blanket cap would strand the ninth for a round with zero benefit."""
     expensive = [k for k in QUERIES if k in entry._EXPENSIVE_LAST]
+    cheap = [k for k in QUERIES if k not in entry._EXPENSIVE_LAST]
     assert len(expensive) >= 10, "fixture premise: enough expensive keys"
 
-    def order_with_tier(n_oldest: int) -> list[str]:
+    def order_with_tier(n_oldest: int, n_cheap_oldest: int = 0) -> list[str]:
         rows = {k: {**GREEN, "_round": 9} for k in QUERIES}
         for k in expensive[:n_oldest]:
+            rows[k] = {**GREEN, "_round": 6}
+        for k in cheap[:n_cheap_oldest]:
             rows[k] = {**GREEN, "_round": 6}
         monkeypatch.setattr(entry, "_driver_rows", lambda: rows)
         monkeypatch.setattr(entry, "_CODE_CHANGED", {})
@@ -337,11 +343,20 @@ def test_rotation_quota_covers_whole_oldest_expensive_tier(monkeypatch):
     # 6-key oldest tier: ALL six must sort into the front of group 2
     order = order_with_tier(6)
     worst = max(order.index(k) for k in expensive[:6])
-    n_cheap = len(QUERIES) - len(expensive)
+    n_cheap = len(cheap)
     assert worst < 50, f"an oldest-tier expensive key stranded at {worst}"
 
-    # 10-key oldest tier: exactly 8 promote, 2 sink to the tail
+    # 10-expensive-key oldest tier that FITS the budget (tier_all=10):
+    # all 10 promote — no key may strand when the sweep would reach the
+    # whole tier anyway
     order = order_with_tier(10)
+    positions = sorted(order.index(k) for k in expensive[:10])
+    assert sum(1 for p in positions if p < 50) == 10, positions
+
+    # oversized oldest tier (10 expensive + 40 cheap = 50 > 45): the
+    # cap kicks in — exactly 8 promote, 2 sink past the cheap pool so
+    # cheap stale keys keep most of the budget
+    order = order_with_tier(10, n_cheap_oldest=40)
     positions = sorted(order.index(k) for k in expensive[:10])
     assert sum(1 for p in positions if p < 50) == 8, positions
     assert positions[-1] > n_cheap, "unpromoted keys must sink past the cheap pool"
