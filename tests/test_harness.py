@@ -316,6 +316,64 @@ def test_bench_drift_detector_pure_functions(tmp_path, monkeypatch):
     assert acc[-1]["queries"]["a"] == float(bench.HISTORY_CAP + 2)
 
 
+def test_bench_drift_detector_extra_tier_and_rerun_pool():
+    """Round-12 verdict #1 + advice: the EXTRA tier drifts against its
+    OWN history field, and rerun-sourced records are excluded from the
+    reference pool once ≥2 pristine clean records exist (pass-2 medians
+    of a drift-triggered rerun can carry residual steal)."""
+    import bench
+
+    runs = [
+        {
+            "queries": {"a": 1.0},
+            "queries_extra": {"x": 0.5, "y": 1.0},
+            "contended": False,
+        },
+        {
+            "queries": {"a": 1.2},
+            "queries_extra": {"x": 0.7, "y": 1.2},
+            "contended": False,
+        },
+        # legacy record with no extras field contributes nothing to the
+        # extras reference (and must not crash the median builder)
+        {"queries": {"a": 1.1}, "contended": False},
+    ]
+    ref_extra = bench._history_medians(runs, field="queries_extra")
+    assert ref_extra == {"x": 0.6, "y": 1.1}
+    # headline medians unaffected by the extras field
+    assert bench._history_medians(runs) == {"a": 1.1}
+    # the same drift check applies per tier
+    assert bench._drifting_keys({"x": 0.6 * 1.3, "y": 1.0}, ref_extra) == ["x"]
+
+    # rerun exclusion: with two pristine clean records, a clean-but-
+    # rerun-sourced record (residual steal risk) is left out of the
+    # reference for ITS tier only
+    runs_rerun = [
+        {"queries": {"a": 1.0}, "queries_extra": {"x": 1.0}, "contended": False},
+        {"queries": {"a": 1.0}, "queries_extra": {"x": 1.0}, "contended": False},
+        {
+            "queries": {"a": 5.0},
+            "queries_extra": {"x": 5.0},
+            "contended": False,
+            "rerun": True,
+        },
+    ]
+    assert bench._history_medians(runs_rerun) == {"a": 1.0}
+    # the third record is rerun-tagged only for the HEADLINE tier, so
+    # the extras pool (pristine by its own rerun_extra flag) keeps it
+    assert bench._history_medians(runs_rerun, field="queries_extra") == {"x": 1.0}
+    runs_rerun[2]["rerun_extra"] = True
+    assert bench._history_medians(runs_rerun, field="queries_extra") == {"x": 1.0}
+
+    # with only ONE pristine record, fall back to the full clean pool
+    # (a single run must not become THE reference)
+    runs_thin = [
+        {"queries": {"a": 1.0}, "contended": False},
+        {"queries": {"a": 3.0}, "contended": False, "rerun": True},
+    ]
+    assert bench._history_medians(runs_thin) == {"a": 2.0}
+
+
 def test_rotation_quota_covers_whole_oldest_expensive_tier(monkeypatch):
     """The rotation quota must promote EVERY expensive green key in the
     oldest evidence tier, not a fixed 5 — the round-12 regression: six
