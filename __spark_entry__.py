@@ -81,20 +81,20 @@ _EXPENSIVE_LAST = [
 ]
 
 
-# Keys whose IMPLEMENTATION changed in round 12 (ANN postings now
-# resolve through the crash-safe generation pointer; the compact swap
-# commits via the atomic pointer flip instead of two directory
-# renames): their surviving driver rows validate round-11 code, so
-# they re-sweep ahead of the green pool until a row from round ≥ 12
-# exists — a green CORRECTNESS row should always describe the code
-# that is actually in the tree.  Auto-expires: once the fresh row
-# lands, the keys rejoin group 2 at normal staleness order.
+# Keys whose IMPLEMENTATION changed in round 13 (the compaction swap
+# gained a durability fence — the new generation is fsynced before the
+# pointer flip commits it — and compact_only's reuse gate now routes
+# torn/corrupt meta parquet reads to the rebuild path instead of
+# failing the key): their surviving driver rows validate round-12
+# code, so they re-sweep ahead of the green pool until a row from
+# round ≥ 13 exists — a green CORRECTNESS row should always describe
+# the code that is actually in the tree.  Auto-expires: once the
+# fresh row lands, the keys rejoin group 2 at normal staleness order.
+# (The round-12 entries — the generation-pointer rewrite — all landed
+# fresh r12 rows and have expired.)
 _CODE_CHANGED = {
-    "sink_ann_index": 12,
-    "sim_knn_ivf_serve": 12,
-    "sim_knn_ivf_serve_only": 12,
-    "sim_knn_ivf_refresh": 12,
-    "sink_ann_index_compact": 12,
+    "sink_ann_index_compact": 13,
+    "sink_ann_index_compact_only": 13,
 }
 
 

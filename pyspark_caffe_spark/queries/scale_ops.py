@@ -26,6 +26,22 @@ from pyspark_caffe_spark.money import (
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 
+# Exceptions a spark.read.parquet of a TORN dataset (crash mid-write:
+# corrupt footer, missing commit marker) can raise — reuse gates catch
+# these alongside FileNotFoundError/ValueError and route to rebuild.
+# Guarded imports: Spark Connect sessions have no py4j.
+try:
+    from pyspark.errors import AnalysisException as _AnalysisException
+except ImportError:  # pragma: no cover - AnalysisException exists in 4.x
+    _AnalysisException = None
+try:
+    from py4j.protocol import Py4JJavaError as _Py4JJavaError
+except ImportError:  # pragma: no cover - connect-only installs
+    _Py4JJavaError = None
+_SPARK_READ_ERRORS = tuple(
+    e for e in (_AnalysisException, _Py4JJavaError) if e is not None
+)
+
 
 @query(
     "sink_bucketed",
@@ -1530,6 +1546,39 @@ def _ann_postings_current(root: str) -> str:
     return os.path.join(root, "postings")
 
 
+def _fsync_tree(path: str) -> None:
+    """Best-effort fsync of every file AND directory under ``path``
+    (depth-first, directories after their contents).  Called on a new
+    postings generation BEFORE the pointer flip commits it: without
+    this, a power loss after the flip could persist the pointer (its
+    own write is fsynced) while the new generation's data pages are
+    still unwritten — the pointer would then name a present-but-torn
+    dir and the old generation is already GC'd, leaving no servable
+    index.  Process crashes never reorder this way (the page cache
+    survives them); only power/kernel loss does.  OSError per entry is
+    swallowed (non-fsyncable FUSE mounts): there the durability claim
+    degrades to process-crash safety, same as _ann_flip_pointer's own
+    directory fsync fence."""
+    for dirpath, _dirs, files in os.walk(path, topdown=False):
+        for name in files:
+            try:
+                fd = os.open(os.path.join(dirpath, name), os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            except OSError:
+                pass
+        try:
+            fd = os.open(dirpath, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        except OSError:
+            pass
+
+
 def _ann_flip_pointer(root: str, name: str) -> None:
     """THE commit point of a compaction: fsync a temp pointer file,
     then ``os.replace`` it over the live pointer — readers see either
@@ -1677,7 +1726,13 @@ def _path_sig(path: str) -> tuple | None:
     same-named same-sized files within one timestamp tick would
     otherwise collide, and new files virtually always get new inodes
     (round-11 advice).  Residual risk — same tick AND recycled inode
-    AND identical size — is accepted for local scratch dirs.
+    AND identical size — is accepted for local scratch dirs.  The
+    converse risk is perf-only, never correctness: on overlayfs
+    (copy-up migrates a file to the upper layer with a new inode) or a
+    backup-restored filesystem, st_ino can change under IDENTICAL
+    content, which merely invalidates the validation cache and re-runs
+    the corpus fingerprint scan — extra validation, never a missed
+    drift.
 
     Returns ``None`` when the path is not statable by the local os
     module (absent, or a non-filesystem URI like an object-store
@@ -2182,6 +2237,12 @@ def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
         .partitionBy("cell")
         .parquet(rewrite)
     )
+    # durability fence BEFORE the commit point: the flip's own fsyncs
+    # cover the pointer, not the generation it names — under power
+    # loss an unfsynced new generation could tear while the flipped
+    # pointer persists and the old generation is GC'd below (the
+    # round-12 advisory finding)
+    _fsync_tree(rewrite)
     # COMMIT — everything before this line is invisible to serves
     _ann_flip_pointer(root, new_name)
     for name in os.listdir(root):
@@ -2363,7 +2424,14 @@ def sink_ann_index_compact_only(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError("stale writer version")
         _ann_check_geometry(spark, cpath, meta)
         _ann_validate_corpus(sf_dir, mpath, meta, emb)
-    except (FileNotFoundError, ValueError):
+    except (FileNotFoundError, ValueError) + _SPARK_READ_ERRORS:
+        # _SPARK_READ_ERRORS: a TORN meta/centroids parquet (crash
+        # mid-write, no commit marker, corrupt footer) surfaces from
+        # spark.read.parquet as AnalysisException / Py4JJavaError, not
+        # ValueError — the gate's contract is "rebuild when ANY
+        # validation fails", torn files included (round-12 advisory
+        # finding).  Failures of the rebuild itself still propagate:
+        # only the gate body is inside this try.
         _ann_lay_ingest_history(spark, sf_dir, suffix)
         _, ppath, mpath = _ann_index_paths(sf_dir, suffix)
 

@@ -729,6 +729,74 @@ def test_ann_compact_crash_windows_leave_servable_index(spark, sf_dir):
     )
 
 
+def test_ann_pointer_fallback_chain(spark, sf_dir):
+    """Round-12 verdict ask #4: the crash-walk covers the FLIP; this
+    pins the MANUAL-DELETION fallback chain _ann_postings_current's
+    docstring argues:
+
+      (a) pointer naming a VANISHED generation while the base postings
+          dir still exists → resolution falls back to base and the
+          serve ANSWERS (a deleted generation must not brick an index
+          whose base layout is intact);
+      (b) an unreadable/garbage pointer → same base fallback;
+      (c) pointer naming a vanished generation AND base gone → serve
+          fails LOUD (FileNotFoundError with the rebuild route), never
+          silently serves nothing.
+    """
+    import os
+    import shutil
+
+    import pytest
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    suffix = "_ptrfb"
+    so._build_ann_index(spark, sf_dir, suffix=suffix)
+    _, ppath, mpath = so._ann_index_paths(sf_dir, suffix)
+    root = os.path.dirname(mpath)
+    assert os.path.basename(ppath) == "postings", "fresh build = base layout"
+    baseline = (
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+        .count()
+    )
+    assert baseline > 0
+
+    # (a) pointer → never-written generation, base intact: fall back
+    with open(os.path.join(root, so._ANN_GEN_POINTER), "w") as f:
+        f.write("postings_gen7\n")
+    _, resolved, _ = so._ann_index_paths(sf_dir, suffix)
+    assert resolved == ppath, "vanished-generation pointer must resolve to base"
+    assert (
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+        .count()
+        == baseline
+    ), "base fallback must serve the intact base layout"
+
+    # (b) garbage pointer content (e.g. torn write on a pre-fsync fs):
+    # basename() of junk is a non-dir name → same base fallback
+    with open(os.path.join(root, so._ANN_GEN_POINTER), "w") as f:
+        f.write("../../etc/passwd\0junk")
+    _, resolved, _ = so._ann_index_paths(sf_dir, suffix)
+    assert resolved == ppath, "garbage pointer must resolve to base"
+
+    # (c) vanished generation AND no base: loud failure, no silent
+    # empty serve
+    with open(os.path.join(root, so._ANN_GEN_POINTER), "w") as f:
+        f.write("postings_gen7\n")
+    shutil.rmtree(ppath)
+    with pytest.raises(FileNotFoundError):
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+
+    # rebuild recovers and retires the dangling pointer
+    so._build_ann_index(spark, sf_dir, suffix=suffix)
+    assert (
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+        .count()
+        == baseline
+    )
+    assert not os.path.exists(os.path.join(root, so._ANN_GEN_POINTER))
+
+
 def test_cc_hub_skew_bounded(spark):
     """Round-11 verdict ask #4: pin the docstring claim that a hot
     high-degree node "costs a skewed-key aggregate (AQE-splittable)
@@ -850,4 +918,34 @@ def test_ann_compact_only_refuses_geometry_crash_remnant(spark, sf_dir):
     assert so._path_sig(mpath) != meta_sig_broken, (
         "compact_only reused a geometry-inconsistent crash remnant "
         "instead of rebuilding"
+    )
+
+
+def test_ann_compact_only_rebuilds_on_torn_meta(spark, sf_dir):
+    """Round-12 advisory: a TORN meta parquet (crash mid-write — junk
+    bytes where a footer should be) surfaces from spark.read.parquet
+    as AnalysisException/Py4JJavaError, not FileNotFoundError or
+    ValueError; the reuse gate must route it to the rebuild path, not
+    fail the key outright (the docstring contract is "rebuilds when
+    ANY gate fails")."""
+    import glob
+    import os
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    QUERIES["sink_ann_index_compact"](spark, sf_dir).collect()
+    _, _, mpath = so._ann_index_paths(sf_dir, "_compact")
+
+    # tear the meta: truncate every data file to garbage (no valid
+    # parquet footer), directory still present so isdir gates pass
+    parts = glob.glob(os.path.join(mpath, "*.parquet"))
+    assert parts, "test premise: meta has data files"
+    for p in parts:
+        with open(p, "wb") as f:
+            f.write(b"PAR1 torn by crash")
+    so._ANN_VALIDATED.clear()
+
+    row = QUERIES["sink_ann_index_compact_only"](spark, sf_dir).collect()[0]
+    assert row.content_identical and row.stamp_still_valid, (
+        "torn meta must route to the rebuild path and come back green"
     )

@@ -15,7 +15,7 @@ matmul — the scale path for that shape is the router/optimizer rule
 in the suite via sim_knn_batch and the dedup keys.
 
 Usage: python tools/bench_super100.py [super_dir] [out_json]
-Defaults: /tmp/superscale_100x, BENCH_SUPER100_r12.json
+Defaults: /tmp/superscale_100x, BENCH_SUPER100_r13.json
 """
 
 from __future__ import annotations
@@ -145,7 +145,7 @@ def join_strategy_evidence(spark, sf_dir):
 def main() -> None:
     super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        _REPO, "BENCH_SUPER100_r12.json"
+        _REPO, "BENCH_SUPER100_r13.json"
     )
     sys.path.insert(0, _REPO)
     from bench import HEADLINE

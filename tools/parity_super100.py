@@ -189,7 +189,7 @@ def digest_exprs(schema) -> tuple[list[str], list[str]]:
 def main() -> None:
     super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        _REPO, "PARITY100_r12.json"
+        _REPO, "PARITY100_r13.json"
     )
     import duckdb
 
