@@ -182,7 +182,7 @@ def main() -> None:
             "orders / 10M events / 500k docs / 200k vectors), back-to-back "
             "with the sf0.1 suite in one session"
         ),
-        "round": 12,
+        "round": 13,
         "sf": "sf0.1 x100 (tools/make_superscale.py, streaming writer)",
         "excluded": {
             q: "O(N^2) by design; growth characterized at 10x "

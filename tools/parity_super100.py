@@ -222,7 +222,7 @@ def main() -> None:
         with open(out_json, "w") as f:
             f.write(json.dumps({
                 "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
-                "round": 12,
+                "round": 13,
                 "sf": "sf0.1 x100",
                 "row_cap": ROW_CAP,
                 "complete": False,
@@ -430,7 +430,7 @@ def main() -> None:
         counts[r["status"]] = counts.get(r["status"], 0) + 1
     out = {
         "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
-        "round": 12,
+        "round": 13,
         "sf": "sf0.1 x100",
         "row_cap": ROW_CAP,
         "complete": True,

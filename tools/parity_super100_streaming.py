@@ -278,7 +278,7 @@ def main() -> None:
         "metric": "streaming availableNow-drain parity at 100x density "
                   "(contiguous 6-day slice of the 100x events table; "
                   "per-event outputs also value-hashed on an LCG 1/16 slice)",
-        "round": 12,
+        "round": 13,
         "slice_rows": n_slice,
         "slice_cutoff": CUTOFF,
         "row_cap": ROW_CAP,
