@@ -107,6 +107,34 @@ def _drifting_keys(
     return out
 
 
+def _drift_gate(run_set, names: list[str], ref: dict[str, float]):
+    """Run one tier through the drift detector: time the keys once; if
+    more than DRIFT_KEYS_MAX of them land >25% over their own cross-run
+    median (a board-wide slow move = steal burst, not a plan change),
+    rerun the tier ONCE and keep the per-key min of the two medians —
+    the less-contended estimate for each key.
+
+    Returns ``(timings, best, drifted, rerun, history_timings)`` where
+    ``history_timings`` is what _save_history must record: the SECOND
+    pass's plain medians on a rerun, never the min-merge —
+    min-of-two-medians is a biased-low estimator vs the single-pass
+    median every other record stores, and a rerun that ends
+    contended=false would otherwise ratchet the cross-run reference
+    downward (inflating future drift flags)."""
+    timings, best = run_set(names)
+    drifted = _drifting_keys(timings, ref)
+    rerun = False
+    history_timings = timings
+    if len(drifted) > DRIFT_KEYS_MAX:
+        rerun = True
+        timings2, best2 = run_set(names)
+        timings = {k: min(timings[k], timings2[k]) for k in timings}
+        best = {k: min(best[k], best2[k]) for k in best}
+        drifted = _drifting_keys(timings, ref)
+        history_timings = timings2
+    return timings, best, drifted, rerun, history_timings
+
+
 def _save_history(runs: list[dict], record: dict) -> None:
     runs = (runs + [record])[-HISTORY_CAP:]
     try:
@@ -283,57 +311,29 @@ def main() -> None:
     ref_pool = [r for r in history if r.get("sf", 0.1) == sf]
     ref_medians = _history_medians(ref_pool)
 
-    timings, best_case = run_set(HEADLINE)
-    # Per-key drift check vs this key's own cross-run median.  If the
-    # board drifted slow (>DRIFT_KEYS_MAX keys >25% over history), a
-    # steal burst hit the suite — rerun the headline ONCE and keep the
-    # per-key min of the two medians (the less-contended estimate for
-    # each key).  One rerun bounds added wall-clock at ~1 suite pass;
-    # if the box is busy all day both passes drift and the summary
-    # honestly reports contended=true.
-    drifted = _drifting_keys(timings, ref_medians)
-    drift_rerun = False
-    history_timings = timings  # what _save_history records (see below)
-    if len(drifted) > DRIFT_KEYS_MAX:
-        drift_rerun = True
-        timings2, best2 = run_set(HEADLINE)
-        timings = {
-            k: min(timings[k], timings2[k]) for k in timings
-        }
-        best_case = {k: min(best_case[k], best2[k]) for k in best_case}
-        drifted = _drifting_keys(timings, ref_medians)
-        # the history record keeps the SECOND pass's plain medians, not
-        # the min-merge: min-of-two-medians is a biased-low estimator
-        # vs the single-pass median every other record stores, and a
-        # rerun that ends contended=false would otherwise ratchet the
-        # cross-run reference downward (inflating future drift flags)
-        history_timings = timings2
+    # Per-key drift check vs each key's own cross-run median, one
+    # definition for both tiers (_drift_gate).  If the board drifted
+    # slow (>DRIFT_KEYS_MAX keys >25% over history), a steal burst hit
+    # the suite — rerun the tier ONCE and keep the per-key min of the
+    # two medians (the less-contended estimate for each key).  One
+    # rerun bounds added wall-clock at ~1 tier pass; if the box is
+    # busy all day both passes drift and the summary honestly reports
+    # contended=true.  The EXTRA tier gets the SAME machinery
+    # (round-12 verdict #1): BENCH_r12 shipped seven extras keys
+    # 1.3-2.6x regressed by pure box noise with no flag because only
+    # HEADLINE had a reference — and the ANN product metrics
+    # (serve_only, compact_only) live in extras, so the driver's
+    # number of record for that work was unguarded.  The trigger is
+    # the same absolute key count for both tiers: thin steal spreads
+    # across the whole board, not per tier-size proportion.
+    timings, best_case, drifted, drift_rerun, history_timings = _drift_gate(
+        run_set, HEADLINE, ref_medians
+    )
     drift_contended = len(drifted) > DRIFT_KEYS_MAX
-    # EXTRA tier gets the SAME history/drift/rerun machinery (round-12
-    # verdict #1): BENCH_r12 shipped seven extras keys 1.3-2.6x
-    # regressed by pure box noise with no flag because only HEADLINE
-    # had a reference — and the ANN product metrics (serve_only,
-    # compact_only) live in extras, so the driver's number of record
-    # for that work was unguarded.  Same ≤1-suite-pass rerun bound,
-    # same >DRIFT_KEYS_MAX keys >25% slow-direction trigger (thin
-    # steal spreads across the board, so the absolute key count — not
-    # a tier-size proportion — is the right trip wire for both tiers).
     ref_medians_extra = _history_medians(ref_pool, field="queries_extra")
-    extra_timings, _ = run_set(EXTRA)
-    drifted_extra = _drifting_keys(extra_timings, ref_medians_extra)
-    extra_rerun = False
-    history_extra = extra_timings
-    if len(drifted_extra) > DRIFT_KEYS_MAX:
-        extra_rerun = True
-        extra2, _ = run_set(EXTRA)
-        extra_timings = {
-            k: min(extra_timings[k], extra2[k]) for k in extra_timings
-        }
-        drifted_extra = _drifting_keys(extra_timings, ref_medians_extra)
-        # history keeps pass-2 plain medians, same rationale as the
-        # headline rerun record (min-merge is biased low vs the
-        # single-pass medians every other record stores)
-        history_extra = extra2
+    extra_timings, _, drifted_extra, extra_rerun, history_extra = _drift_gate(
+        run_set, EXTRA, ref_medians_extra
+    )
     extra_contended = len(drifted_extra) > DRIFT_KEYS_MAX
     # second probe AFTER the suite: steal bursts that start mid-run are
     # invisible to the opening probe (observed: opening calib 0.37 with

@@ -374,6 +374,56 @@ def test_bench_drift_detector_extra_tier_and_rerun_pool():
     assert bench._history_medians(runs_thin) == {"a": 2.0}
 
 
+def test_bench_drift_gate_rerun_semantics():
+    """_drift_gate (shared by both tiers): no rerun when ≤DRIFT_KEYS_MAX
+    keys drift; on a board-wide drift it reruns exactly once, reports
+    the per-key MIN as the timings, and hands the SECOND pass's plain
+    medians to the history record (never the biased-low min-merge)."""
+    import bench
+
+    keys = [f"k{i}" for i in range(10)]
+    ref = {k: 1.0 for k in keys}
+
+    # pass 1: everything 2x slow (steal burst); pass 2: clean
+    passes = [
+        ({k: 2.0 for k in keys}, {k: 1.9 for k in keys}),
+        ({k: 1.05 for k in keys}, {k: 1.0 for k in keys}),
+    ]
+    calls = []
+
+    def run_set(names):
+        calls.append(list(names))
+        return passes[len(calls) - 1]
+
+    timings, best, drifted, rerun, hist = bench._drift_gate(run_set, keys, ref)
+    assert len(calls) == 2 and calls[0] == keys == calls[1]
+    assert rerun is True
+    assert timings == {k: 1.05 for k in keys}, "min of the two medians"
+    assert best == {k: 1.0 for k in keys}
+    assert drifted == [], "post-merge drift re-evaluated"
+    assert hist == {k: 1.05 for k in keys}, (
+        "history must record pass-2 plain medians, not the min-merge"
+    )
+
+    # clean first pass: exactly one run_set call, no rerun flag
+    calls.clear()
+    passes[:] = [({k: 1.1 for k in keys}, {k: 1.0 for k in keys})]
+    timings, best, drifted, rerun, hist = bench._drift_gate(run_set, keys, ref)
+    assert len(calls) == 1 and rerun is False and drifted == []
+    assert hist == timings
+
+    # both passes contended: drifted stays over threshold → the caller
+    # reports contended=true
+    calls.clear()
+    passes[:] = [
+        ({k: 2.0 for k in keys}, {k: 2.0 for k in keys}),
+        ({k: 2.0 for k in keys}, {k: 2.0 for k in keys}),
+    ]
+    timings, _, drifted, rerun, hist = bench._drift_gate(run_set, keys, ref)
+    assert rerun is True and len(drifted) > bench.DRIFT_KEYS_MAX
+    assert hist == {k: 2.0 for k in keys}
+
+
 def test_rotation_quota_covers_whole_oldest_expensive_tier(monkeypatch):
     """The rotation quota must promote EVERY expensive green key in the
     oldest evidence tier, not a fixed 5 — the round-12 regression: six
