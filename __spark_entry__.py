@@ -95,6 +95,7 @@ _EXPENSIVE_LAST = [
 _CODE_CHANGED = {
     "sink_ann_index_compact": 13,
     "sink_ann_index_compact_only": 13,
+    "sim_knn_ivf_serve_only": 13,  # same torn-meta gate widening
 }
 
 

@@ -2002,7 +2002,12 @@ def sim_knn_ivf_serve_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         served = _serve_from_ann_index(
             spark, sf_dir, with_recall=False, validate_corpus=True
         )
-    except (FileNotFoundError, ValueError):
+    except (FileNotFoundError, ValueError) + _SPARK_READ_ERRORS:
+        # _SPARK_READ_ERRORS: a TORN meta/centroids parquet (crash
+        # mid-write) raises AnalysisException/Py4JJavaError from the
+        # serve path's reads — same rebuild route as absent/stale/
+        # drifted (the round-12 advisory finding on compact_only's
+        # gate applies to this one identically)
         _build_ann_index(spark, sf_dir)
         served = _serve_from_ann_index(
             spark, sf_dir, with_recall=False, validate_corpus=True

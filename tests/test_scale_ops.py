@@ -949,3 +949,29 @@ def test_ann_compact_only_rebuilds_on_torn_meta(spark, sf_dir):
     assert row.content_identical and row.stamp_still_valid, (
         "torn meta must route to the rebuild path and come back green"
     )
+
+
+def test_ann_serve_only_rebuilds_on_torn_meta(spark, sf_dir):
+    """Same advisory finding, serve_only's gate: its contract is
+    'builds only when the serve path raises (absent, stale, or
+    corpus-drifted index)' — a torn meta parquet raises
+    AnalysisException/Py4JJavaError from the serve path's reads and
+    must route to the same rebuild, not fail the key."""
+    import glob
+    import os
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    QUERIES["sink_ann_index"](spark, sf_dir).collect()
+    _, _, mpath = so._ann_index_paths(sf_dir, "")
+    parts = glob.glob(os.path.join(mpath, "*.parquet"))
+    assert parts, "test premise: meta has data files"
+    for p in parts:
+        with open(p, "wb") as f:
+            f.write(b"PAR1 torn by crash")
+    so._ANN_VALIDATED.clear()
+
+    rows = QUERIES["sim_knn_ivf_serve_only"](spark, sf_dir).collect()
+    assert rows and all(r["n_results"] == so._ANN_K for r in rows), (
+        "torn meta must route serve_only to the rebuild path"
+    )
