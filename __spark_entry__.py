@@ -221,10 +221,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     if expensive_green:
         oldest = staleness(expensive_green[0])
         tier = sum(1 for k in expensive_green if staleness(k) == oldest)
-        tier_all = sum(
-            1 for k in order if group(k) == 2 and staleness(k) == oldest
+        # "fits one budget" must count EVERYTHING that sorts at or
+        # ahead of the promoted tier, not just the tier's own bucket:
+        # group-0/1 keys take budget slots first, and a cheap-only
+        # tier strictly staler than every expensive key does too —
+        # under-counting either would waive the cap while the slow
+        # promoted keys crowd cheap stale keys out of the real budget.
+        ahead = sum(
+            1
+            for k in order
+            if group(k) < 2 or (group(k) == 2 and staleness(k) <= oldest)
         )
-        if tier_all <= 45:  # whole tier fits one ~50-key budget
+        if ahead <= 45:  # promoted tier + everything ahead fits one budget
             n_promote = max(5, tier)
         else:
             n_promote = min(8, max(5, tier))

@@ -80,10 +80,16 @@ def _history_medians(
     pass-2 medians can carry residual steal — letting them into the
     reference pool would inflate the medians and dull future drift
     detection.  ≥2 pristine records is "enough" (one alone would make
-    a single lucky/unlucky run THE reference)."""
+    a single lucky/unlucky run THE reference) — counted over records
+    that actually CARRY this tier's field: legacy headline-only
+    records are vacuously "pristine" for the extras tier (they predate
+    rerun_extra), and counting them could select a pristine pool with
+    zero extras data, silently disabling extras drift detection while
+    rerun-tagged extras records sit unused."""
     clean = [r for r in runs if not r.get("contended")]
     rerun_key = "rerun" if field == "queries" else "rerun_extra"
-    pristine = [r for r in clean if not r.get(rerun_key)]
+    bearing = [r for r in clean if r.get(field)]
+    pristine = [r for r in bearing if not r.get(rerun_key)]
     pool = pristine if len(pristine) >= 2 else (clean if clean else runs)
     acc: dict[str, list[float]] = {}
     for r in pool:
@@ -136,7 +142,20 @@ def _drift_gate(run_set, names: list[str], ref: dict[str, float]):
 
 
 def _save_history(runs: list[dict], record: dict) -> None:
-    runs = (runs + [record])[-HISTORY_CAP:]
+    """Append ``record`` and cap the history PER SCALE FACTOR: the
+    reference pool is sf-scoped, so a dozen smoke runs at sf0.001 must
+    not evict the sf0.1 reference records from a global window and
+    silently disable the sf0.1 drift detector (records predating the
+    sf field count as sf0.1, same default the pool filter uses)."""
+    runs = runs + [record]
+    kept: list[dict] = []
+    seen_per_sf: dict = {}
+    for r in reversed(runs):  # newest first, keep the last CAP per sf
+        sf = r.get("sf", 0.1)
+        if seen_per_sf.get(sf, 0) < HISTORY_CAP:
+            seen_per_sf[sf] = seen_per_sf.get(sf, 0) + 1
+            kept.append(r)
+    runs = list(reversed(kept))
     try:
         with open(HISTORY_PATH, "w") as f:
             json.dump({"version": 1, "runs": runs}, f)

@@ -9,6 +9,7 @@ the similarity-search candidate set to a few probed clusters.
 
 from __future__ import annotations
 
+import errno
 import os
 from typing import Iterator
 
@@ -41,6 +42,33 @@ except ImportError:  # pragma: no cover - connect-only installs
 _SPARK_READ_ERRORS = tuple(
     e for e in (_AnalysisException, _Py4JJavaError) if e is not None
 )
+
+
+def _is_artifact_read_failure(ex: BaseException) -> bool:
+    """True when ``ex`` is the kind of failure a reuse gate OWNS —
+    the persisted artifact is absent, unreadable, or torn — as opposed
+    to an unrelated runtime error that happened to surface inside the
+    gate's try block.  AnalysisException is artifact-shaped by nature
+    (path does not exist / unable to infer schema); Py4JJavaError is
+    NOT — a transient executor OOM, disk-full, or shuffle failure
+    raises it too, and routing those to a silent rebuild would mask
+    the real error class AND quietly turn a pure-serve bench number
+    into serve+build — so it qualifies only when it carries Spark's
+    unreadable-file error classes (FAILED_READ_FILE /
+    CANNOT_READ_FILE_FOOTER / parquet magic-number complaints /
+    ChecksumException — ALL the shapes measured from torn files on
+    this pyspark: a bare-fs tear fails the footer parse, while a tear
+    under a Spark-written dir fails the .crc sidecar check first)."""
+    if _AnalysisException is not None and isinstance(ex, _AnalysisException):
+        return True
+    s = str(ex)
+    return (
+        "FAILED_READ_FILE" in s
+        or "CANNOT_READ_FILE_FOOTER" in s
+        or "not a Parquet file" in s
+        or "ChecksumException" in s
+        or "Checksum error" in s
+    )
 
 
 @query(
@@ -1546,37 +1574,52 @@ def _ann_postings_current(root: str) -> str:
     return os.path.join(root, "postings")
 
 
+#: fsync errnos that mean "this filesystem cannot fsync", not "the
+#: write failed": EINVAL/ENOTSUP(=EOPNOTSUPP on Linux) from pipes,
+#: some FUSE mounts, and pre-ext4 tmpfs quirks.  Everything ELSE —
+#: above all EIO, a genuine write-back failure — must PROPAGATE: post
+#: fsyncgate, Linux clears the error state after reporting it once,
+#: so swallowing EIO here and flipping the pointer anyway would
+#: commit to a generation the kernel just said it could not persist
+#: (the exact no-servable-index scenario the fence exists to prevent).
+_FSYNC_UNSUPPORTED = tuple(
+    {
+        getattr(errno, name)
+        for name in ("EINVAL", "ENOTSUP", "EOPNOTSUPP")
+        if hasattr(errno, name)
+    }
+)
+
+
 def _fsync_tree(path: str) -> None:
-    """Best-effort fsync of every file AND directory under ``path``
-    (depth-first, directories after their contents).  Called on a new
-    postings generation BEFORE the pointer flip commits it: without
-    this, a power loss after the flip could persist the pointer (its
-    own write is fsynced) while the new generation's data pages are
-    still unwritten — the pointer would then name a present-but-torn
-    dir and the old generation is already GC'd, leaving no servable
-    index.  Process crashes never reorder this way (the page cache
-    survives them); only power/kernel loss does.  OSError per entry is
-    swallowed (non-fsyncable FUSE mounts): there the durability claim
-    degrades to process-crash safety, same as _ann_flip_pointer's own
-    directory fsync fence."""
+    """fsync every file AND directory under ``path`` (depth-first,
+    directories after their contents).  Called on a new postings
+    generation BEFORE the pointer flip commits it: without this, a
+    power loss after the flip could persist the pointer (its own write
+    is fsynced) while the new generation's data pages are still
+    unwritten — the pointer would then name a present-but-torn dir and
+    the old generation is already GC'd, leaving no servable index.
+    Process crashes never reorder this way (the page cache survives
+    them); only power/kernel loss does.
+
+    Only fsync-UNSUPPORTED errnos are swallowed (non-fsyncable FUSE
+    mounts — there the durability claim degrades to process-crash
+    safety); a real I/O failure (EIO) raises, so the caller aborts
+    BEFORE the flip and the old generation stays live."""
+    def _sync(p: str) -> None:
+        fd = os.open(p, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        except OSError as ex:
+            if ex.errno not in _FSYNC_UNSUPPORTED:
+                raise
+        finally:
+            os.close(fd)
+
     for dirpath, _dirs, files in os.walk(path, topdown=False):
         for name in files:
-            try:
-                fd = os.open(os.path.join(dirpath, name), os.O_RDONLY)
-                try:
-                    os.fsync(fd)
-                finally:
-                    os.close(fd)
-            except OSError:
-                pass
-        try:
-            fd = os.open(dirpath, os.O_RDONLY)
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
-        except OSError:
-            pass
+            _sync(os.path.join(dirpath, name))
+        _sync(dirpath)
 
 
 def _ann_flip_pointer(root: str, name: str) -> None:
@@ -1603,8 +1646,14 @@ def _ann_flip_pointer(root: str, name: str) -> None:
             os.fsync(dfd)
         finally:
             os.close(dfd)
-    except OSError:
-        pass  # non-fsyncable fs (some FUSE mounts): process-crash safety holds
+    except OSError as ex:
+        # non-fsyncable fs (some FUSE mounts): process-crash safety
+        # holds.  A REAL I/O failure (EIO) raises instead — the caller
+        # then skips the superseded-generation GC, so even if the
+        # rename's directory entry never persists, the old generation
+        # is still on disk and resolvable.
+        if ex.errno not in _FSYNC_UNSUPPORTED:
+            raise
 
 
 def _ann_reset_generations(root: str) -> None:
@@ -2002,12 +2051,19 @@ def sim_knn_ivf_serve_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         served = _serve_from_ann_index(
             spark, sf_dir, with_recall=False, validate_corpus=True
         )
-    except (FileNotFoundError, ValueError) + _SPARK_READ_ERRORS:
+    except (FileNotFoundError, ValueError) + _SPARK_READ_ERRORS as ex:
         # _SPARK_READ_ERRORS: a TORN meta/centroids parquet (crash
         # mid-write) raises AnalysisException/Py4JJavaError from the
         # serve path's reads — same rebuild route as absent/stale/
         # drifted (the round-12 advisory finding on compact_only's
-        # gate applies to this one identically)
+        # gate applies to this one identically).  Artifact-shaped
+        # failures only: a transient JVM error inside the serve jobs
+        # must propagate, not silently turn this PURE-SERVE product
+        # metric into serve+build.
+        if not isinstance(
+            ex, (FileNotFoundError, ValueError)
+        ) and not _is_artifact_read_failure(ex):
+            raise
         _build_ann_index(spark, sf_dir)
         served = _serve_from_ann_index(
             spark, sf_dir, with_recall=False, validate_corpus=True
@@ -2429,14 +2485,21 @@ def sink_ann_index_compact_only(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise ValueError("stale writer version")
         _ann_check_geometry(spark, cpath, meta)
         _ann_validate_corpus(sf_dir, mpath, meta, emb)
-    except (FileNotFoundError, ValueError) + _SPARK_READ_ERRORS:
+    except (FileNotFoundError, ValueError) + _SPARK_READ_ERRORS as ex:
         # _SPARK_READ_ERRORS: a TORN meta/centroids parquet (crash
         # mid-write, no commit marker, corrupt footer) surfaces from
         # spark.read.parquet as AnalysisException / Py4JJavaError, not
         # ValueError — the gate's contract is "rebuild when ANY
         # validation fails", torn files included (round-12 advisory
-        # finding).  Failures of the rebuild itself still propagate:
-        # only the gate body is inside this try.
+        # finding).  But ONLY artifact-shaped failures route here: a
+        # transient JVM error (executor OOM, disk-full) also raises
+        # Py4JJavaError and must propagate, not trigger a silent
+        # rebuild that masks it.  Failures of the rebuild itself still
+        # propagate: only the gate body is inside this try.
+        if not isinstance(
+            ex, (FileNotFoundError, ValueError)
+        ) and not _is_artifact_read_failure(ex):
+            raise
         _ann_lay_ingest_history(spark, sf_dir, suffix)
         _, ppath, mpath = _ann_index_paths(sf_dir, suffix)
 

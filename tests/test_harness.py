@@ -373,6 +373,55 @@ def test_bench_drift_detector_extra_tier_and_rerun_pool():
     ]
     assert bench._history_medians(runs_thin) == {"a": 2.0}
 
+    # round-13 review finding: legacy records WITHOUT the tier's field
+    # are vacuously pristine and must not be counted toward the ≥2
+    # threshold — here the only extras DATA lives in rerun_extra-tagged
+    # records, and selecting the fieldless "pristine" pool would return
+    # {} and silently disable extras drift detection
+    runs_legacy = [
+        {"queries": {"a": 1.0}, "contended": False},
+        {"queries": {"a": 1.0}, "contended": False},
+        {
+            "queries": {"a": 1.0},
+            "queries_extra": {"x": 2.0},
+            "contended": False,
+            "rerun_extra": True,
+        },
+    ]
+    assert bench._history_medians(runs_legacy, field="queries_extra") == {
+        "x": 2.0
+    }, "fieldless records must not crowd real extras data out of the pool"
+
+
+def test_bench_history_cap_is_per_scale_factor(tmp_path, monkeypatch):
+    """Round-13 review finding: a global HISTORY_CAP would let a dozen
+    smoke runs at another sf evict every sf0.1 reference record and
+    silently disable the sf0.1 drift detector — the cap is per sf
+    (records predating the sf field default to 0.1, same as the
+    reference-pool filter)."""
+    import bench
+
+    path = tmp_path / "BENCH_MEDIANS.json"
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(path))
+    acc: list = []
+    # two sf0.1 reference records (one legacy without the sf field)
+    bench._save_history(acc, {"queries": {"a": 1.0}, "contended": False})
+    acc = bench._load_history()
+    bench._save_history(acc, {"sf": 0.1, "queries": {"a": 1.1}, "contended": False})
+    acc = bench._load_history()
+    # a full cap's worth of sf0.001 smoke runs
+    for i in range(bench.HISTORY_CAP + 2):
+        bench._save_history(
+            acc, {"sf": 0.001, "queries": {"a": 0.01}, "contended": False}
+        )
+        acc = bench._load_history()
+    kept_01 = [r for r in acc if r.get("sf", 0.1) == 0.1]
+    kept_0001 = [r for r in acc if r.get("sf") == 0.001]
+    assert len(kept_01) == 2, "other-sf runs must not evict the sf0.1 references"
+    assert len(kept_0001) == bench.HISTORY_CAP
+    # order within the file stays chronological
+    assert acc[0].get("sf", 0.1) == 0.1 and acc[-1]["sf"] == 0.001
+
 
 def test_bench_drift_gate_rerun_semantics():
     """_drift_gate (shared by both tiers): no rerun when ≤DRIFT_KEYS_MAX
@@ -438,12 +487,16 @@ def test_rotation_quota_covers_whole_oldest_expensive_tier(monkeypatch):
     cheap = [k for k in QUERIES if k not in entry._EXPENSIVE_LAST]
     assert len(expensive) >= 10, "fixture premise: enough expensive keys"
 
-    def order_with_tier(n_oldest: int, n_cheap_oldest: int = 0) -> list[str]:
+    def order_with_tier(
+        n_oldest: int, n_cheap_oldest: int = 0, n_unswept: int = 0
+    ) -> list[str]:
         rows = {k: {**GREEN, "_round": 9} for k in QUERIES}
         for k in expensive[:n_oldest]:
             rows[k] = {**GREEN, "_round": 6}
         for k in cheap[:n_cheap_oldest]:
             rows[k] = {**GREEN, "_round": 6}
+        for k in cheap[n_cheap_oldest:n_cheap_oldest + n_unswept]:
+            del rows[k]  # group 1: no driver row yet
         monkeypatch.setattr(entry, "_driver_rows", lambda: rows)
         monkeypatch.setattr(entry, "_CODE_CHANGED", {})
         return list(entry.queries())
@@ -468,3 +521,12 @@ def test_rotation_quota_covers_whole_oldest_expensive_tier(monkeypatch):
     positions = sorted(order.index(k) for k in expensive[:10])
     assert sum(1 for p in positions if p < 50) == 8, positions
     assert positions[-1] > n_cheap, "unpromoted keys must sink past the cheap pool"
+
+    # group-0/1 keys consume budget AHEAD of the promoted tier and
+    # must count toward the fit check: a 10-key expensive tier that
+    # would fit alone (10 ≤ 45) does NOT fit behind 40 unswept keys
+    # (40 + 10 = 50 > 45), so the cap must kick in — the round-13
+    # review finding on the original bucket-only fit test
+    order = order_with_tier(10, n_unswept=40)
+    positions = sorted(order.index(k) for k in expensive[:10])
+    assert sum(1 for p in positions if p < 50) == 8, positions

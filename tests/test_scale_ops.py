@@ -975,3 +975,38 @@ def test_ann_serve_only_rebuilds_on_torn_meta(spark, sf_dir):
     assert rows and all(r["n_results"] == so._ANN_K for r in rows), (
         "torn meta must route serve_only to the rebuild path"
     )
+
+
+def test_ann_gate_routes_only_artifact_failures():
+    """The reuse gates rebuild on artifact-shaped failures ONLY: a
+    transient JVM error (executor OOM, shuffle failure) also raises
+    Py4JJavaError and must PROPAGATE — silently rebuilding would mask
+    the real error class and turn the pure-serve product metric into
+    serve+build with no flag (round-13 review finding)."""
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    class FakeJvmError(Exception):
+        pass
+
+    # torn-file shapes measured on this pyspark — all route to rebuild
+    for msg in (
+        "[FAILED_READ_FILE.NO_HINT] Encountered error while reading file",
+        "[FAILED_READ_FILE.CANNOT_READ_FILE_FOOTER] Could not read footer",
+        "file:/x/part-0.parquet is not a Parquet file. Expected magic number",
+        "org.apache.hadoop.fs.ChecksumException: Checksum error: file:/x",
+    ):
+        assert so._is_artifact_read_failure(FakeJvmError(msg)), msg
+
+    # transient JVM failures — must propagate
+    for msg in (
+        "java.lang.OutOfMemoryError: Java heap space",
+        "org.apache.spark.shuffle.FetchFailedException: Connection reset",
+        "java.io.IOException: No space left on device",
+    ):
+        assert not so._is_artifact_read_failure(FakeJvmError(msg)), msg
+
+    # AnalysisException is artifact-shaped by nature (absent path /
+    # unreadable schema)
+    if so._AnalysisException is not None:
+        ex = so._AnalysisException("[PATH_NOT_FOUND] Path does not exist")
+        assert so._is_artifact_read_failure(ex)
