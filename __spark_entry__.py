@@ -81,21 +81,36 @@ _EXPENSIVE_LAST = [
 ]
 
 
-# Keys whose IMPLEMENTATION changed in round 13 (the compaction swap
-# gained a durability fence — the new generation is fsynced before the
-# pointer flip commits it — and compact_only's reuse gate now routes
-# torn/corrupt meta parquet reads to the rebuild path instead of
-# failing the key): their surviving driver rows validate round-12
-# code, so they re-sweep ahead of the green pool until a row from
-# round ≥ 13 exists — a green CORRECTNESS row should always describe
-# the code that is actually in the tree.  Auto-expires: once the
-# fresh row lands, the keys rejoin group 2 at normal staleness order.
-# (The round-12 entries — the generation-pointer rewrite — all landed
-# fresh r12 rows and have expired.)
+# The driver's correctness sweep is wall-clock-budgeted at ~this many
+# keys per round (observed 45-50 across r9-r13).  The quota machinery
+# below derives its fit check from it (round-13 advisory: a bare
+# literal silently diverges if the budget estimate changes).
+_SWEEP_BUDGET = 50
+#: headroom the fit check keeps for sweep-order jitter / slow keys
+_SWEEP_FIT_HEADROOM = 5
+
+
+# Keys whose IMPLEMENTATION changed in round 14 (the segment-based ANN
+# append: _ann_append now writes immutable postings_seg<N> dirs
+# committed through the manifest instead of appending into the live
+# generation + restamping meta; the serve path unions live segments;
+# compaction folds them; the artifact-failure router gates
+# AnalysisException on errorClass shape and skips stack-frame lines;
+# _fsync_tree also syncs the parent dir entry): their surviving driver
+# rows validate round-13 code, so they re-sweep ahead of the green
+# pool until a row from round ≥ 14 exists — a green CORRECTNESS row
+# should always describe the code that is actually in the tree.
+# Auto-expires: once the fresh row lands, the keys rejoin group 2 at
+# normal staleness order.  (The round-13 entries — the fsync fence +
+# torn-meta gate widening — all landed fresh r13 rows and have
+# expired.)
 _CODE_CHANGED = {
-    "sink_ann_index_compact": 13,
-    "sink_ann_index_compact_only": 13,
-    "sim_knn_ivf_serve_only": 13,  # same torn-meta gate widening
+    "sink_ann_index": 14,
+    "sim_knn_ivf_serve": 14,
+    "sim_knn_ivf_serve_only": 14,
+    "sim_knn_ivf_refresh": 14,
+    "sink_ann_index_compact": 14,
+    "sink_ann_index_compact_only": 14,
 }
 
 
@@ -232,7 +247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for k in order
             if group(k) < 2 or (group(k) == 2 and staleness(k) <= oldest)
         )
-        if ahead <= 45:  # promoted tier + everything ahead fits one budget
+        # promoted tier + everything ahead fits one budget
+        if ahead <= _SWEEP_BUDGET - _SWEEP_FIT_HEADROOM:
             n_promote = max(5, tier)
         else:
             n_promote = min(8, max(5, tier))

@@ -44,31 +44,67 @@ _SPARK_READ_ERRORS = tuple(
 )
 
 
+#: message/errorClass shapes that mean "the artifact on disk is
+#: absent, unreadable, or torn" — the ONLY failures a reuse gate owns.
+_ARTIFACT_ERROR_SHAPES = (
+    # absent / vanished paths and the schema-inference failure an
+    # empty-or-torn dataset dir produces at spark.read time
+    "PATH_NOT_FOUND",
+    "Path does not exist",
+    "UNABLE_TO_INFER_SCHEMA",
+    "Unable to infer schema",
+    # torn data files: ALL the shapes measured from torn files on this
+    # pyspark — a bare-fs tear fails the footer parse, while a tear
+    # under a Spark-written dir fails the .crc sidecar check first
+    "FAILED_READ_FILE",
+    "CANNOT_READ_FILE_FOOTER",
+    "not a Parquet file",
+    "ChecksumException",
+    "Checksum error",
+)
+
+
 def _is_artifact_read_failure(ex: BaseException) -> bool:
     """True when ``ex`` is the kind of failure a reuse gate OWNS —
     the persisted artifact is absent, unreadable, or torn — as opposed
     to an unrelated runtime error that happened to surface inside the
-    gate's try block.  AnalysisException is artifact-shaped by nature
-    (path does not exist / unable to infer schema); Py4JJavaError is
-    NOT — a transient executor OOM, disk-full, or shuffle failure
-    raises it too, and routing those to a silent rebuild would mask
-    the real error class AND quietly turn a pure-serve bench number
-    into serve+build — so it qualifies only when it carries Spark's
-    unreadable-file error classes (FAILED_READ_FILE /
-    CANNOT_READ_FILE_FOOTER / parquet magic-number complaints /
-    ChecksumException — ALL the shapes measured from torn files on
-    this pyspark: a bare-fs tear fails the footer parse, while a tear
-    under a Spark-written dir fails the .crc sidecar check first)."""
+    gate's try block.  BOTH exception classes are gated on message
+    shape (round-13 advisory):
+
+    - AnalysisException is NOT artifact-shaped by isinstance alone — a
+      genuine code bug raised inside the gated calls (UNRESOLVED_COLUMN
+      from a bad projection, a malformed expression) also surfaces as
+      AnalysisException, and routing it to a silent rebuild+retry
+      would mask the bug AND quietly turn a pure-serve product metric
+      into serve+build.  It qualifies only with an artifact-shaped
+      errorClass/message (absent path, uninferable schema, unreadable
+      file).
+    - Py4JJavaError likewise qualifies only on the torn-file shapes;
+      a transient executor OOM, disk-full, or shuffle failure must
+      PROPAGATE.  Matching skips pure stack-frame lines ("at pkg...")
+      so a frame whose class name happens to contain a needle can
+      never classify an unrelated error; exception-message and
+      "Caused by:" lines (where a wrapped torn-read cause genuinely
+      surfaces) are kept.
+    """
     if _AnalysisException is not None and isinstance(ex, _AnalysisException):
-        return True
-    s = str(ex)
-    return (
-        "FAILED_READ_FILE" in s
-        or "CANNOT_READ_FILE_FOOTER" in s
-        or "not a Parquet file" in s
-        or "ChecksumException" in s
-        or "Checksum error" in s
+        cond = getattr(ex, "getCondition", None) or getattr(
+            ex, "getErrorClass", None
+        )
+        name = ""
+        if callable(cond):
+            try:
+                name = cond() or ""
+            except Exception:
+                name = ""
+        hay = f"{name}\n{ex}"
+        return any(shape in hay for shape in _ARTIFACT_ERROR_SHAPES)
+    hay = "\n".join(
+        line
+        for line in str(ex).splitlines()
+        if not line.lstrip().startswith("at ")
     )
+    return any(shape in hay for shape in _ARTIFACT_ERROR_SHAPES)
 
 
 @query(
@@ -1544,34 +1580,174 @@ _ANN_NLIST, _ANN_NPROBE, _ANN_K, _ANN_M = 16, 10, 10, 3
 _ANN_WRITER_VERSION = 3  # v3: meta gains the corpus fingerprint columns
 
 
-#: pointer file naming the LIVE postings generation directory.  The
-#: compaction swap commits by atomically replacing this one small file
-#: (``os.replace`` — atomic for files on the same POSIX filesystem),
-#: never by renaming the postings directories themselves: a directory
-#: cannot be atomically renamed OVER a non-empty directory, so any
-#: dir-rename dance has a crash window with no readable index (the
-#: round-11 finding).  No pointer file ⇒ the base ``postings`` dir is
-#: live (the layout every build writes), so pre-pointer indexes keep
-#: reading unchanged.
+#: manifest file naming the LIVE postings layout: the base generation
+#: directory plus the ordered live APPEND SEGMENTS (round-14, per the
+#: round-13 design note — segments replace in-place appends, removing
+#: the last fails-closed crash window in the lifecycle).  Every state
+#: change — compaction swap, segment append — commits by atomically
+#: replacing this one small file (``os.replace`` — atomic for files on
+#: the same POSIX filesystem), never by renaming postings directories
+#: themselves: a directory cannot be atomically renamed OVER a
+#: non-empty directory, so any dir-rename dance has a crash window
+#: with no readable index (the round-11 finding).
+#:
+#: Format, one entry per line: ``<dirname> [<n_delta> <fp_delta>]`` —
+#: line 1 is the base generation (its delta: corpus rows folded IN by
+#: compactions beyond the meta stamp), lines 2+ are live segments
+#: (their deltas: the appended slice's corpus fingerprint).  The
+#: effective corpus stamp is DERIVED — meta stamp + Σ manifest
+#: deltas — so no restamp write exists to tear.  A bare name (no
+#: delta fields) reads as delta 0, which keeps every pre-segment
+#: pointer file (and the base-layout no-file case ⇒ ``postings``,
+#: no segments) reading unchanged.
 _ANN_GEN_POINTER = "POSTINGS_GEN"
+
+#: default manifest when the file is absent or unparseable: the base
+#: build layout.  (gen_name, gen_n, gen_fp, segments) with segments =
+#: [(seg_name, n_delta, fp_delta), ...].
+_ANN_MANIFEST_BASE = ("postings", 0, 0, ())
+
+
+def _ann_manifest_read(root: str) -> tuple[str, int, int, tuple]:
+    """Parse the manifest under ``root``.  Defensive by contract: an
+    absent file, a torn/garbage line, or non-integer delta fields all
+    resolve to the base layout (``postings``, no segments) — the same
+    fallback chain the pre-segment pointer had, where the serve path's
+    existence check then fails loud with the rebuild route if base is
+    gone too.  Names are basename()-d so a garbage pointer can never
+    escape ``root``."""
+    try:
+        with open(os.path.join(root, _ANN_GEN_POINTER)) as f:
+            lines = [ln.strip() for ln in f.read().splitlines() if ln.strip()]
+    except OSError:
+        return _ANN_MANIFEST_BASE
+    if not lines:
+        return _ANN_MANIFEST_BASE
+    parsed = []
+    for ln in lines:
+        fields = ln.split()
+        name = os.path.basename(fields[0])
+        if not name:
+            return _ANN_MANIFEST_BASE
+        if len(fields) == 1:
+            parsed.append((name, 0, 0))
+        elif len(fields) == 3:
+            try:
+                parsed.append((name, int(fields[1]), int(fields[2])))
+            except ValueError:
+                return _ANN_MANIFEST_BASE
+        else:
+            return _ANN_MANIFEST_BASE
+    gen_name, gen_n, gen_fp = parsed[0]
+    return gen_name, gen_n, gen_fp, tuple(parsed[1:])
+
+
+def _ann_manifest_commit(
+    root: str, gen: tuple[str, int, int], segs: tuple | list
+) -> None:
+    """THE commit point of every postings state change: fsync a temp
+    manifest file, then ``os.replace`` it over the live one — readers
+    see either the old layout or the new one, never neither.  The
+    containing DIRECTORY is fsynced after the replace: without it, a
+    power loss can persist a superseded generation's deletion (the
+    compaction caller GCs right after this returns) while the rename's
+    directory entry is still unwritten — the manifest would then name
+    a vanished dir and fall back to a base layout an earlier
+    compaction already removed (no servable index).  Process crashes
+    never reorder this way; only power/kernel loss does, and the dir
+    fsync closes exactly that window."""
+    tmp = os.path.join(root, _ANN_GEN_POINTER + ".tmp")
+    lines = [f"{gen[0]} {gen[1]} {gen[2]}"]
+    lines += [f"{name} {n} {fp}" for name, n, fp in segs]
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _ANN_GEN_POINTER))
+    try:
+        dfd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError as ex:
+        # non-fsyncable fs (some FUSE mounts): process-crash safety
+        # holds.  A REAL I/O failure (EIO) raises instead — the caller
+        # then skips the superseded-generation GC, so even if the
+        # rename's directory entry never persists, the old generation
+        # is still on disk and resolvable.
+        if ex.errno not in _FSYNC_UNSUPPORTED:
+            raise
 
 
 def _ann_postings_current(root: str) -> str:
-    """Resolve the live postings generation under ``root``: the dir
-    named by the pointer file if it exists and is present on disk,
-    else the base ``postings`` dir.  A pointer naming a vanished dir
+    """Resolve the live BASE postings generation under ``root``: the
+    dir named by the manifest's first line if present on disk, else
+    the base ``postings`` dir.  A manifest naming a vanished dir
     (manual deletion) falls back to base, where the serve path's
-    existence check fails loud with the rebuild route."""
-    try:
-        with open(os.path.join(root, _ANN_GEN_POINTER)) as f:
-            name = os.path.basename(f.read().strip())
-    except OSError:
-        name = ""
-    if name:
-        cand = os.path.join(root, name)
-        if os.path.isdir(cand):
-            return cand
+    existence check fails loud with the rebuild route.  Segments are
+    resolved separately by ``_ann_live_paths`` — this keeps the
+    pre-segment callers (path plumbing, isdir gates) unchanged."""
+    name, _n, _fp, _segs = _ann_manifest_read(root)
+    cand = os.path.join(root, name)
+    if os.path.isdir(cand):
+        return cand
     return os.path.join(root, "postings")
+
+
+def _ann_live_paths(root: str) -> list[str]:
+    """Every live postings dir under ``root`` in manifest order: the
+    base generation plus the append segments.  The base generation
+    gets the same vanished-dir→base fallback the pointer always had;
+    a manifest naming a VANISHED SEGMENT raises FileNotFoundError with
+    the rebuild route — a committed segment is part of the corpus, so
+    silently serving without it would drop appended vectors (fails
+    loud, the reuse gates route it to rebuild)."""
+    name, _n, _fp, segs = _ann_manifest_read(root)
+    base = os.path.join(root, name)
+    if not os.path.isdir(base):
+        base = os.path.join(root, "postings")
+    paths = [base]
+    for seg_name, _sn, _sfp in segs:
+        seg = os.path.join(root, seg_name)
+        if not os.path.isdir(seg):
+            raise FileNotFoundError(
+                f"ANN index append segment {seg_name!r} named by the "
+                "manifest is missing on disk — rebuild via "
+                "sink_ann_index/_build_ann_index"
+            )
+        paths.append(seg)
+    return paths
+
+
+def _ann_read_postings(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """One DataFrame over the live postings layout: a flat UNION of
+    the per-leg partition-discovered parquet scans.  Explicit unions
+    (not one multi-path read) because the legs are sibling partition
+    roots — Spark's multi-root discovery rejects that layout
+    (CONFLICTING_DIRECTORY_STRUCTURES) — and a union keeps every leg's
+    own partition pruning: a ``cell`` filter above the union pushes
+    into each scan, so nprobe-bounded reads stay corpus-sublinear.
+    K legs bounded by compaction cadence."""
+    from functools import reduce
+
+    return reduce(
+        DataFrame.unionByName, [spark.read.parquet(p) for p in paths]
+    )
+
+
+def _ann_effective_stamp(root: str, meta) -> tuple[int, str, tuple]:
+    """The corpus stamp the live index ACTUALLY describes: the meta
+    stamp (written once at build time, never rewritten by appends)
+    plus the manifest deltas — the base generation's folded-in delta
+    and every live segment's.  Both fingerprint halves are additive
+    by construction ((count, Σ xxhash64(vec_id))), so the derivation
+    is exact.  Returns (corpus_n, corpus_fp, manifest) where manifest
+    is the parsed tuple — callers key the validation cache on it."""
+    name, gen_n, gen_fp, segs = _ann_manifest_read(root)
+    n = int(meta["corpus_n"]) + gen_n + sum(s[1] for s in segs)
+    fp = int(meta["corpus_fp"]) + gen_fp + sum(s[2] for s in segs)
+    return n, str(fp), (name, gen_n, gen_fp, segs)
 
 
 #: fsync errnos that mean "this filesystem cannot fsync", not "the
@@ -1593,19 +1769,22 @@ _FSYNC_UNSUPPORTED = tuple(
 
 def _fsync_tree(path: str) -> None:
     """fsync every file AND directory under ``path`` (depth-first,
-    directories after their contents).  Called on a new postings
-    generation BEFORE the pointer flip commits it: without this, a
-    power loss after the flip could persist the pointer (its own write
-    is fsynced) while the new generation's data pages are still
-    unwritten — the pointer would then name a present-but-torn dir and
-    the old generation is already GC'd, leaving no servable index.
-    Process crashes never reorder this way (the page cache survives
-    them); only power/kernel loss does.
+    directories after their contents), THEN the parent directory, so
+    the tree's own directory ENTRY is durable too.  Called on a new
+    postings generation/segment BEFORE the manifest commit: without
+    the tree syncs, a power loss after the commit could persist the
+    manifest (its own write is fsynced) while the new data pages are
+    still unwritten; without the parent sync, the manifest could
+    persist while the generation dir's ENTRY in the root is still
+    unwritten (round-13 advisory) — either way the manifest would name
+    a torn/vanished dir after the old generation is GC'd.  Process
+    crashes never reorder this way (the page cache survives them);
+    only power/kernel loss does.
 
     Only fsync-UNSUPPORTED errnos are swallowed (non-fsyncable FUSE
     mounts — there the durability claim degrades to process-crash
     safety); a real I/O failure (EIO) raises, so the caller aborts
-    BEFORE the flip and the old generation stays live."""
+    BEFORE the commit and the old generation stays live."""
     def _sync(p: str) -> None:
         fd = os.open(p, os.O_RDONLY)
         try:
@@ -1620,50 +1799,26 @@ def _fsync_tree(path: str) -> None:
         for name in files:
             _sync(os.path.join(dirpath, name))
         _sync(dirpath)
+    _sync(os.path.dirname(os.path.abspath(path)))
 
 
 def _ann_flip_pointer(root: str, name: str) -> None:
-    """THE commit point of a compaction: fsync a temp pointer file,
-    then ``os.replace`` it over the live pointer — readers see either
-    the old generation or the new one, never neither.  The containing
-    DIRECTORY is fsynced after the replace: without it, a power loss
-    can persist the superseded generation's deletion (the caller GCs
-    it right after this returns) while the rename's directory entry is
-    still unwritten — the pointer would then name a vanished dir and
-    fall back to a base layout an earlier compaction already removed
-    (no servable index).  Process crashes never reorder this way; only
-    power/kernel loss does, and the dir fsync closes exactly that
-    window."""
-    tmp = os.path.join(root, _ANN_GEN_POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(name + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, _ANN_GEN_POINTER))
-    try:
-        dfd = os.open(root, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
-    except OSError as ex:
-        # non-fsyncable fs (some FUSE mounts): process-crash safety
-        # holds.  A REAL I/O failure (EIO) raises instead — the caller
-        # then skips the superseded-generation GC, so even if the
-        # rename's directory entry never persists, the old generation
-        # is still on disk and resolvable.
-        if ex.errno not in _FSYNC_UNSUPPORTED:
-            raise
+    """Compaction's commit: a manifest naming ONLY ``name`` — the new
+    generation, zero segments, zero folded delta (callers that folded
+    segment deltas in commit via ``_ann_manifest_commit`` directly).
+    Kept as the crash-walk tests' entry point: the manifest IS the old
+    pointer, grown list fields."""
+    _ann_manifest_commit(root, (name, 0, 0), ())
 
 
 def _ann_reset_generations(root: str) -> None:
-    """A fresh build supersedes every compaction generation: drop the
-    pointer (FIRST — a crash mid-cleanup then resolves to the base
-    layout the build is about to overwrite, never a dangling pointer)
-    and any ``postings_gen*`` dirs.  A crash inside the subsequent
-    build leaves no valid index, which the serve path reports loud
-    with the rebuild route — the same contract the in-place overwrite
-    build always had."""
+    """A fresh build supersedes every compaction generation and append
+    segment: drop the manifest (FIRST — a crash mid-cleanup then
+    resolves to the base layout the build is about to overwrite, never
+    a dangling manifest) and any ``postings_gen*`` / ``postings_seg*``
+    dirs.  A crash inside the subsequent build leaves no valid index,
+    which the serve path reports loud with the rebuild route — the
+    same contract the in-place overwrite build always had."""
     import shutil
 
     try:
@@ -1672,7 +1827,7 @@ def _ann_reset_generations(root: str) -> None:
         pass
     if os.path.isdir(root):
         for name in os.listdir(root):
-            if name.startswith("postings_gen"):
+            if name.startswith(("postings_gen", "postings_seg")):
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
@@ -2104,16 +2259,17 @@ def sim_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     displaced existing postings).  Probe sets are identical in both
     serves (same centroids), so the comparison isolates the append.
 
-    The append RESTAMPS meta (round-10 advice: an un-restamped stamp
-    describes the base corpus while the postings include the delta —
-    an untruthful on-disk record that makes any later
-    ``validate_corpus`` serve spuriously refuse a healthy index).
-    The corpus fingerprint is ADDITIVE by construction — (count,
-    Σ xxhash64(vec_id)) — so the restamp costs one thin scan of the
-    DELTA slice, never the corpus; the geometry fields are copied
-    through untouched.  The after-serve runs with the fingerprint
-    guard ON, proving in-plan that the restamped index validates as
-    the full corpus."""
+    The append commits a SEGMENT through the manifest (round-14; the
+    round-10→13 restamp design rewrote meta in place, which left the
+    lifecycle's one fails-closed crash window between the postings
+    append and the restamp).  The corpus fingerprint is ADDITIVE by
+    construction — (count, Σ xxhash64(vec_id)) — so the segment's
+    manifest line carries the delta from one thin scan of the DELTA
+    slice, never the corpus, and the EFFECTIVE stamp (meta + manifest
+    deltas) stays truthful at every instant; meta itself is never
+    rewritten.  The after-serve runs with the fingerprint guard ON,
+    proving in-plan that the appended index validates as the full
+    corpus."""
     delta_pred = F.pmod(F.col("vec_id"), F.lit(10)) == 7
     suffix = "_refresh"
     _build_ann_index(spark, sf_dir, corpus_filter=~delta_pred, suffix=suffix)
@@ -2145,44 +2301,58 @@ def sim_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_append(spark: SparkSession, sf_dir: str, suffix: str, delta: DataFrame) -> None:
-    """Frozen-geometry postings APPEND + truthful restamp — the shared
-    ingest step of the ANN lifecycle (sim_knn_ivf_refresh's daily
-    delta, sink_ann_index_compact's multi-day setup): assign the delta
-    under the index's OWN stamped geometry (same centroids, same top-m
-    rule via the shared ``_ann_assign``), append into the
-    ``partitionBy("cell")`` layout, and rewrite meta with the additive
-    post-append corpus fingerprint (one thin scan of the DELTA only —
-    the fingerprint is (count, Σ xxhash64(vec_id)), so base + delta
-    sums exactly).  O(|delta|·m) write cost, never O(|corpus|).
+    """Frozen-geometry SEGMENT append — the shared ingest step of the
+    ANN lifecycle (sim_knn_ivf_refresh's daily delta,
+    sink_ann_index_compact's multi-day setup): assign the delta under
+    the index's OWN stamped geometry (same centroids, same top-m rule
+    via the shared ``_ann_assign``), write it as a NEW immutable
+    ``postings_seg<N>`` dir in the same ``partitionBy("cell")``
+    layout, fsync it, and COMMIT by atomically extending the manifest
+    with the segment's name + corpus-fingerprint delta (one thin scan
+    of the DELTA only — the fingerprint is (count, Σ xxhash64(vec_id)),
+    so the effective stamp derives exactly as base + Σ deltas).
+    O(|delta|·m) write cost, never O(|corpus|) — and no read-modify of
+    live dirs, so at 100 TB there is no per-cell small-append
+    amplification either.
 
-    Crash ordering (mirrors _build_ann_index's "version stamp LAST"
-    note): the append is NOT transactional — a crash after the
-    postings append but before the meta restamp leaves a stamp
-    describing the base corpus while postings include the delta.  The
-    next guarded serve then REFUSES the index (fingerprint mismatch)
-    with the rebuild route: fails closed, a rebuild recovers, and no
-    serve ever reads the half-applied state as valid."""
-    cpath, ppath, mpath = _ann_index_paths(sf_dir, suffix)
+    Crash safety (round-14, per the round-13 design note — this
+    REPLACED the in-place append, whose postings-then-restamp ordering
+    had the lifecycle's one fails-closed window): a crash at ANY point
+    leaves a servable, TRUTHFUL index.  Before the manifest commit the
+    new segment is an orphan dir no manifest names — invisible to
+    serves, GC'd by the next compact/build; after the commit the
+    segment and its stamp delta become visible together, atomically.
+    Meta is never rewritten, so no restamp write exists to tear.
+    Segment numbers come from existing dirs on disk (orphans
+    included), so a crash orphan can never collide with the next
+    append's target."""
+    cpath, _ppath, mpath = _ann_index_paths(sf_dir, suffix)
+    root = os.path.dirname(mpath)
     meta = spark.read.parquet(mpath).collect()[0]
     cent_rows = spark.read.parquet(cpath).orderBy("cell").collect()
     centroids = np.stack([np.array(r["centroid"]) for r in cent_rows])
+    seg_nums = [
+        int(n[len("postings_seg"):])
+        for n in os.listdir(root)
+        if n.startswith("postings_seg") and n[len("postings_seg"):].isdigit()
+    ]
+    seg_name = f"postings_seg{max(seg_nums, default=0) + 1}"
+    seg_dir = os.path.join(root, seg_name)
     (
         _ann_assign(delta, centroids, int(meta["m"]))
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(ppath)
+        .parquet(seg_dir)
     )
     d_n, d_fp = _ann_corpus_fingerprint(delta)
-    _ann_write_meta(
-        spark,
-        mpath,
-        meta["writer_version"],
-        meta["nlist"],
-        meta["m"],
-        meta["dim"],
-        meta["geometry_hash"],
-        int(meta["corpus_n"]) + d_n,
-        str(int(meta["corpus_fp"]) + int(d_fp)),
+    # durability fence BEFORE the commit (files + dirs + the segment's
+    # entry in root): the manifest must never name a torn segment
+    _fsync_tree(seg_dir)
+    gen_name, gen_n, gen_fp, segs = _ann_manifest_read(root)
+    _ann_manifest_commit(
+        root,
+        (gen_name, gen_n, gen_fp),
+        tuple(segs) + ((seg_name, d_n, int(d_fp)),),
     )
 
 
@@ -2228,24 +2398,32 @@ def _ann_validate_corpus(sf_dir: str, mpath: str, meta, emb: DataFrame) -> None:
     DATASET under this sf tag was regenerated/swapped since the index
     was built — recompute the corpus fingerprint (one column-pruned
     scan of vec_id, corpus-thin by design) and compare to the
-    build-time stamp; raise ValueError (with the rebuild route) on
-    drift.  The scan is cached per (index generation, dataset
-    generation): repeated calls on an unchanged pair skip it (the
-    steady-state serve is then guard-free), while any meta rewrite or
-    dataset regeneration changes the stat signatures and forces a
-    fresh scan.  Postings rewrites (compaction) do NOT touch meta, so
-    the cache rightly survives them — compaction moves bytes, not
-    content."""
+    EFFECTIVE stamp (meta + manifest deltas — appends commit their
+    fingerprint delta through the manifest, never by rewriting meta);
+    raise ValueError (with the rebuild route) on drift.  The scan is
+    cached per (index generation, dataset generation): repeated calls
+    on an unchanged pair skip it (the steady-state serve is then
+    guard-free), while any meta rewrite, MANIFEST COMMIT (append — the
+    cache key embeds the parsed manifest, round-13 design note), or
+    dataset regeneration forces a fresh scan.  Pure compactions fold
+    deltas without changing their sum; the resulting cache miss re-runs
+    one thin scan, never a wrong acceptance.  The manifest enters the
+    key by parsed CONTENT, not stat signature: content is exactly what
+    the derived stamp depends on, and it keeps an absent manifest
+    (fresh build) cacheable."""
+    root = os.path.dirname(mpath)
+    eff_n, eff_fp, manifest = _ann_effective_stamp(root, meta)
     meta_sig = _path_sig(mpath)
     emb_sig = _path_sig(f"{sf_dir}/embeddings.parquet")
     cache_key = (
         mpath,
         meta_sig,
         emb_sig,
+        manifest,
         int(meta["writer_version"]),
         meta["geometry_hash"],
-        int(meta["corpus_n"]),
-        meta["corpus_fp"],
+        eff_n,
+        eff_fp,
     )
     # a None signature means the local os module cannot establish
     # the artifact's identity (object-store URI, vanished path):
@@ -2254,13 +2432,13 @@ def _ann_validate_corpus(sf_dir: str, mpath: str, meta, emb: DataFrame) -> None:
     cacheable = meta_sig is not None and emb_sig is not None
     if not (cacheable and _ANN_VALIDATED.get(cache_key)):
         cur_n, cur_fp = _ann_corpus_fingerprint(emb)
-        if cur_n != meta["corpus_n"] or cur_fp != meta["corpus_fp"]:
+        if cur_n != eff_n or cur_fp != eff_fp:
             raise ValueError(
                 "ANN index corpus drift: the embeddings table "
                 f"(n={cur_n}) no longer matches the corpus the index "
-                f"was built from (n={meta['corpus_n']}) — the dataset "
-                "was regenerated or swapped under the same tag; rebuild "
-                "via sink_ann_index/_build_ann_index"
+                f"describes (n={eff_n}) — the dataset was regenerated "
+                "or swapped under the same tag; rebuild via "
+                "sink_ann_index/_build_ann_index"
             )
         if cacheable:
             if len(_ANN_VALIDATED) > 64:  # bounded: stale keys dangle
@@ -2270,20 +2448,25 @@ def _ann_validate_corpus(sf_dir: str, mpath: str, meta, emb: DataFrame) -> None:
 
 def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
     """The crash-safe compaction swap, shared by sink_ann_index_compact
-    and the crash-window tests: rewrite the live postings dataset
-    one-file-per-cell into a NEW generation dir, COMMIT via the atomic
-    pointer flip, then garbage-collect every superseded postings dir
-    (the one just replaced and any orphans from crashed earlier
-    compactions).  Returns the new live postings path.
+    and the crash-window tests: rewrite the live postings layout —
+    base generation PLUS every live append segment — one-file-per-cell
+    into a NEW generation dir, COMMIT via the atomic manifest replace
+    (naming only the new generation, its folded-in corpus delta
+    carried forward so the derived stamp is unchanged), then
+    garbage-collect every superseded postings dir (the ones just
+    folded and any orphans from crashed earlier compactions or
+    appends).  Returns the new live postings path.
 
-    Crash at any point leaves a servable index: before the flip the
-    old generation is still the resolved one; after it the new one is.
+    Crash at any point leaves a servable index: before the commit the
+    old layout is still the resolved one; after it the new one is.
     The generation number is 1 + max over EXISTING gen dirs (not the
     live dir's number), so a crash orphan can never collide with the
     next write-aside target."""
     import shutil
 
     root = os.path.dirname(ppath)
+    live = _ann_live_paths(root)
+    _gname, gen_n, gen_fp, segs = _ann_manifest_read(root)
     gens = [
         int(n[len("postings_gen"):])
         for n in os.listdir(root)
@@ -2292,23 +2475,28 @@ def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
     new_name = f"postings_gen{max(gens, default=0) + 1}"
     rewrite = os.path.join(root, new_name)
     (
-        spark.read.parquet(ppath)
+        _ann_read_postings(spark, live)
         .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(rewrite)
     )
-    # durability fence BEFORE the commit point: the flip's own fsyncs
-    # cover the pointer, not the generation it names — under power
-    # loss an unfsynced new generation could tear while the flipped
-    # pointer persists and the old generation is GC'd below (the
-    # round-12 advisory finding)
+    # durability fence BEFORE the commit point: the manifest's own
+    # fsyncs cover the manifest, not the generation it names — under
+    # power loss an unfsynced new generation could tear while the
+    # committed manifest persists and the old layout is GC'd below
+    # (the round-12 advisory finding; _fsync_tree also syncs the
+    # generation's entry in root, the round-13 one)
     _fsync_tree(rewrite)
-    # COMMIT — everything before this line is invisible to serves
-    _ann_flip_pointer(root, new_name)
+    # COMMIT — everything before this line is invisible to serves.
+    # The folded segments' stamp deltas move onto the generation line
+    # in the same atomic replace, so the derived stamp never wavers.
+    folded_n = gen_n + sum(s[1] for s in segs)
+    folded_fp = gen_fp + sum(s[2] for s in segs)
+    _ann_manifest_commit(root, (new_name, folded_n, folded_fp), ())
     for name in os.listdir(root):
         if (
-            name == "postings" or name.startswith("postings_gen")
+            name == "postings" or name.startswith(("postings_gen", "postings_seg"))
         ) and name != new_name:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     return rewrite
@@ -2317,8 +2505,8 @@ def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
 def _ann_lay_ingest_history(spark: SparkSession, sf_dir: str, suffix: str) -> None:
     """Simulate the real multi-day ingest history both compaction verbs
     start from: base index built EXCLUDING two ~10% slices, which then
-    arrive as two separate ``_ann_append`` days — leaving ≥3 write
-    generations of files per cell."""
+    arrive as two separate ``_ann_append`` days — leaving a base
+    generation plus two live append segments (three layout legs)."""
     d1 = F.pmod(F.col("vec_id"), F.lit(10)) == 3
     d2 = F.pmod(F.col("vec_id"), F.lit(10)) == 7
     _build_ann_index(spark, sf_dir, corpus_filter=~(d1 | d2), suffix=suffix)
@@ -2336,15 +2524,19 @@ def _ann_compact_and_prove(
     with_files_collapsed: bool,
 ) -> DataFrame:
     """Shared proof block of both compaction verbs: snapshot the live
-    postings' (count, decimal Σ xxhash64) identity, run the crash-safe
-    swap, and emit the audit row over the swapped-in files — content
-    identity, stamp validity, and (full verb only) the strict file
-    collapse.  One definition so the identity proof can never diverge
-    between the bundled and amortized keys."""
-    files_before = _count_part_files(ppath)
+    postings' (count, decimal Σ xxhash64) identity — across the base
+    generation AND every live append segment — run the crash-safe
+    swap, and emit the audit row over the swapped-in files: content
+    identity, stamp validity (against the DERIVED stamp: meta +
+    manifest deltas), and (full verb only) the strict file collapse.
+    One definition so the identity proof can never diverge between
+    the bundled and amortized keys."""
+    root = os.path.dirname(ppath)
+    live_before = _ann_live_paths(root)
+    files_before = sum(_count_part_files(p) for p in live_before)
     row_hash = F.xxhash64("cell", "vec_id", "emb").cast("decimal(38,0)")
     before = (
-        spark.read.parquet(ppath)
+        _ann_read_postings(spark, live_before)
         .agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum(row_hash), F.lit(0).cast("decimal(38,0)")).alias("h"),
@@ -2356,6 +2548,7 @@ def _ann_compact_and_prove(
     files_after = _count_part_files(ppath)
 
     meta = spark.read.parquet(mpath).collect()[0]
+    eff_n, _eff_fp, _manifest = _ann_effective_stamp(root, meta)
     compacted = spark.read.parquet(ppath)
     cols = [
         F.countDistinct("vec_id").alias("n_vectors"),
@@ -2371,7 +2564,7 @@ def _ann_compact_and_prove(
     if with_files_collapsed:
         cols.append(F.lit(files_after < files_before).alias("files_collapsed"))
     cols.append(
-        (F.countDistinct("vec_id") == F.lit(int(meta["corpus_n"]))).alias(
+        (F.countDistinct("vec_id") == F.lit(int(eff_n))).alias(
             "stamp_still_valid"
         )
     )
@@ -2392,17 +2585,20 @@ def _ann_compact_and_prove(
 def sink_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files COMPACTION of the persisted IVF index — the fourth
     verb of the ANN lifecycle (build → serve → refresh → COMPACT).
-    Every incremental refresh appends at least one new file into each
-    touched cell directory; after weeks of daily ingest a probe's
-    partition-pruned read opens dozens of tiny files per cell, and
+    Every incremental refresh commits a new append SEGMENT; after
+    weeks of daily ingest a probe's partition-pruned read fans out
+    across dozens of segment legs with tiny per-cell files, and
     open/footer overhead starts to dominate the very seek the
-    partitioning exists to make cheap.  The maintenance job rewrites
-    each cell's postings into ONE file (``repartition("cell")`` hash-
-    routes every cell wholly into one task, so the partitionBy write
-    emits exactly one file per cell directory), written as a NEW
-    GENERATION directory (``postings_gen<N>``) and committed by an
-    atomic pointer-file flip (``_ann_flip_pointer``: fsync'd temp +
-    ``os.replace``) — genuinely atomic, unlike a directory-rename
+    partitioning exists to make cheap.  The maintenance job folds the
+    base generation plus every live segment and rewrites each cell's
+    postings into ONE file (``repartition("cell")`` hash-routes every
+    cell wholly into one task, so the partitionBy write emits exactly
+    one file per cell directory), written as a NEW GENERATION
+    directory (``postings_gen<N>``) and committed by an atomic
+    manifest replace (``_ann_manifest_commit``: fsync'd temp +
+    ``os.replace``, the folded segments' stamp deltas carried onto the
+    generation line in the same write) — genuinely atomic, unlike a
+    directory-rename
     dance: POSIX cannot rename over a non-empty dir, so the round-11
     two-rename swap had a window with NO postings dir at all.  Now a
     crash at ANY point leaves a servable index: before the flip the
@@ -2417,15 +2613,16 @@ def sink_ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb) equal before vs after — a dropped, duplicated, or corrupted
     posting breaks the hash), the file collapse itself (strictly
     fewer data files; tests additionally pin exactly one per cell),
-    and stamp validity (the meta corpus fingerprint, untouched by the
-    rewrite, still describes the compacted postings' distinct
-    vectors — compaction must never need a restamp, because it moves
-    bytes, not content).
+    and stamp validity (the DERIVED corpus fingerprint — meta plus the
+    manifest deltas the commit carried onto the generation line —
+    still describes the compacted postings' distinct vectors;
+    compaction must never need a meta restamp, because it moves bytes,
+    not content).
 
     Setup simulates the real ingest history: the base index is built
     EXCLUDING two ~10% slices which then arrive as two separate
-    ``_ann_append`` days, leaving ≥3 write generations of files per
-    cell before compaction."""
+    ``_ann_append`` days, leaving a base generation plus two live
+    append segments before compaction."""
     suffix = "_compact"
     _ann_lay_ingest_history(spark, sf_dir, suffix)
     _, ppath, mpath = _ann_index_paths(sf_dir, suffix)
@@ -2484,6 +2681,10 @@ def sink_ann_index_compact_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         if meta["writer_version"] != _ANN_WRITER_VERSION:
             raise ValueError("stale writer version")
         _ann_check_geometry(spark, cpath, meta)
+        # a manifest naming a vanished append segment raises
+        # FileNotFoundError here, INSIDE the gate — rebuild route,
+        # never a hard key failure from the proof block's read
+        _ann_live_paths(os.path.dirname(mpath))
         _ann_validate_corpus(sf_dir, mpath, meta, emb)
     except (FileNotFoundError, ValueError) + _SPARK_READ_ERRORS as ex:
         # _SPARK_READ_ERRORS: a TORN meta/centroids parquet (crash
@@ -2560,8 +2761,12 @@ def _serve_from_ann_index(
     np.put_along_axis(probe_mask, probe_rank, True, axis=1)
     probed_cells = sorted({int(c) for c in probe_rank.reshape(-1)})
 
+    # live layout = base generation + append segments (manifest order),
+    # one flat union with the cell filter pruning unprobed partition
+    # dirs on EVERY leg (round-13 design note)
+    live = _ann_live_paths(os.path.dirname(mpath))
     post = (
-        spark.read.parquet(ppath)
+        _ann_read_postings(spark, live)
         # partition pruning: only the probed cell directories are read
         .filter(F.col("cell").isin(probed_cells))
         # the query slice is not part of the served corpus (mirror of

@@ -557,8 +557,11 @@ def test_ivf_refresh_delta_actually_served(spark, sf_dir):
     vacuously if appended vectors never surfaced in any top-k.  Prove
     the refresh is OBSERVABLE: after the key runs, serve the refreshed
     index directly and assert (a) delta vectors (vec_id % 10 == 7)
-    appear among served results, (b) the postings dir actually grew by
-    m x |delta| rows, and (c) the key's flags are all green."""
+    appear among served results, (b) the live postings layout (base
+    generation + append segments) actually grew by m x |delta| rows,
+    and (c) the key's flags are all green."""
+    import os
+
     from pyspark_caffe_spark.queries.scale_ops import (
         _ann_index_paths,
         _serve_from_ann_index,
@@ -574,28 +577,35 @@ def test_ivf_refresh_delta_actually_served(spark, sf_dir):
     n_delta_hits = served.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7).count()
     assert n_delta_hits > 0, "no appended vector ever surfaced in a top-k"
 
+    import pyspark_caffe_spark.queries.scale_ops as so
+
     emb = load_table(spark, sf_dir, "embeddings")
     n_all = emb.count()
     n_delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7).count()
     _, ppath, mpath = _ann_index_paths(sf_dir, "_refresh")
-    n_postings = spark.read.parquet(ppath).count()
+    root = os.path.dirname(mpath)
+    live = so._ann_live_paths(root)
+    assert len(live) == 2, "one append day = base generation + ONE segment"
+    n_postings = so._ann_read_postings(spark, live).count()
     assert n_postings == 3 * n_all, (n_postings, n_all, n_delta)
 
-    # round-11 (r10 advice): the append RESTAMPS meta, so the on-disk
-    # stamp describes the postings actually on disk — the guarded
-    # serve must validate the refreshed index as the FULL corpus.
+    # round-14 (segment append): meta keeps the BASE stamp — the
+    # append commits its fingerprint delta through the manifest, never
+    # by rewriting meta (no restamp write exists to tear) — and the
+    # DERIVED stamp (meta + manifest deltas) describes the full
+    # corpus, so a guarded serve must validate the appended index.
     # Cache cleared first: the key's own after-serve already validated
-    # and cached this generation, which would make the assertion
-    # vacuous (round-11 review finding) — this serve must re-run the
-    # actual fingerprint comparison against the restamp.
-    import pyspark_caffe_spark.queries.scale_ops as so
-
+    # and cached this layout, which would make the assertion vacuous
+    # (round-11 review finding) — this serve must re-run the actual
+    # fingerprint comparison against the derived stamp.
     meta = spark.read.parquet(mpath).collect()[0]
-    assert meta.corpus_n == n_all, (meta.corpus_n, n_all)
+    assert meta.corpus_n == n_all - n_delta, (meta.corpus_n, n_all, n_delta)
+    eff_n, _eff_fp, _manifest = so._ann_effective_stamp(root, meta)
+    assert eff_n == n_all, (eff_n, n_all)
     so._ANN_VALIDATED.clear()
     assert _serve_from_ann_index(
         spark, sf_dir, with_recall=False, suffix="_refresh", validate_corpus=True
-    ).count() > 0, "restamped refresh index spuriously refused"
+    ).count() > 0, "appended refresh index spuriously refused"
 
 
 def test_ann_index_compact_one_file_per_cell(spark, sf_dir):
@@ -854,8 +864,9 @@ def test_ann_compact_only_reuses_index_and_keeps_meta(spark, sf_dir):
     postings generation via the pointer (the crash-safe swap), (c)
     keep the one-file-per-cell layout, and (d) report content
     identity + stamp validity.  A second invocation must reuse again
-    (the validation cache survives postings rewrites because
-    compaction never touches meta)."""
+    (meta is still byte-identical; the manifest's generation line
+    changed, so the corpus guard re-runs one thin scan against the
+    unchanged derived stamp and passes — round-14 segment manifest)."""
     import os
 
     import pyspark_caffe_spark.queries.scale_ops as so
@@ -1005,8 +1016,202 @@ def test_ann_gate_routes_only_artifact_failures():
     ):
         assert not so._is_artifact_read_failure(FakeJvmError(msg)), msg
 
-    # AnalysisException is artifact-shaped by nature (absent path /
-    # unreadable schema)
+    # AnalysisException routes ONLY with an artifact-shaped errorClass/
+    # message (round-13 advisory: isinstance alone would route a
+    # genuine code bug — UNRESOLVED_COLUMN raised inside the gated
+    # serve/validate calls — to a silent rebuild+retry, masking the
+    # bug and turning the pure-serve metric into serve+build)
     if so._AnalysisException is not None:
-        ex = so._AnalysisException("[PATH_NOT_FOUND] Path does not exist")
-        assert so._is_artifact_read_failure(ex)
+        for msg in (
+            "[PATH_NOT_FOUND] Path does not exist: file:/x/meta",
+            "[UNABLE_TO_INFER_SCHEMA] Unable to infer schema for Parquet",
+            "[FAILED_READ_FILE.CANNOT_READ_FILE_FOOTER] Could not read footer",
+        ):
+            assert so._is_artifact_read_failure(so._AnalysisException(msg)), msg
+        for msg in (
+            "[UNRESOLVED_COLUMN.WITH_SUGGESTION] A column or function "
+            "parameter with name `vec_idd` cannot be resolved.",
+            "[DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES] Cannot resolve "
+            '"(cell + emb)" due to data type mismatch.',
+        ):
+            assert not so._is_artifact_read_failure(
+                so._AnalysisException(msg)
+            ), msg
+
+    # stack-FRAME lines never classify: a frame whose class name
+    # contains a needle (e.g. a checksum helper in the trace of an
+    # unrelated error) is noise, while a "Caused by:" HEADER line is a
+    # real wrapped cause and still routes
+    frame_only = FakeJvmError(
+        "java.lang.RuntimeException: task failed\n"
+        "\tat org.apache.hadoop.fs.FAILED_READ_FILE_Helper.run(X.java:1)\n"
+        "\tat org.apache.spark.scheduler.Task.run(Task.scala:139)"
+    )
+    assert not so._is_artifact_read_failure(frame_only)
+    wrapped_cause = FakeJvmError(
+        "org.apache.spark.SparkException: Job aborted due to stage failure\n"
+        "\tat org.apache.spark.scheduler.DAGScheduler.abort(D.scala:2)\n"
+        "Caused by: org.apache.hadoop.fs.ChecksumException: Checksum error"
+    )
+    assert so._is_artifact_read_failure(wrapped_cause)
+
+
+def test_ann_append_crash_orphan_invisible_and_gcd(spark, sf_dir):
+    """Round-14 (segment append): the crash-walk for the APPEND path.
+    A crash mid-segment-write leaves an orphan ``postings_seg<N>`` dir
+    that no manifest names — it must be (a) invisible to serves, (b)
+    never collide with the next append's segment number, and (c)
+    garbage-collected by the next compact.  The committed append must
+    leave meta BYTE-UNTOUCHED (no restamp write exists to tear) while
+    the derived stamp covers the delta."""
+    import os
+    import shutil
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+    from pyspark_caffe_spark.tables import load_table
+
+    suffix = "_segcrash"
+    delta_pred = F.pmod(F.col("vec_id"), F.lit(10)) == 7
+    so._build_ann_index(spark, sf_dir, corpus_filter=~delta_pred, suffix=suffix)
+    _, ppath, mpath = so._ann_index_paths(sf_dir, suffix)
+    root = os.path.dirname(mpath)
+    meta_sig_base = so._path_sig(mpath)
+
+    baseline = (
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+        .count()
+    )
+    assert baseline > 0
+
+    # --- crash: segment fully written, manifest NOT extended ---
+    # (simulated exactly as _ann_append would leave it: a complete
+    # cell-partitioned dir under the next segment name)
+    orphan = os.path.join(root, "postings_seg1")
+    (
+        spark.read.parquet(ppath)
+        .limit(50)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(orphan)
+    )
+    assert so._ann_live_paths(root) == [ppath], "orphan must be invisible"
+    assert (
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+        .count()
+        == baseline
+    ), "crash between segment write and manifest commit changed the serve"
+
+    # --- a real append from the crash state: picks seg2, not seg1 ---
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    so._ann_append(spark, sf_dir, suffix, emb.filter(delta_pred))
+    live = so._ann_live_paths(root)
+    assert [os.path.basename(p) for p in live] == ["postings", "postings_seg2"], (
+        "append must skip the crash orphan's number"
+    )
+    assert so._path_sig(mpath) == meta_sig_base, (
+        "append rewrote meta — segments must commit through the manifest only"
+    )
+    meta = spark.read.parquet(mpath).collect()[0]
+    eff_n, _fp, _m = so._ann_effective_stamp(root, meta)
+    assert eff_n == emb.count(), "derived stamp must cover the appended delta"
+
+    # guarded serve validates the appended layout (fresh comparison)
+    so._ANN_VALIDATED.clear()
+    assert (
+        so._serve_from_ann_index(
+            spark, sf_dir, with_recall=False, suffix=suffix, validate_corpus=True
+        ).count()
+        == baseline
+    )
+
+    # --- compact folds the live segment AND GCs the orphan ---
+    new_ppath = so._ann_compact_postings(spark, so._ann_index_paths(sf_dir, suffix)[1])
+    leftovers = sorted(
+        n
+        for n in os.listdir(root)
+        if n == "postings" or n.startswith(("postings_gen", "postings_seg"))
+    )
+    assert leftovers == [os.path.basename(new_ppath)], leftovers
+    # folded deltas carried onto the generation line: stamp unchanged
+    eff_n2, _fp2, _m2 = so._ann_effective_stamp(root, meta)
+    assert eff_n2 == eff_n, "compaction must not change the derived stamp"
+    so._ANN_VALIDATED.clear()
+    assert (
+        so._serve_from_ann_index(
+            spark, sf_dir, with_recall=False, suffix=suffix, validate_corpus=True
+        ).count()
+        == baseline
+    ), "post-compact layout does not serve"
+
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ann_vanished_segment_fails_loud_then_rebuilds(spark, sf_dir):
+    """A manifest naming a VANISHED segment is a manual deletion of
+    committed corpus data: the serve path must fail LOUD
+    (FileNotFoundError — silently serving without the segment would
+    drop appended vectors), and the maintenance gate must route it to
+    the rebuild path, not crash the key."""
+    import os
+    import shutil
+
+    import pytest
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    # the ingest history leaves base + two committed segments
+    suffix = "_compact"
+    so._ann_lay_ingest_history(spark, sf_dir, suffix)
+    _, ppath, mpath = so._ann_index_paths(sf_dir, suffix)
+    root = os.path.dirname(mpath)
+    live = so._ann_live_paths(root)
+    assert len(live) == 3, "test premise: base + two segments"
+
+    shutil.rmtree(live[1])  # delete a committed segment
+    so._ANN_VALIDATED.clear()
+    with pytest.raises(FileNotFoundError):
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+
+    # the gated maintenance verb recovers via its rebuild route
+    row = QUERIES["sink_ann_index_compact_only"](spark, sf_dir).collect()[0]
+    assert row.content_identical and row.stamp_still_valid
+
+
+def test_ann_manifest_parse_defensive(tmp_path):
+    """Torn/garbage manifest content must resolve to the base layout
+    (the serve path's existence checks then fail loud with the rebuild
+    route if base is gone) — never raise, never escape root."""
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    root = str(tmp_path)
+    mf = tmp_path / so._ANN_GEN_POINTER
+
+    # absent file → base, no segments
+    assert so._ann_manifest_read(root) == so._ANN_MANIFEST_BASE
+
+    # healthy manifest round-trips, commit is atomic-replace + fsync
+    so._ann_manifest_commit(
+        root, ("postings_gen3", 7, -123), (("postings_seg2", 5, 99),)
+    )
+    assert so._ann_manifest_read(root) == (
+        "postings_gen3",
+        7,
+        -123,
+        (("postings_seg2", 5, 99),),
+    )
+
+    # bare name (pre-segment pointer file) → that gen, delta 0
+    mf.write_text("postings_gen7\n")
+    assert so._ann_manifest_read(root) == ("postings_gen7", 0, 0, ())
+
+    # garbage → base fallback
+    for junk in ("", "   \n", "a b\n", "gen one two\n", "g 1 2 3\n", "/\n"):
+        mf.write_text(junk)
+        assert so._ann_manifest_read(root) == so._ANN_MANIFEST_BASE, repr(junk)
+
+    # path-traversal names are basename()-d, never escape root
+    mf.write_text("../../etc 1 2\n")
+    name, _n, _fp, _segs = so._ann_manifest_read(root)
+    assert name == "etc"
