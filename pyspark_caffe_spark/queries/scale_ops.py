@@ -1695,15 +1695,17 @@ def _ann_postings_current(root: str) -> str:
     return os.path.join(root, "postings")
 
 
-def _ann_live_paths(root: str) -> list[str]:
+def _ann_live_paths(root: str, manifest: tuple | None = None) -> list[str]:
     """Every live postings dir under ``root`` in manifest order: the
     base generation plus the append segments.  The base generation
     gets the same vanished-dir→base fallback the pointer always had;
     a manifest naming a VANISHED SEGMENT raises FileNotFoundError with
     the rebuild route — a committed segment is part of the corpus, so
     silently serving without it would drop appended vectors (fails
-    loud, the reuse gates route it to rebuild)."""
-    name, _n, _fp, segs = _ann_manifest_read(root)
+    loud, the reuse gates route it to rebuild).  Callers that already
+    parsed the manifest pass it through, so one serve observes ONE
+    layout snapshot rather than re-reading mutable state per helper."""
+    name, _n, _fp, segs = manifest or _ann_manifest_read(root)
     base = os.path.join(root, name)
     if not os.path.isdir(base):
         base = os.path.join(root, "postings")
@@ -1718,6 +1720,20 @@ def _ann_live_paths(root: str) -> list[str]:
             )
         paths.append(seg)
     return paths
+
+
+def _ann_max_dir_num(root: str, prefix: str) -> int:
+    """Highest ``<prefix><N>`` directory number present under ``root``
+    (0 when none) — the on-disk half of the orphan-collision rule
+    shared by the compaction swap (``postings_gen``) and the segment
+    append (``postings_seg``): new dirs number past everything on
+    disk, so a crash orphan can never collide with the next write."""
+    nums = [
+        int(n[len(prefix):])
+        for n in os.listdir(root)
+        if n.startswith(prefix) and n[len(prefix):].isdigit()
+    ]
+    return max(nums, default=0)
 
 
 def _ann_read_postings(spark: SparkSession, paths: list[str]) -> DataFrame:
@@ -1736,7 +1752,9 @@ def _ann_read_postings(spark: SparkSession, paths: list[str]) -> DataFrame:
     )
 
 
-def _ann_effective_stamp(root: str, meta) -> tuple[int, str, tuple]:
+def _ann_effective_stamp(
+    root: str, meta, manifest: tuple | None = None
+) -> tuple[int, str, tuple]:
     """The corpus stamp the live index ACTUALLY describes: the meta
     stamp (written once at build time, never rewritten by appends)
     plus the manifest deltas — the base generation's folded-in delta
@@ -1744,7 +1762,7 @@ def _ann_effective_stamp(root: str, meta) -> tuple[int, str, tuple]:
     by construction ((count, Σ xxhash64(vec_id))), so the derivation
     is exact.  Returns (corpus_n, corpus_fp, manifest) where manifest
     is the parsed tuple — callers key the validation cache on it."""
-    name, gen_n, gen_fp, segs = _ann_manifest_read(root)
+    name, gen_n, gen_fp, segs = manifest or _ann_manifest_read(root)
     n = int(meta["corpus_n"]) + gen_n + sum(s[1] for s in segs)
     fp = int(meta["corpus_fp"]) + gen_fp + sum(s[2] for s in segs)
     return n, str(fp), (name, gen_n, gen_fp, segs)
@@ -2331,12 +2349,29 @@ def _ann_append(spark: SparkSession, sf_dir: str, suffix: str, delta: DataFrame)
     meta = spark.read.parquet(mpath).collect()[0]
     cent_rows = spark.read.parquet(cpath).orderBy("cell").collect()
     centroids = np.stack([np.array(r["centroid"]) for r in cent_rows])
-    seg_nums = [
-        int(n[len("postings_seg"):])
-        for n in os.listdir(root)
-        if n.startswith("postings_seg") and n[len("postings_seg"):].isdigit()
+    # an EMPTY delta must be a no-op (the in-place append it replaced
+    # effectively was one): a zero-row partitionBy write emits a dir
+    # with no data files, and a committed manifest line naming it
+    # would poison every later read with UNABLE_TO_INFER_SCHEMA
+    # (round-14 self-review finding)
+    d_n, d_fp = _ann_corpus_fingerprint(delta)
+    if d_n == 0:
+        return
+    gen_name, gen_n, gen_fp, segs = _ann_manifest_read(root)
+    # next segment number = past everything on disk (crash orphans)
+    # AND everything the manifest names (a committed segment whose dir
+    # was manually deleted — reusing its name would duplicate the
+    # manifest line, double-counting its stale delta; round-14
+    # self-review finding).  The deleted segment itself stays the
+    # fail-loud _ann_live_paths case.
+    named = [
+        int(s[0][len("postings_seg"):])
+        for s in segs
+        if s[0].startswith("postings_seg")
+        and s[0][len("postings_seg"):].isdigit()
     ]
-    seg_name = f"postings_seg{max(seg_nums, default=0) + 1}"
+    next_num = max([_ann_max_dir_num(root, "postings_seg"), *named]) + 1
+    seg_name = f"postings_seg{next_num}"
     seg_dir = os.path.join(root, seg_name)
     (
         _ann_assign(delta, centroids, int(meta["m"]))
@@ -2344,11 +2379,9 @@ def _ann_append(spark: SparkSession, sf_dir: str, suffix: str, delta: DataFrame)
         .partitionBy("cell")
         .parquet(seg_dir)
     )
-    d_n, d_fp = _ann_corpus_fingerprint(delta)
     # durability fence BEFORE the commit (files + dirs + the segment's
     # entry in root): the manifest must never name a torn segment
     _fsync_tree(seg_dir)
-    gen_name, gen_n, gen_fp, segs = _ann_manifest_read(root)
     _ann_manifest_commit(
         root,
         (gen_name, gen_n, gen_fp),
@@ -2392,7 +2425,9 @@ def _ann_check_geometry(spark: SparkSession, cpath: str, meta) -> "np.ndarray":
     return centroids
 
 
-def _ann_validate_corpus(sf_dir: str, mpath: str, meta, emb: DataFrame) -> None:
+def _ann_validate_corpus(
+    sf_dir: str, mpath: str, meta, emb: DataFrame, manifest: tuple | None = None
+) -> None:
     """Reuse-path corpus guard, shared by the serve path and the
     maintenance verbs: geometry validation alone cannot tell that the
     DATASET under this sf tag was regenerated/swapped since the index
@@ -2412,7 +2447,7 @@ def _ann_validate_corpus(sf_dir: str, mpath: str, meta, emb: DataFrame) -> None:
     the derived stamp depends on, and it keeps an absent manifest
     (fresh build) cacheable."""
     root = os.path.dirname(mpath)
-    eff_n, eff_fp, manifest = _ann_effective_stamp(root, meta)
+    eff_n, eff_fp, manifest = _ann_effective_stamp(root, meta, manifest)
     meta_sig = _path_sig(mpath)
     emb_sig = _path_sig(f"{sf_dir}/embeddings.parquet")
     cache_key = (
@@ -2465,14 +2500,10 @@ def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
     import shutil
 
     root = os.path.dirname(ppath)
-    live = _ann_live_paths(root)
-    _gname, gen_n, gen_fp, segs = _ann_manifest_read(root)
-    gens = [
-        int(n[len("postings_gen"):])
-        for n in os.listdir(root)
-        if n.startswith("postings_gen") and n[len("postings_gen"):].isdigit()
-    ]
-    new_name = f"postings_gen{max(gens, default=0) + 1}"
+    manifest = _ann_manifest_read(root)
+    live = _ann_live_paths(root, manifest)
+    _gname, gen_n, gen_fp, segs = manifest
+    new_name = f"postings_gen{_ann_max_dir_num(root, 'postings_gen') + 1}"
     rewrite = os.path.join(root, new_name)
     (
         _ann_read_postings(spark, live)
@@ -2748,8 +2779,12 @@ def _serve_from_ann_index(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    # ONE manifest parse per serve, threaded through the guard and the
+    # live-path resolution below — a single observation point of the
+    # (mutable) layout state, not three (round-14 self-review)
+    manifest = _ann_manifest_read(os.path.dirname(mpath))
     if validate_corpus:
-        _ann_validate_corpus(sf_dir, mpath, meta, emb)
+        _ann_validate_corpus(sf_dir, mpath, meta, emb, manifest)
     # bounded query slice (same contract as sim_knn_ivf_batch: a fixed
     # hash-exact slice, capped so the serving pass is O(N), not O(N²))
     qpred = (F.pmod(F.col("vec_id"), F.lit(20)) == 3) & (F.col("vec_id") < 2000)
@@ -2764,7 +2799,7 @@ def _serve_from_ann_index(
     # live layout = base generation + append segments (manifest order),
     # one flat union with the cell filter pruning unprobed partition
     # dirs on EVERY leg (round-13 design note)
-    live = _ann_live_paths(os.path.dirname(mpath))
+    live = _ann_live_paths(os.path.dirname(mpath), manifest)
     post = (
         _ann_read_postings(spark, live)
         # partition pruning: only the probed cell directories are read

@@ -1179,6 +1179,91 @@ def test_ann_vanished_segment_fails_loud_then_rebuilds(spark, sf_dir):
     assert row.content_identical and row.stamp_still_valid
 
 
+def test_ann_append_empty_delta_is_noop(spark, sf_dir):
+    """Round-14 self-review finding: a zero-row delta must be a NO-OP.
+    A zero-row partitionBy write emits a dir with no data files; if
+    the manifest committed a line naming it, every later read of the
+    live layout would die with UNABLE_TO_INFER_SCHEMA — hard-failing
+    the refresh key and silently converting serve_only's pure-serve
+    metric into serve+build via its artifact gate."""
+    import os
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+    from pyspark_caffe_spark.tables import load_table
+
+    suffix = "_emptyseg"
+    so._build_ann_index(spark, sf_dir, suffix=suffix)
+    _, ppath, mpath = so._ann_index_paths(sf_dir, suffix)
+    root = os.path.dirname(mpath)
+    manifest_before = so._ann_manifest_read(root)
+    baseline = (
+        so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+        .count()
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    so._ann_append(spark, sf_dir, suffix, emb.filter(F.lit(False)))
+
+    assert so._ann_manifest_read(root) == manifest_before, (
+        "empty append must not commit a manifest line"
+    )
+    assert not any(
+        n.startswith("postings_seg") for n in os.listdir(root)
+    ), "empty append must not leave a segment dir"
+    so._ANN_VALIDATED.clear()
+    assert (
+        so._serve_from_ann_index(
+            spark, sf_dir, with_recall=False, suffix=suffix, validate_corpus=True
+        ).count()
+        == baseline
+    )
+
+
+def test_ann_append_never_reuses_vanished_segment_number(spark, sf_dir):
+    """Round-14 self-review finding: the next segment number must
+    clear BOTH everything on disk AND everything the manifest names —
+    a committed segment whose dir was manually deleted would otherwise
+    get its name reused, duplicating the manifest line (double-read of
+    the new data, double-counted stale delta) instead of the designed
+    fail-loud FileNotFoundError."""
+    import os
+    import shutil
+
+    import pytest
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+    from pyspark_caffe_spark.tables import load_table
+
+    suffix = "_segreuse"
+    so._ann_lay_ingest_history(spark, sf_dir, suffix)
+    _, _, mpath = so._ann_index_paths(sf_dir, suffix)
+    root = os.path.dirname(mpath)
+    live = so._ann_live_paths(root)
+    assert [os.path.basename(p) for p in live] == [
+        "postings", "postings_seg1", "postings_seg2",
+    ]
+
+    shutil.rmtree(live[2])  # vanish the committed seg2 dir
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    so._ann_append(
+        spark, sf_dir, suffix, emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 1)
+    )
+
+    _gen, _n, _fp, segs = so._ann_manifest_read(root)
+    names = [s[0] for s in segs]
+    assert names == ["postings_seg1", "postings_seg2", "postings_seg3"], names
+    assert len(set(names)) == len(names), "manifest must never repeat a segment"
+    # the vanished committed segment still fails loud (not silently
+    # served without, not double-counted)
+    with pytest.raises(FileNotFoundError):
+        so._ann_live_paths(root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def test_ann_manifest_parse_defensive(tmp_path):
     """Torn/garbage manifest content must resolve to the base layout
     (the serve path's existence checks then fail loud with the rebuild
