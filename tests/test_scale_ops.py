@@ -1264,6 +1264,98 @@ def test_ann_append_never_reuses_vanished_segment_number(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)
 
 
+def test_ann_segment_serve_prunes_every_leg(spark, sf_dir):
+    """The scale claim of the segment read path (round-13 design note):
+    the serve is a flat union whose ``cell IN (probed)`` filter pushes
+    into EVERY leg, so nprobe-bounded reads stay corpus-sublinear no
+    matter how many append segments are live.  Plan-locked: with a
+    base generation + one committed segment, the physical plan must
+    contain exactly TWO postings scans, each carrying the cell filter
+    in its PartitionFilters — and the serve's answers must equal the
+    compacted single-leg layout's answers exactly (the union is a
+    layout detail, never a semantics change)."""
+    import os
+    import re
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+    from pyspark_caffe_spark.tables import load_table
+
+    suffix = "_segplan"
+    delta_pred = F.pmod(F.col("vec_id"), F.lit(10)) == 7
+    so._build_ann_index(spark, sf_dir, corpus_filter=~delta_pred, suffix=suffix)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    so._ann_append(spark, sf_dir, suffix, emb.filter(delta_pred))
+    _, ppath, mpath = so._ann_index_paths(sf_dir, suffix)
+    root = os.path.dirname(mpath)
+    assert len(so._ann_live_paths(root)) == 2
+
+    served = so._serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+    plan = _plan(served)
+    # every postings leg (base + segment) partition-prunes on cell
+    leg_scans = [
+        m.start()
+        for m in re.finditer(r"PartitionFilters: \[[^\]]*cell", plan)
+    ]
+    assert len(leg_scans) >= 2, (
+        f"expected >=2 partition-pruned postings legs, found {len(leg_scans)}:\n"
+        + plan
+    )
+    before = sorted(
+        (r.qid, r.vec_id, round(r.cos, 6)) for r in served.collect()
+    )
+
+    # compaction folds to one leg; answers must be byte-identical
+    so._ann_compact_postings(spark, ppath)
+    after_served = so._serve_from_ann_index(
+        spark, sf_dir, with_recall=False, suffix=suffix
+    )
+    after_plan = _plan(after_served)
+    assert (
+        len(re.findall(r"PartitionFilters: \[[^\]]*cell", after_plan)) >= 1
+    )
+    after = sorted(
+        (r.qid, r.vec_id, round(r.cos, 6)) for r in after_served.collect()
+    )
+    assert before == after, "union layout changed the served answers"
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ann_manifest_roundtrip_property(tmp_path):
+    """Property test: any (gen, segments) manifest with legal dir
+    names and arbitrary int deltas (including negative fingerprint
+    sums and huge decimal(38) magnitudes) survives a commit→read
+    round-trip exactly, and the effective-stamp derivation equals the
+    plain sum."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    names = st.from_regex(r"postings(_gen[0-9]{1,6}|_seg[0-9]{1,6})?", fullmatch=True)
+    deltas = st.integers(min_value=-(10**37), max_value=10**37)
+    seg = st.tuples(names, st.integers(0, 10**12), deltas)
+
+    @settings(max_examples=60, deadline=None)
+    @given(gen=st.tuples(names, st.integers(0, 10**12), deltas),
+           segs=st.lists(seg, max_size=6))
+    def check(gen, segs):
+        root = str(tmp_path)
+        so._ann_manifest_commit(root, gen, tuple(segs))
+        got = so._ann_manifest_read(root)
+        assert got == (gen[0], gen[1], gen[2], tuple(segs))
+        meta = {"corpus_n": 11, "corpus_fp": "42"}
+        n, fp, manifest = so._ann_effective_stamp(root, meta)
+        assert n == 11 + gen[1] + sum(s[1] for s in segs)
+        assert int(fp) == 42 + gen[2] + sum(s[2] for s in segs)
+        assert manifest == got
+
+    check()
+
+
 def test_ann_manifest_parse_defensive(tmp_path):
     """Torn/garbage manifest content must resolve to the base layout
     (the serve path's existence checks then fail loud with the rebuild
