@@ -59,7 +59,14 @@ def _load_history() -> list[dict]:
     try:
         with open(HISTORY_PATH) as f:
             data = json.load(f)
+        # a hand-edited / partially-written file whose top level is not
+        # an object must degrade to "no history", never crash the bench
+        # (json.load on `[]`/`null` succeeds and .get would raise)
+        if not isinstance(data, dict):
+            return []
         runs = data.get("runs", [])
+        if not isinstance(runs, list):
+            return []
         return [r for r in runs if isinstance(r, dict)]
     except (OSError, ValueError):
         return []
@@ -298,8 +305,21 @@ def main() -> None:
     # side-channel ("best-case plan cost") for round-over-round
     # comparison.
     # SPARK_GRAFT_BENCH_REPS overrides the pass count (default 3;
-    # the round-9 controlled re-measure used 5 per the r8 verdict)
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # the round-9 controlled re-measure used 5 per the r8 verdict).
+    # Validated HERE, before the minutes-long warmup+calibration, so a
+    # bad value fails with the knob's name instead of a
+    # StatisticsError on the first query's empty sample list.
+    reps_raw = os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")
+    try:
+        reps = int(reps_raw)
+    except ValueError:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_REPS must be a positive integer, got {reps_raw!r}"
+        )
+    if reps < 1:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_REPS must be >= 1, got {reps}"
+        )
 
     def run_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
         med: dict[str, float] = {}
@@ -318,10 +338,20 @@ def main() -> None:
             best[name] = round(samples[0], 3)
         return med, best
 
-    try:
-        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        sf = None
+    # strict sf<float> basename parse (the old .replace('sf','') also
+    # stripped interior 'sf' substrings, and any suffix like
+    # sf0.1-v2 silently disabled the per-key drift detector via
+    # sf=None — the detector that caught the BENCH_r11 regression)
+    import re as _re
+
+    m = _re.fullmatch(r"sf(\d+(?:\.\d+)?)", os.path.basename(SF_DIR.rstrip("/")))
+    sf = float(m.group(1)) if m else None
+    if sf is None:
+        print(
+            f"warning: SF_DIR basename {os.path.basename(SF_DIR.rstrip('/'))!r} "
+            "is not 'sf<float>' — per-key drift detection is OFF for this run",
+            file=sys.stderr,
+        )
     history = _load_history()
     # reference pool is scoped to THIS run's scale factor: a smoke run
     # at sf0.001 writing 0.01-second medians into the pool would make
@@ -365,6 +395,9 @@ def main() -> None:
     # never flatters a contended run AND stays on the historical scale
     calib_norm = max(calib_cold, calib, calib_end)
     total = round(sum(timings.values()), 3)
+    # ONE definition of the printed suite vpc (was written out twice;
+    # a partial edit would let the detail and summary lines disagree)
+    vpc = round(total / calib_norm, 2) if calib_norm else None
     # Metric names: the query count is DERIVED from the headline list
     # (a hardcoded "22" would drift silently if HEADLINE changes), and
     # the summary line carries a distinct "(summary)" suffix so a
@@ -393,7 +426,7 @@ def main() -> None:
                 # that to first order, so round-over-round comparisons
                 # should use THIS number (and treat raw seconds as
                 # environment-dependent).
-                "value_per_calib": round(total / calib_norm, 2) if calib_norm else None,
+                "value_per_calib": vpc,
                 "sf": sf,
                 # per-key steal detector detail (summary carries the
                 # boolean; this line carries which keys drifted)
@@ -416,12 +449,23 @@ def main() -> None:
         if min(calib, calib_end) > 0
         else None
     )
+    # Cold-probe detector (round-14 self-review): the COLD probe is in
+    # the vpc divisor but was covered by NO detector — a steal burst
+    # hitting only the opening probe inflates calib_norm and silently
+    # FLATTERS vpc with contended=false.  JIT bias alone puts
+    # cold/warm at ~1.2-1.45x on this box (PERF.md r12/r14 probes), so
+    # the threshold is 2.0x vs the warm probe — above any observed
+    # compile noise, below the 2-3x a real burst moves a fixed job.
+    cold_hint = (
+        round(calib_cold / calib, 2) if calib > 0 else None
+    )
     # ONE definition of the flag: the printed summary and the history
     # record (which gates the clean reference pool) must never diverge.
     # Extras drift counts too — steal during the extras passes makes
     # the whole artifact suspect (both tiers ran in one process window)
     contended = (
         (load_hint is not None and load_hint > 1.3)
+        or (cold_hint is not None and cold_hint > 2.0)
         or drift_contended
         or extra_contended
     )
@@ -435,8 +479,8 @@ def main() -> None:
                 "calib_sec": calib_cold,
                 "calib_warm_sec": calib,
                 "calib_end_sec": calib_end,
-                "value_per_calib": round(total / calib_norm, 2) if calib_norm else None,
-                # contention telemetry, TWO detectors OR-ed:
+                "value_per_calib": vpc,
+                # contention telemetry, detectors OR-ed:
                 # (a) calib probes bracketing the suite disagree >1.3x
                 #     (a burst big enough to move the probe), and
                 # (b) per-key drift: >DRIFT_KEYS_MAX headline keys ran
@@ -446,6 +490,7 @@ def main() -> None:
                 # When contended=true, read value_per_calib, not raw
                 # seconds.
                 "load_hint": load_hint,
+                "cold_hint": cold_hint,
                 "drift_keys_n": len(drifted),
                 "drift_rerun": drift_rerun,
                 "drift_keys_extra_n": len(drifted_extra),
@@ -454,12 +499,21 @@ def main() -> None:
             }
         )
     )
+    # the record's vpc derives from the SAME timings the record stores
+    # (history_timings: pass-2 plain medians on a rerun) — on a rerun
+    # the printed vpc uses the min-merged total, and recording that
+    # against pass-2 queries would make the record self-inconsistent
+    # for any consumer recomputing sum(queries)/calib_norm_sec
+    # (round-14 self-review)
+    record_total = round(sum(history_timings.values()), 3)
     record = {
         "sf": sf,
         "queries": history_timings,
         "queries_extra": history_extra,
         "calib_norm_sec": calib_norm,
-        "value_per_calib": round(total / calib_norm, 2) if calib_norm else None,
+        "value_per_calib": (
+            round(record_total / calib_norm, 2) if calib_norm else None
+        ),
         "contended": contended,
     }
     if drift_rerun:

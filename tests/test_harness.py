@@ -530,3 +530,21 @@ def test_rotation_quota_covers_whole_oldest_expensive_tier(monkeypatch):
     order = order_with_tier(10, n_unswept=40)
     positions = sorted(order.index(k) for k in expensive[:10])
     assert sum(1 for p in positions if p < 50) == 8, positions
+
+
+def test_bench_history_loader_degrades_on_garbage(tmp_path, monkeypatch):
+    """Round-14 self-review: a BENCH_MEDIANS.json whose top level is
+    not a {"runs": [...]} object (hand edit, partial write, legacy
+    format) must degrade to an EMPTY history — never crash the bench
+    run with AttributeError before any output is produced."""
+    import bench
+
+    path = tmp_path / "BENCH_MEDIANS.json"
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(path))
+    for garbage in ("[]", "null", '"a string"', '{"runs": 7}',
+                    '{"runs": [1, 2, "x"]}', "{not json"):
+        path.write_text(garbage)
+        assert bench._load_history() == [], repr(garbage)
+    # a healthy file still loads
+    path.write_text('{"version": 1, "runs": [{"queries": {"a": 1.0}}]}')
+    assert bench._load_history() == [{"queries": {"a": 1.0}}]
