@@ -86,8 +86,9 @@ def build_slice_dirs(super_dir: str) -> dict[str, str]:
     the FULL 100× versions: keys like dedup_embed_cosine join
     embeddings→documents, and only the quadratic side needs bounding.
 
-    * emb8k  — embeddings limited to vec_id < 8192 (4× sf0.1 corpus,
-               16× the pair count; quadratic oracle ~2e9 flops);
+    * emb8k  — first 8192 embeddings by vec_id, spanning 4+ replicas
+               (4× sf0.1 corpus, 16× the pair count; quadratic oracle
+               ~4e9 flops);
     * docs20k — first 20k documents by doc_id (4× sf0.1 corpus);
     * ev2pct — whole per-user event histories (user_id % 50 = 0, ~2%
                of rows) for the supplemental win_ewma float check.
@@ -97,8 +98,13 @@ def build_slice_dirs(super_dir: str) -> dict[str, str]:
     specs = {
         "emb8k": (
             "embeddings",
+            # ORDER BY + LIMIT, not a WHERE bound: the replicator
+            # offsets vec_id by 10M per replica, so `vec_id < 8192`
+            # matched ONLY replica 0's 2000 vectors — exactly the
+            # sf0.1 fixture, not the claimed 4x corpus (round-14
+            # self-review finding; the docs20k spec had it right)
             f"SELECT * FROM read_parquet('{super_dir}/embeddings.parquet') "
-            "WHERE vec_id < 8192 ORDER BY vec_id",
+            "ORDER BY vec_id LIMIT 8192",
         ),
         "docs20k": (
             "documents",
@@ -111,6 +117,8 @@ def build_slice_dirs(super_dir: str) -> dict[str, str]:
             "WHERE user_id % 50 = 0 ORDER BY event_id",
         ),
     }
+    import hashlib
+
     dirs: dict[str, str] = {}
     for kind, (sliced_table, sql) in specs.items():
         d = f"{super_dir.rstrip('/')}_{kind}"
@@ -120,9 +128,24 @@ def build_slice_dirs(super_dir: str) -> dict[str, str]:
         # a slice surviving a dataset REGENERATION would mix
         # generations (stale sliced table joined against freshly
         # symlinked full tables) — rebuild whenever the source is
-        # newer than the slice, not just when the slice is absent
-        stale = os.path.exists(pq) and os.path.exists(src) and (
-            os.path.getmtime(src) > os.path.getmtime(pq)
+        # newer than the slice, not just when the slice is absent.
+        # A SPEC edit must self-invalidate too (mtime can't see it):
+        # the spec SQL's hash is recorded next to the slice and any
+        # mismatch forces a rebuild (round-14 self-review finding —
+        # without this, fixing a wrong bound silently reuses the old
+        # slice parquet forever).
+        spec_file = os.path.join(d, f"_SLICE_SPEC_{sliced_table}")
+        spec_hash = hashlib.sha256(sql.encode()).hexdigest()
+        try:
+            spec_stale = open(spec_file).read().strip() != spec_hash
+        except OSError:
+            spec_stale = True
+        stale = os.path.exists(pq) and (
+            spec_stale
+            or (
+                os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(pq)
+            )
         )
         if stale:
             os.remove(pq)
@@ -130,6 +153,8 @@ def build_slice_dirs(super_dir: str) -> dict[str, str]:
             con = duckdb.connect()
             con.execute(f"COPY ({sql}) TO '{pq}' (FORMAT PARQUET)")
             con.close()
+            with open(spec_file, "w") as f:
+                f.write(spec_hash + "\n")
         for t in _TABLES:
             if t == sliced_table:
                 continue
@@ -161,6 +186,22 @@ def digest_exprs(schema) -> tuple[list[str], list[str]]:
         if t in ("tinyint", "smallint", "int", "bigint"):
             s_exprs.append(f"SUM(CAST(`{c}` AS DECIMAL(38,0)))")
             d_exprs.append(f'SUM(CAST("{c}" AS DECIMAL(38,0)))')
+        elif t.startswith("decimal"):
+            # decimal sums are exact cross-engine too; scale to
+            # integer units so the digest keeps the fractional part
+            # (int() truncation of a fractional sum would mask
+            # divergence below one whole unit — round-14 self-review)
+            import re as _re
+
+            m = _re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
+            scale = int(m.group(2)) if m else 0
+            mult = 10 ** scale
+            s_exprs.append(
+                f"SUM(CAST(`{c}` * {mult} AS DECIMAL(38,0)))"
+            )
+            d_exprs.append(
+                f'SUM(CAST("{c}" * {mult} AS DECIMAL(38,0)))'
+            )
         elif t == "boolean":
             s_exprs.append(f"SUM(CAST(`{c}` AS INT))")
             d_exprs.append(f'SUM(CAST("{c}" AS INT))')
@@ -193,7 +234,7 @@ def main() -> None:
     )
     import duckdb
 
-    from parity import assert_parity
+    from parity import assert_parity, assert_type_parity
 
     spark = get_spark("parity-super100")
     spark.sparkContext.setLogLevel("ERROR")
@@ -212,10 +253,13 @@ def main() -> None:
                 c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
         return c
 
-    def flush(results: dict) -> None:
+    def flush(results: dict, complete: bool = False) -> dict:
         # incremental write after EVERY key: a killed sweep keeps all
         # completed evidence (a 30-min quadratic-oracle surprise cost a
-        # full run's results before this)
+        # full run's results before this).  ONE definition of the
+        # artifact payload — the final write is flush(complete=True),
+        # so the finished and killed shapes can never diverge
+        # (round-14 self-review).
         counts: dict[str, int] = {}
         for r in results.values():
             counts[r["status"]] = counts.get(r["status"], 0) + 1
@@ -225,25 +269,48 @@ def main() -> None:
                 "round": 14,
                 "sf": "sf0.1 x100",
                 "row_cap": ROW_CAP,
-                "complete": False,
+                "complete": complete,
                 "counts": counts,
                 "results": results,
             }, indent=1) + "\n")
+        return counts
 
     # resume: keep green results from an earlier (possibly killed or
-    # session-crashed) run; re-run only FAIL/ERROR/missing keys
+    # session-crashed) run; re-run only FAIL/ERROR/missing keys.
+    # Staleness guard (round-14 self-review): prior results describe
+    # the DATA they ran against — if any source parquet is newer than
+    # the results file (dataset regenerated since), carrying greens
+    # over would stamp `complete: true` on old-generation evidence, so
+    # the whole prior set is discarded instead (mirrors the slice-dir
+    # rebuild rule above).
     results: dict[str, dict] = {}
     if os.path.exists(out_json):
-        try:
-            with open(out_json) as f:
-                prior = json.load(f).get("results", {})
-            results = {
-                k: v for k, v in prior.items()
-                if v.get("status") in ("pass", "digest_pass", "slice_pass")
-            }
-            print(f"resume: {len(results)} green keys carried over", file=sys.stderr)
-        except (OSError, ValueError):
-            pass
+        src_mtimes = [
+            os.path.getmtime(p)
+            for t in _TABLES
+            for p in [os.path.join(super_dir, f"{t}.parquet")]
+            if os.path.exists(p)
+        ]
+        if src_mtimes and os.path.getmtime(out_json) < max(src_mtimes):
+            print(
+                "resume: results file predates the dataset — discarding "
+                "prior results (regenerated data)",
+                file=sys.stderr,
+            )
+        else:
+            try:
+                with open(out_json) as f:
+                    prior = json.load(f).get("results", {})
+                results = {
+                    k: v for k, v in prior.items()
+                    if v.get("status") in ("pass", "digest_pass", "slice_pass")
+                }
+                print(
+                    f"resume: {len(results)} green keys carried over",
+                    file=sys.stderr,
+                )
+            except (OSError, ValueError):
+                pass
 
     def fresh_session() -> None:
         """Hard JVM recycle — the dead-gateway/OOM-revival recipe this
@@ -372,6 +439,18 @@ def main() -> None:
                 # mismatch is always a real divergence; float columns
                 # contribute only their null layout (their value check
                 # is what the ≤ROW_CAP full-hash path is for).
+                # the digest tier must still hold the column-set and
+                # dtype parity the ≤ROW_CAP path gets from
+                # assert_parity — digest expressions derive from the
+                # SPARK schema alone, so an extra oracle column or a
+                # width/type drift would otherwise digest green on a
+                # key the grading driver fails (round-14 self-review)
+                rel = con.sql(f"SELECT * FROM ({ORACLES[key]}) LIMIT 0")
+                assert sorted(df.columns) == sorted(rel.columns), (
+                    f"[{key}] column mismatch: spark={sorted(df.columns)} "
+                    f"duck={sorted(rel.columns)}"
+                )
+                assert_type_parity(df, con, ORACLES[key], key)
                 s_exprs, d_exprs = digest_exprs(df.schema)
                 s_digest = [
                     None if v is None else int(v)
@@ -395,6 +474,15 @@ def main() -> None:
                     results[key]["oracle_digest"] = d_digest
                 print(f"{key}: {results[key]['status']} ({n} rows, "
                       f"{len(s_digest)} terms)", file=sys.stderr)
+                # fall through to the shared flush + recycle-count tail
+                # (this branch used to `continue` past both, so digest
+                # keys never flushed incrementally and never counted
+                # toward the JVM-recycle cadence — two adjacent heavy
+                # streaming digest keys could then share one JVM,
+                # exactly the back-to-back OOM HEAVY_FRESH exists to
+                # prevent; round-14 self-review)
+                flush(results)
+                keys_since_recycle += 1
                 continue
             assert_parity(df, con, ORACLES[key], key)
             results[key] = {
@@ -425,20 +513,7 @@ def main() -> None:
         ensure_alive(key)
         run_sliced(result_key, key, kind, note)
 
-    counts = {}
-    for r in results.values():
-        counts[r["status"]] = counts.get(r["status"], 0) + 1
-    out = {
-        "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
-        "round": 14,
-        "sf": "sf0.1 x100",
-        "row_cap": ROW_CAP,
-        "complete": True,
-        "counts": counts,
-        "results": results,
-    }
-    with open(out_json, "w") as f:
-        f.write(json.dumps(out, indent=1) + "\n")
+    counts = flush(results, complete=True)
     print(json.dumps({"written": out_json, "counts": counts}))
 
 
