@@ -14,7 +14,8 @@ at any scale there are still 25 nations — which also keeps
 broadcast-dim plans representative.
 
 Usage: python tools/make_superscale.py [K] [src_sf_dir] [dst_dir]
-Defaults: K=10, src=/root/testdata/sf0.1, dst=/tmp/superscale_10x
+Defaults: K=100, src=/root/testdata/sf0.1, dst=/tmp/superscale_100x
+(the documented 100x pipeline every consumer tool defaults to).
 """
 
 from __future__ import annotations
@@ -50,34 +51,71 @@ def replicate(src: str, dst: str, k: int) -> None:
     import os
 
     os.makedirs(dst, exist_ok=True)
+    # any fixture table NOT in OFFSETS would silently vanish from the
+    # replicated dataset — fail loud instead (the fixture has grown
+    # before: events/documents/embeddings are post-TPC-H additions)
+    on_disk = {
+        f[:-len(".parquet")]
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    }
+    unlisted = sorted(on_disk - set(OFFSETS))
+    if unlisted:
+        raise SystemExit(
+            f"source tables not in OFFSETS (add them): {unlisted}"
+        )
     for name, keys in OFFSETS.items():
         t = pq.read_table(f"{src}/{name}.parquet")
         if not keys:  # fixed-domain dims: copy once
             pq.write_table(t, f"{dst}/{name}.parquet")
             print(f"{name}: {t.num_rows} rows (dim, not replicated)")
             continue
-        writer = pq.ParquetWriter(f"{dst}/{name}.parquet", t.schema)
-        for i in range(k):
-            rep = t
-            for col in keys:
-                idx = rep.schema.get_field_index(col)
-                field = rep.schema.field(col)
-                shifted = pc.add(rep.column(col), i * OFF).cast(field.type)
-                rep = rep.set_column(idx, field, shifted)
-            if name == "documents" and i > 0:
-                idx = rep.schema.get_field_index("text")
-                texts = rep.column("text").to_pylist()
-                pref = [re.sub(r"(\w+)", rf"r{i}_\1", s) for s in texts]
-                rep = rep.set_column(
-                    idx, rep.schema.field("text"), pa.array(pref, type=pa.string())
-                )
-            writer.write_table(rep)
-        writer.close()
+        # context manager: an exception mid-replication (disk full at
+        # ~1.5 GB, schema surprise) must not leave a footerless
+        # present-but-unreadable parquet for the next consumer run
+        with pq.ParquetWriter(f"{dst}/{name}.parquet", t.schema) as writer:
+            for i in range(k):
+                rep = t
+                for col in keys:
+                    idx = rep.schema.get_field_index(col)
+                    field = rep.schema.field(col)
+                    shifted = pc.add(rep.column(col), i * OFF).cast(field.type)
+                    rep = rep.set_column(idx, field, shifted)
+                if name == "documents" and i > 0:
+                    idx = rep.schema.get_field_index("text")
+                    texts = rep.column("text").to_pylist()
+                    pref = [
+                        None if s is None else re.sub(r"(\w+)", rf"r{i}_\1", s)
+                        for s in texts
+                    ]
+                    rep = rep.set_column(
+                        idx,
+                        rep.schema.field("text"),
+                        pa.array(pref, type=pa.string()),
+                    )
+                    # the fixture documents an exact invariant
+                    # n_chars == length(text) (FIXTURES.md; llm.py's
+                    # text_lang_stats publishes n_mismatch as that
+                    # integrity probe) — the prefix pass grows every
+                    # word, so n_chars MUST be recomputed or ~all
+                    # replicated docs violate the documented contract
+                    nidx = rep.schema.get_field_index("n_chars")
+                    nfield = rep.schema.field("n_chars")
+                    nvals = pa.array(
+                        [None if s is None else len(s) for s in pref]
+                    ).cast(nfield.type)
+                    rep = rep.set_column(nidx, nfield, nvals)
+                writer.write_table(rep)
         print(f"{name}: {t.num_rows} -> {t.num_rows * k} rows")
 
 
 if __name__ == "__main__":
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # defaults match the documented 100x pipeline (README + every
+    # consumer tool defaults to /tmp/superscale_100x) — the old
+    # K=10 / _10x defaults sent no-arg runs to a path nothing reads
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    if k < 1:
+        raise SystemExit(f"K must be >= 1, got {k}")
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/superscale_10x"
+    dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/superscale_100x"
     replicate(src, dst, k)
