@@ -90,27 +90,28 @@ _SWEEP_BUDGET = 50
 _SWEEP_FIT_HEADROOM = 5
 
 
-# Keys whose IMPLEMENTATION changed in round 14 (the segment-based ANN
-# append: _ann_append now writes immutable postings_seg<N> dirs
-# committed through the manifest instead of appending into the live
-# generation + restamping meta; the serve path unions live segments;
-# compaction folds them; the artifact-failure router gates
-# AnalysisException on errorClass shape and skips stack-frame lines;
-# _fsync_tree also syncs the parent dir entry): their surviving driver
-# rows validate round-13 code, so they re-sweep ahead of the green
-# pool until a row from round ≥ 14 exists — a green CORRECTNESS row
-# should always describe the code that is actually in the tree.
-# Auto-expires: once the fresh row lands, the keys rejoin group 2 at
-# normal staleness order.  (The round-13 entries — the fsync fence +
-# torn-meta gate widening — all landed fresh r13 rows and have
-# expired.)
+# Keys whose IMPLEMENTATION changed in round 15 (the ANN lifecycle
+# hardening: _ann_append auto-triggers the compaction swap once the
+# live segment count reaches _ANN_MAX_SEGMENTS, bounding the serve
+# union's leg count; every append/compact manifest commit is FENCED on
+# the layout snapshot it extended — flock'd compare-and-swap raising
+# AnnConcurrentWriterError on interleaved writers; the serve path
+# derives its existence gate AND the served layout from ONE manifest
+# parse; compaction fails loud on a vanished base generation instead
+# of folding the stale 'postings' fallback under carried deltas):
+# their surviving driver rows validate round-14 code, so they re-sweep
+# ahead of the green pool until a row from round ≥ 15 exists — a green
+# CORRECTNESS row should always describe the code that is actually in
+# the tree.  Auto-expires: once the fresh row lands, the keys rejoin
+# group 2 at normal staleness order.  (The round-14 entries — the
+# segment-based append — all landed fresh r14 rows and have expired.)
 _CODE_CHANGED = {
-    "sink_ann_index": 14,
-    "sim_knn_ivf_serve": 14,
-    "sim_knn_ivf_serve_only": 14,
-    "sim_knn_ivf_refresh": 14,
-    "sink_ann_index_compact": 14,
-    "sink_ann_index_compact_only": 14,
+    "sink_ann_index": 15,
+    "sim_knn_ivf_serve": 15,
+    "sim_knn_ivf_serve_only": 15,
+    "sim_knn_ivf_refresh": 15,
+    "sink_ann_index_compact": 15,
+    "sink_ann_index_compact_only": 15,
 }
 
 

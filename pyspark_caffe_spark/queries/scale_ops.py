@@ -1579,6 +1579,29 @@ _ANN_NLIST, _ANN_NPROBE, _ANN_K, _ANN_M = 16, 10, 10, 3
 #: stale geometry (round-9 verdict #4).
 _ANN_WRITER_VERSION = 3  # v3: meta gains the corpus fingerprint columns
 
+#: segment cap per manifest (round-15, closing the round-14 residual):
+#: every append commits one more segment line, and the serve path's
+#: union plan grows one leg per live segment — unbounded K between
+#: manual compacts meant a long ingest run could degrade every probe
+#: into a K-way union of tiny files.  ``_ann_append`` auto-triggers
+#: the crash-safe compaction swap once a commit would leave the live
+#: segment count AT the cap, so K never exceeds it and the amortized
+#: ingest cost stays O(|delta|·m) + O(|corpus|/cap) — the standard
+#: LSM folding bound.
+_ANN_MAX_SEGMENTS = 10
+
+
+class AnnConcurrentWriterError(RuntimeError):
+    """A second writer committed to the ANN manifest between this
+    writer's layout read and its commit.  The ANN store is
+    single-writer by contract; this fence turns a contract violation
+    into a loud failure at the COMMIT POINT (the loser's segment or
+    generation dir stays an invisible orphan, GC'd by the next
+    compact/build) instead of letting interleaved commits silently
+    drop the other writer's manifest lines — which would orphan
+    committed corpus data while the derived stamp still counted it
+    (permanent guarded-serve failure)."""
+
 
 #: manifest file naming the LIVE postings layout: the base generation
 #: directory plus the ordered live APPEND SEGMENTS (round-14, per the
@@ -1643,7 +1666,10 @@ def _ann_manifest_read(root: str) -> tuple[str, int, int, tuple]:
 
 
 def _ann_manifest_commit(
-    root: str, gen: tuple[str, int, int], segs: tuple | list
+    root: str,
+    gen: tuple[str, int, int],
+    segs: tuple | list,
+    expected: tuple | None = None,
 ) -> None:
     """THE commit point of every postings state change: fsync a temp
     manifest file, then ``os.replace`` it over the live one — readers
@@ -1655,15 +1681,61 @@ def _ann_manifest_commit(
     a vanished dir and fall back to a base layout an earlier
     compaction already removed (no servable index).  Process crashes
     never reorder this way; only power/kernel loss does, and the dir
-    fsync closes exactly that window."""
+    fsync closes exactly that window.
+
+    ``expected`` (round-15 writer fence): the manifest snapshot the
+    caller's mutation STARTED from.  When given, the commit re-reads
+    the live manifest under an exclusive ``flock`` on a sidecar lock
+    file and raises :class:`AnnConcurrentWriterError` if it no longer
+    matches — a compare-and-swap, so two interleaved writers cannot
+    both commit layouts derived from the same snapshot (the loser's
+    already-written dir stays an invisible orphan).  The lock spans
+    check + replace, closing the check-then-replace race between
+    fenced writers on the same filesystem; readers never take it (the
+    atomic replace already serves them).  ``None`` = unconditional
+    (fresh builds and the crash-walk entry point supersede every
+    prior layout by design)."""
+    import contextlib
+
     tmp = os.path.join(root, _ANN_GEN_POINTER + ".tmp")
     lines = [f"{gen[0]} {gen[1]} {gen[2]}"]
     lines += [f"{name} {n} {fp}" for name, n, fp in segs]
-    with open(tmp, "w") as f:
-        f.write("\n".join(lines) + "\n")
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, _ANN_GEN_POINTER))
+
+    @contextlib.contextmanager
+    def _commit_lock():
+        if expected is None:
+            yield
+            return
+        import fcntl
+
+        lfd = os.open(
+            os.path.join(root, _ANN_GEN_POINTER + ".lock"),
+            os.O_RDWR | os.O_CREAT,
+            0o644,
+        )
+        try:
+            fcntl.flock(lfd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(lfd)  # closing the fd releases the flock
+
+    with _commit_lock():
+        if expected is not None:
+            live = _ann_manifest_read(root)
+            if live != tuple(expected):
+                raise AnnConcurrentWriterError(
+                    "ANN manifest changed between this writer's layout "
+                    f"read and its commit (read {tuple(expected)!r}, live "
+                    f"{live!r}) — a concurrent writer committed first; the "
+                    "ANN store is single-writer by contract.  This commit "
+                    "was NOT applied; re-run the append/compaction from a "
+                    "fresh layout read."
+                )
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(root, _ANN_GEN_POINTER))
     try:
         dfd = os.open(root, os.O_RDONLY)
         try:
@@ -1680,6 +1752,18 @@ def _ann_manifest_commit(
             raise
 
 
+def _ann_base_path(root: str, manifest: tuple) -> str:
+    """The base-generation dir a parsed ``manifest`` names, with the
+    vanished-dir→``postings`` fallback the pointer always had — ONE
+    definition shared by the pointer-era resolver, the live-layout
+    walk, and the serve path's existence gate, so every consumer of a
+    given manifest SNAPSHOT derives the same base dir from it."""
+    cand = os.path.join(root, manifest[0])
+    if os.path.isdir(cand):
+        return cand
+    return os.path.join(root, "postings")
+
+
 def _ann_postings_current(root: str) -> str:
     """Resolve the live BASE postings generation under ``root``: the
     dir named by the manifest's first line if present on disk, else
@@ -1688,26 +1772,39 @@ def _ann_postings_current(root: str) -> str:
     existence check fails loud with the rebuild route.  Segments are
     resolved separately by ``_ann_live_paths`` — this keeps the
     pre-segment callers (path plumbing, isdir gates) unchanged."""
-    name, _n, _fp, _segs = _ann_manifest_read(root)
-    cand = os.path.join(root, name)
-    if os.path.isdir(cand):
-        return cand
-    return os.path.join(root, "postings")
+    return _ann_base_path(root, _ann_manifest_read(root))
 
 
-def _ann_live_paths(root: str, manifest: tuple | None = None) -> list[str]:
+def _ann_live_paths(
+    root: str, manifest: tuple | None = None, require_base: bool = False
+) -> list[str]:
     """Every live postings dir under ``root`` in manifest order: the
     base generation plus the append segments.  The base generation
-    gets the same vanished-dir→base fallback the pointer always had;
-    a manifest naming a VANISHED SEGMENT raises FileNotFoundError with
-    the rebuild route — a committed segment is part of the corpus, so
-    silently serving without it would drop appended vectors (fails
-    loud, the reuse gates route it to rebuild).  Callers that already
-    parsed the manifest pass it through, so one serve observes ONE
-    layout snapshot rather than re-reading mutable state per helper."""
-    name, _n, _fp, segs = manifest or _ann_manifest_read(root)
+    gets the same vanished-dir→base fallback the pointer always had —
+    EXCEPT under ``require_base=True`` (the compaction path, round-15
+    per the round-14 advisory): a compaction that silently folded the
+    stale ``postings`` fallback while carrying the manifest's folded
+    deltas forward would commit a derived stamp describing content the
+    rewrite does not hold, so there a manifest naming a vanished base
+    generation raises FileNotFoundError (rebuild route), mirroring the
+    vanished-segment contract below.  A manifest naming a VANISHED
+    SEGMENT always raises FileNotFoundError with the rebuild route — a
+    committed segment is part of the corpus, so silently serving
+    without it would drop appended vectors (fails loud, the reuse
+    gates route it to rebuild).  Callers that already parsed the
+    manifest pass it through, so one serve observes ONE layout
+    snapshot rather than re-reading mutable state per helper."""
+    manifest = manifest or _ann_manifest_read(root)
+    name, _n, _fp, segs = manifest
     base = os.path.join(root, name)
     if not os.path.isdir(base):
+        if require_base:
+            raise FileNotFoundError(
+                f"ANN base generation {name!r} named by the manifest is "
+                "missing on disk — compacting the stale 'postings' fallback "
+                "would commit a stamp the rewritten content does not match; "
+                "rebuild via sink_ann_index/_build_ann_index"
+            )
         base = os.path.join(root, "postings")
     paths = [base]
     for seg_name, _sn, _sfp in segs:
@@ -1849,11 +1946,20 @@ def _ann_reset_generations(root: str) -> None:
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
-def _ann_index_paths(sf_dir: str, suffix: str = "") -> tuple[str, str, str]:
+def _ann_root(sf_dir: str, suffix: str = "") -> str:
+    """Scratch root of the persisted index for this (sf tag, suffix) —
+    the static half of ``_ann_index_paths``, split out so callers that
+    need ONE manifest snapshot (the serve path) can resolve the root
+    without triggering the manifest read ``_ann_postings_current``
+    does."""
     from pyspark_caffe_spark.queries.relational import _scratch
 
     tag = (os.path.basename(sf_dir.rstrip("/")) or "sf") + suffix
-    root = _scratch(f"ann_index_{tag}")
+    return _scratch(f"ann_index_{tag}")
+
+
+def _ann_index_paths(sf_dir: str, suffix: str = "") -> tuple[str, str, str]:
+    root = _ann_root(sf_dir, suffix)
     return (
         os.path.join(root, "centroids"),
         _ann_postings_current(root),
@@ -2357,7 +2463,8 @@ def _ann_append(spark: SparkSession, sf_dir: str, suffix: str, delta: DataFrame)
     d_n, d_fp = _ann_corpus_fingerprint(delta)
     if d_n == 0:
         return
-    gen_name, gen_n, gen_fp, segs = _ann_manifest_read(root)
+    manifest = _ann_manifest_read(root)
+    gen_name, gen_n, gen_fp, segs = manifest
     # next segment number = past everything on disk (crash orphans)
     # AND everything the manifest names (a committed segment whose dir
     # was manually deleted — reusing its name would duplicate the
@@ -2382,11 +2489,28 @@ def _ann_append(spark: SparkSession, sf_dir: str, suffix: str, delta: DataFrame)
     # durability fence BEFORE the commit (files + dirs + the segment's
     # entry in root): the manifest must never name a torn segment
     _fsync_tree(seg_dir)
+    # fenced on the snapshot this append extended: a concurrent writer
+    # committing in between fails THIS commit loudly (the fresh segment
+    # stays an invisible orphan) instead of dropping the other writer's
+    # manifest lines
     _ann_manifest_commit(
         root,
         (gen_name, gen_n, gen_fp),
         tuple(segs) + ((seg_name, d_n, int(d_fp)),),
+        expected=manifest,
     )
+    # segment-cap auto-compact (round-15): the commit above made the
+    # appended data durable and servable — K live segments now; once K
+    # reaches the cap, fold the layout back to one generation so the
+    # serve union never grows past _ANN_MAX_SEGMENTS legs between
+    # manual compacts.  Runs AFTER the append's own commit, so a crash
+    # (or failure) anywhere inside the compaction leaves the appended
+    # segment live and the index servable + truthful — compaction's
+    # own crash contract.  A compaction failure PROPAGATES (LSM-style
+    # ingest stall): the append itself is already committed, but
+    # silently skipping maintenance would let K grow unbounded again.
+    if len(segs) + 1 >= _ANN_MAX_SEGMENTS:
+        _ann_compact_postings(spark, os.path.join(root, gen_name))
 
 
 def _count_part_files(path: str) -> int:
@@ -2501,7 +2625,11 @@ def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
 
     root = os.path.dirname(ppath)
     manifest = _ann_manifest_read(root)
-    live = _ann_live_paths(root, manifest)
+    # require_base (round-15, per the round-14 advisory): a vanished
+    # base GENERATION fails loud here instead of silently folding the
+    # stale 'postings' fallback under the manifest's carried deltas —
+    # the committed stamp must describe the rewritten content
+    live = _ann_live_paths(root, manifest, require_base=True)
     _gname, gen_n, gen_fp, segs = manifest
     new_name = f"postings_gen{_ann_max_dir_num(root, 'postings_gen') + 1}"
     rewrite = os.path.join(root, new_name)
@@ -2524,7 +2652,12 @@ def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
     # in the same atomic replace, so the derived stamp never wavers.
     folded_n = gen_n + sum(s[1] for s in segs)
     folded_fp = gen_fp + sum(s[2] for s in segs)
-    _ann_manifest_commit(root, (new_name, folded_n, folded_fp), ())
+    # fenced on the layout snapshot this rewrite FOLDED: a concurrent
+    # append committing mid-rewrite would otherwise have its segment
+    # line silently dropped by this replace (orphaned committed data)
+    _ann_manifest_commit(
+        root, (new_name, folded_n, folded_fp), (), expected=manifest
+    )
     for name in os.listdir(root):
         if (
             name == "postings" or name.startswith(("postings_gen", "postings_seg"))
@@ -2563,7 +2696,9 @@ def _ann_compact_and_prove(
     One definition so the identity proof can never diverge between
     the bundled and amortized keys."""
     root = os.path.dirname(ppath)
-    live_before = _ann_live_paths(root)
+    # same require_base contract as the swap itself: the before-
+    # snapshot must never hash the stale 'postings' fallback
+    live_before = _ann_live_paths(root, require_base=True)
     files_before = sum(_count_part_files(p) for p in live_before)
     row_hash = F.xxhash64("cell", "vec_id", "emb").cast("decimal(38,0)")
     before = (
@@ -2712,10 +2847,11 @@ def sink_ann_index_compact_only(spark: SparkSession, sf_dir: str) -> DataFrame:
         if meta["writer_version"] != _ANN_WRITER_VERSION:
             raise ValueError("stale writer version")
         _ann_check_geometry(spark, cpath, meta)
-        # a manifest naming a vanished append segment raises
-        # FileNotFoundError here, INSIDE the gate — rebuild route,
+        # a manifest naming a vanished append segment — or, under
+        # require_base (round-15), a vanished base GENERATION — raises
+        # FileNotFoundError here, INSIDE the gate: rebuild route,
         # never a hard key failure from the proof block's read
-        _ann_live_paths(os.path.dirname(mpath))
+        _ann_live_paths(os.path.dirname(mpath), require_base=True)
         _ann_validate_corpus(sf_dir, mpath, meta, emb)
     except (FileNotFoundError, ValueError) + _SPARK_READ_ERRORS as ex:
         # _SPARK_READ_ERRORS: a TORN meta/centroids parquet (crash
@@ -2756,7 +2892,18 @@ def _serve_from_ann_index(
     amortization measurement (PERF.md round 9) times the product
     path."""
     nprobe, k = _ANN_NPROBE, _ANN_K
-    cpath, ppath, mpath = _ann_index_paths(sf_dir, suffix)
+    root = _ann_root(sf_dir, suffix)
+    cpath = os.path.join(root, "centroids")
+    mpath = os.path.join(root, "meta")
+    # ONE manifest parse per serve — the single observation point of
+    # the (mutable) layout state: the existence gate below, the corpus
+    # guard's derived stamp, AND the live-path resolution all derive
+    # from THIS snapshot (round-15, closing the round-14 advisory:
+    # resolving ppath through _ann_index_paths re-read the manifest
+    # independently, so a commit landing between the two reads let the
+    # gate and the served layout observe different layouts)
+    manifest = _ann_manifest_read(root)
+    ppath = _ann_base_path(root, manifest)
     if not (os.path.isdir(cpath) and os.path.isdir(ppath) and os.path.isdir(mpath)):
         raise FileNotFoundError(
             "ANN index not built (or missing its version-stamp meta table) "
@@ -2779,11 +2926,9 @@ def _serve_from_ann_index(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    # ONE manifest parse per serve, threaded through the guard and the
-    # live-path resolution below — a single observation point of the
-    # (mutable) layout state, not three (round-14 self-review)
-    manifest = _ann_manifest_read(os.path.dirname(mpath))
     if validate_corpus:
+        # threaded snapshot: the guard's derived stamp describes the
+        # same layout the union below serves
         _ann_validate_corpus(sf_dir, mpath, meta, emb, manifest)
     # bounded query slice (same contract as sim_knn_ivf_batch: a fixed
     # hash-exact slice, capped so the serving pass is O(N), not O(N²))
@@ -2799,7 +2944,7 @@ def _serve_from_ann_index(
     # live layout = base generation + append segments (manifest order),
     # one flat union with the cell filter pruning unprobed partition
     # dirs on EVERY leg (round-13 design note)
-    live = _ann_live_paths(os.path.dirname(mpath), manifest)
+    live = _ann_live_paths(root, manifest)
     post = (
         _ann_read_postings(spark, live)
         # partition pruning: only the probed cell directories are read

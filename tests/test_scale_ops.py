@@ -1392,3 +1392,212 @@ def test_ann_manifest_parse_defensive(tmp_path):
     mf.write_text("../../etc 1 2\n")
     name, _n, _fp, _segs = so._ann_manifest_read(root)
     assert name == "etc"
+
+
+def test_ann_append_auto_compacts_at_segment_cap(spark, sf_dir, monkeypatch):
+    """Round-15: the live segment count is BOUNDED — once an append's
+    commit would leave K segments at ``_ANN_MAX_SEGMENTS``, the append
+    auto-triggers the crash-safe compaction swap, so the serve union
+    never grows past the cap between manual compacts.  The fold must
+    keep the derived stamp exact and the guarded serve green."""
+    import os
+    import shutil
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+    from pyspark_caffe_spark.tables import load_table
+
+    suffix = "_segcap"
+    monkeypatch.setattr(so, "_ANN_MAX_SEGMENTS", 3)
+    slices = [F.pmod(F.col("vec_id"), F.lit(20)) == v for v in (5, 11, 17)]
+    so._build_ann_index(
+        spark, sf_dir, corpus_filter=~(slices[0] | slices[1] | slices[2]),
+        suffix=suffix,
+    )
+    root = so._ann_root(sf_dir, suffix)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    # appends 1-2: segments accumulate under the cap
+    so._ann_append(spark, sf_dir, suffix, emb.filter(slices[0]))
+    so._ann_append(spark, sf_dir, suffix, emb.filter(slices[1]))
+    assert len(so._ann_manifest_read(root)[3]) == 2
+
+    # append 3 reaches the cap: commits, then auto-folds to ONE generation
+    so._ann_append(spark, sf_dir, suffix, emb.filter(slices[2]))
+    name, _gn, _gfp, segs = so._ann_manifest_read(root)
+    assert segs == (), "auto-compact must fold every live segment"
+    assert name.startswith("postings_gen")
+    assert len(so._ann_live_paths(root)) == 1
+
+    # the folded deltas carried onto the generation line: the derived
+    # stamp still covers the FULL corpus, and the guarded serve passes
+    meta = spark.read.parquet(os.path.join(root, "meta")).collect()[0]
+    eff_n, _fp, _m = so._ann_effective_stamp(root, meta)
+    assert eff_n == emb.count()
+    so._ANN_VALIDATED.clear()
+    assert (
+        so._serve_from_ann_index(
+            spark, sf_dir, with_recall=False, suffix=suffix, validate_corpus=True
+        ).count()
+        > 0
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ann_auto_compact_crash_leaves_appended_segment_live(
+    spark, sf_dir, monkeypatch
+):
+    """Round-15 crash-walk across the auto-trigger boundary: the
+    cap-hitting append COMMITS its segment BEFORE the auto-compact
+    runs, so a crash anywhere inside the triggered compaction must
+    leave the appended data live, the derived stamp truthful, and the
+    index servable (compaction's own crash contract) — while the
+    compaction failure itself PROPAGATES (LSM-style ingest stall, not
+    a silent maintenance skip)."""
+    import errno
+    import os
+    import shutil
+
+    import pytest
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+    from pyspark_caffe_spark.tables import load_table
+
+    suffix = "_segcapcrash"
+    monkeypatch.setattr(so, "_ANN_MAX_SEGMENTS", 2)
+    s1 = F.pmod(F.col("vec_id"), F.lit(20)) == 5
+    s2 = F.pmod(F.col("vec_id"), F.lit(20)) == 11
+    so._build_ann_index(spark, sf_dir, corpus_filter=~(s1 | s2), suffix=suffix)
+    root = so._ann_root(sf_dir, suffix)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    so._ann_append(spark, sf_dir, suffix, emb.filter(s1))
+    assert len(so._ann_manifest_read(root)[3]) == 1
+
+    # crash INSIDE the auto-triggered compaction: the durability fence
+    # on the new generation reports EIO, so the compact aborts BEFORE
+    # its commit point (the fence's designed abort path)
+    real_fsync_tree = so._fsync_tree
+
+    def exploding(path):
+        if os.path.basename(path).startswith("postings_gen"):
+            raise OSError(errno.EIO, "injected EIO on the new generation")
+        real_fsync_tree(path)
+
+    monkeypatch.setattr(so, "_fsync_tree", exploding)
+    with pytest.raises(OSError):
+        so._ann_append(spark, sf_dir, suffix, emb.filter(s2))
+    monkeypatch.setattr(so, "_fsync_tree", real_fsync_tree)
+
+    # the append itself committed: both segments live, stamp exact,
+    # index servable; the crashed rewrite is an invisible orphan
+    name, _gn, _gfp, segs = so._ann_manifest_read(root)
+    assert name == "postings" and len(segs) == 2
+    meta = spark.read.parquet(os.path.join(root, "meta")).collect()[0]
+    eff_n, _fp, _m = so._ann_effective_stamp(root, meta)
+    assert eff_n == emb.count()
+    so._ANN_VALIDATED.clear()
+    assert (
+        so._serve_from_ann_index(
+            spark, sf_dir, with_recall=False, suffix=suffix, validate_corpus=True
+        ).count()
+        > 0
+    )
+
+    # recovery: the next compaction folds both segments AND garbage-
+    # collects the crash orphan
+    new_ppath = so._ann_compact_postings(
+        spark, so._ann_index_paths(sf_dir, suffix)[1]
+    )
+    leftovers = sorted(
+        n
+        for n in os.listdir(root)
+        if n == "postings" or n.startswith(("postings_gen", "postings_seg"))
+    )
+    assert leftovers == [os.path.basename(new_ppath)], leftovers
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ann_manifest_commit_fences_concurrent_writer(tmp_path):
+    """Round-15 writer fence: two writers that both read layout L and
+    commit mutations derived from it — the second must raise
+    AnnConcurrentWriterError and leave the winner's manifest intact
+    (the single-writer contract enforced at the commit point, not by
+    convention; an interleaved replace would silently drop the other
+    writer's manifest lines, orphaning committed corpus data)."""
+    import pytest
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    root = str(tmp_path)
+    so._ann_manifest_commit(root, ("postings", 0, 0), ())  # unconditional init
+    snapshot = so._ann_manifest_read(root)
+
+    # writer B (an append) wins the race: its fenced commit applies
+    so._ann_manifest_commit(
+        root, ("postings", 0, 0), (("postings_seg1", 10, 123),),
+        expected=snapshot,
+    )
+    after_b = so._ann_manifest_read(root)
+    assert after_b[3] == (("postings_seg1", 10, 123),)
+
+    # writer A (a compaction folding the OLD layout) loses: fenced out,
+    # nothing applied
+    with pytest.raises(so.AnnConcurrentWriterError):
+        so._ann_manifest_commit(
+            root, ("postings_gen1", 0, 0), (), expected=snapshot
+        )
+    assert so._ann_manifest_read(root) == after_b, "loser must not commit"
+
+    # a writer that re-read the LIVE layout proceeds normally
+    so._ann_manifest_commit(root, ("postings_gen1", 10, 123), (), expected=after_b)
+    assert so._ann_manifest_read(root)[0] == "postings_gen1"
+
+
+def test_ann_compact_vanished_base_generation_fails_loud(spark, sf_dir):
+    """Round-14 advisory closure: a manifest naming a vanished base
+    GENERATION must fail the compaction LOUD (and route the gated
+    maintenance verb to rebuild) instead of silently folding the stale
+    'postings' fallback while carrying the manifest's folded deltas
+    onto the new generation line — a committed stamp that would not
+    describe the rewritten content, mirroring the vanished-segment
+    contract."""
+    import os
+    import shutil
+
+    import pytest
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    suffix = "_compact"
+    so._ann_lay_ingest_history(spark, sf_dir, suffix)
+    _, ppath, mpath = so._ann_index_paths(sf_dir, suffix)
+    root = os.path.dirname(mpath)
+    ppath = so._ann_compact_postings(spark, ppath)  # → gen1, folded deltas
+    gen_name = os.path.basename(ppath)
+    assert gen_name.startswith("postings_gen")
+
+    # resurrect a stale base dir (exactly what the silent fallback
+    # would have folded), then vanish the generation the manifest names
+    (
+        spark.read.parquet(ppath)
+        .limit(20)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(root, "postings"))
+    )
+    shutil.rmtree(ppath)
+
+    with pytest.raises(FileNotFoundError):
+        so._ann_compact_postings(spark, so._ann_index_paths(sf_dir, suffix)[1])
+    # fail-loud means NO commit: the manifest still names the vanished
+    # generation (nothing silently rewrote the layout)
+    assert so._ann_manifest_read(root)[0] == gen_name
+
+    # the gated maintenance verb recovers via its rebuild route
+    so._ANN_VALIDATED.clear()
+    row = QUERIES["sink_ann_index_compact_only"](spark, sf_dir).collect()[0]
+    assert row.content_identical and row.stamp_still_valid
