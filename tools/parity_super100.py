@@ -80,11 +80,19 @@ _TABLES = ["region", "nation", "customer", "supplier", "part",
            "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def build_slice_dirs(super_dir: str) -> dict[str, str]:
+def build_slice_dirs(super_dir: str) -> tuple[dict[str, str], dict[str, float]]:
     """Materialize the bounded-slice datasets next to the 100× data
     (idempotent — reuses existing slices).  Non-sliced tables symlink
     the FULL 100× versions: keys like dedup_embed_cosine join
     embeddings→documents, and only the quadratic side needs bounding.
+
+    Returns ``(dirs, slice_mtimes)``: the per-kind slice dir AND the
+    mtime of each kind's sliced parquet as it stands after any rebuild
+    — the resume guard compares these against the results file so a
+    slice REBUILT here (spec edit or source regeneration) invalidates
+    the prior slice-backed greens computed from the old slice
+    (round-14 advisory: the source-mtime guard alone cannot see a
+    spec-only edit).
 
     * emb8k  — first 8192 embeddings by vec_id, spanning 4+ replicas
                (4× sf0.1 corpus, 16× the pair count; quadratic oracle
@@ -120,6 +128,7 @@ def build_slice_dirs(super_dir: str) -> dict[str, str]:
     import hashlib
 
     dirs: dict[str, str] = {}
+    slice_mtimes: dict[str, float] = {}
     for kind, (sliced_table, sql) in specs.items():
         d = f"{super_dir.rstrip('/')}_{kind}"
         os.makedirs(d, exist_ok=True)
@@ -165,7 +174,8 @@ def build_slice_dirs(super_dir: str) -> dict[str, str]:
                     os.remove(link)
                 os.symlink(srcp, link)
         dirs[kind] = d
-    return dirs
+        slice_mtimes[kind] = os.path.getmtime(pq)
+    return dirs, slice_mtimes
 
 
 def digest_exprs(schema) -> tuple[list[str], list[str]]:
@@ -230,7 +240,7 @@ def digest_exprs(schema) -> tuple[list[str], list[str]]:
 def main() -> None:
     super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        _REPO, "PARITY100_r14.json"
+        _REPO, "PARITY100_r15.json"
     )
     import duckdb
 
@@ -238,7 +248,7 @@ def main() -> None:
 
     spark = get_spark("parity-super100")
     spark.sparkContext.setLogLevel("ERROR")
-    slice_dirs = build_slice_dirs(super_dir)
+    slice_dirs, slice_mtimes = build_slice_dirs(super_dir)
     con = duckdb.connect()
     for t in _TABLES:
         con.execute(
@@ -266,7 +276,7 @@ def main() -> None:
         with open(out_json, "w") as f:
             f.write(json.dumps({
                 "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
-                "round": 14,
+                "round": 15,
                 "sf": "sf0.1 x100",
                 "row_cap": ROW_CAP,
                 "complete": complete,
@@ -298,15 +308,44 @@ def main() -> None:
                 file=sys.stderr,
             )
         else:
+            # slice-backed results additionally describe the SLICE
+            # they ran against: build_slice_dirs just rebuilt any
+            # slice whose spec or source changed, so a slice parquet
+            # newer than the results file means those greens were
+            # computed from a superseded slice — drop exactly those
+            # keys instead of carrying them to a complete:true stamp
+            # (round-14 advisory: the source-mtime guard above cannot
+            # see a spec-only edit).
+            out_mtime = os.path.getmtime(out_json)
+            slice_kind_of = {
+                k: kind for k, (kind, _note) in BOUNDED_SLICE.items()
+            }
+            slice_kind_of["win_ewma__float_slice"] = "ev2pct"
+
+            def slice_fresh(key: str) -> bool:
+                kind = slice_kind_of.get(key)
+                return (
+                    kind is None
+                    or slice_mtimes.get(kind, float("inf")) <= out_mtime
+                )
+
             try:
                 with open(out_json) as f:
                     prior = json.load(f).get("results", {})
                 results = {
                     k: v for k, v in prior.items()
                     if v.get("status") in ("pass", "digest_pass", "slice_pass")
+                    and slice_fresh(k)
                 }
+                dropped = sum(
+                    1 for k, v in prior.items()
+                    if v.get("status") in ("pass", "digest_pass", "slice_pass")
+                    and not slice_fresh(k)
+                )
                 print(
-                    f"resume: {len(results)} green keys carried over",
+                    f"resume: {len(results)} green keys carried over"
+                    + (f", {dropped} slice-backed greens dropped "
+                       "(slice rebuilt since)" if dropped else ""),
                     file=sys.stderr,
                 )
             except (OSError, ValueError):

@@ -89,7 +89,7 @@ SLICE_GATES = {
 def main() -> None:
     super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        _REPO, "PARITY100_STREAMING_r14.json"
+        _REPO, "PARITY100_STREAMING_r15.json"
     )
     import duckdb
 
@@ -168,7 +168,7 @@ def main() -> None:
                           "density (contiguous 6-day slice of the 100x "
                           "events table; per-event outputs also "
                           "value-hashed on an LCG 1/16 slice)",
-                "round": 14,
+                "round": 15,
                 "slice_rows": n_slice,
                 "slice_cutoff": CUTOFF,
                 "row_cap": ROW_CAP,
@@ -201,6 +201,24 @@ def main() -> None:
                     k: v for k, v in prior.items()
                     if v.get("status") in ("pass", "digest_pass", "slice_pass")
                 }
+                # round-15 (advisory): a digest parent is only as
+                # complete as its __slice companion — the companion is
+                # produced INSIDE the parent's record() call, so a
+                # carried parent whose companion is absent or red
+                # would never re-attempt the slice while the final
+                # write still stamps complete:true.  Carry the pair
+                # together or not at all: an 'excluded' companion (a
+                # recorded slice-over-cap outcome) carries with its
+                # parent; anything else drops the parent so the rerun
+                # regenerates both records.
+                for key, v in list(results.items()):
+                    if key in SLICE_GATES and v.get("status") == "digest_pass":
+                        comp = prior.get(key + "__slice")
+                        if comp and comp.get("status") == "excluded":
+                            results[key + "__slice"] = comp
+                        elif not (comp and comp.get("status") == "slice_pass"):
+                            results.pop(key + "__slice", None)
+                            del results[key]
                 print(
                     f"resume: {len(results)} green results carried over",
                     file=sys.stderr,
