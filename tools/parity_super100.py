@@ -79,6 +79,22 @@ BOUNDED_SLICE = {
 _TABLES = ["region", "nation", "customer", "supplier", "part",
            "orders", "lineitem", "events", "documents", "embeddings"]
 
+#: supplemental entries run after the registry loop: (result key,
+#: registry key, slice kind, note).  Module scope so the resume
+#: guard's result-key→slice-kind map derives from the SAME list the
+#: sweep runs — a new supplemental entry can never silently escape
+#: the slice-staleness check (round-15 self-review).
+SUPPLEMENTAL = [
+    (
+        "win_ewma__float_slice",
+        "win_ewma",
+        "ev2pct",
+        "user-sliced 100x events (whole user histories, ~2% of rows): "
+        "full value hash INCLUDING the float ewma column the main "
+        "sweep's digest tier skips",
+    ),
+]
+
 
 def build_slice_dirs(super_dir: str) -> tuple[dict[str, str], dict[str, float]]:
     """Materialize the bounded-slice datasets next to the 100× data
@@ -320,7 +336,9 @@ def main() -> None:
             slice_kind_of = {
                 k: kind for k, (kind, _note) in BOUNDED_SLICE.items()
             }
-            slice_kind_of["win_ewma__float_slice"] = "ev2pct"
+            slice_kind_of.update(
+                {rk: kind for rk, _key, kind, _note in SUPPLEMENTAL}
+            )
 
             def slice_fresh(key: str) -> bool:
                 kind = slice_kind_of.get(key)
@@ -408,19 +426,6 @@ def main() -> None:
             print("SparkContext dead — rebuilding session", file=sys.stderr)
             fresh_session()
             keys_since_recycle = 0
-
-    # supplemental entries run after the registry loop: (result key,
-    # registry key, slice kind, note)
-    SUPPLEMENTAL = [
-        (
-            "win_ewma__float_slice",
-            "win_ewma",
-            "ev2pct",
-            "user-sliced 100x events (whole user histories, ~2% of rows): "
-            "full value hash INCLUDING the float ewma column the main "
-            "sweep's digest tier skips",
-        ),
-    ]
 
     def run_sliced(result_key: str, key: str, kind: str, note: str) -> None:
         nonlocal keys_since_recycle
