@@ -1606,7 +1606,20 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROUNDED score + token tiebreak keeps ranks cross-engine
     stable.  n_docs joins in as a broadcast 1-row aggregate (same
     shape as the SQL's CROSS JOIN n) — no separate driver count job,
-    the whole query is one plan."""
+    the whole query is one plan.
+
+    Verified at 100x (round-15 skew audit, PERF.md): the FINAL
+    adaptive plan converts the idf join to BroadcastHashJoin with an
+    AQEShuffleRead-local tf side (no extra shuffle; the initial-plan
+    SMJ is what AQE replaces), Spark 4's WindowGroupLimit pushes the
+    top-5 limit below the doc_id exchange, and task skew on the three
+    heaviest stages is max/median 1.03-1.05 — no salting needed.  The
+    corpus IS scanned/exploded twice (the tf branch and the
+    distinct-(doc,token) dfq branch canonicalize differently once
+    Catalyst prunes n_t, so the exchange is not reusable); collapsing
+    them would require materializing a corpus-sized tf, so two
+    embarrassingly-parallel spill-free passes are the intended
+    trade."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     toks = docs.select("doc_id", F.explode(textops.words_of("text")).alias("token"))
