@@ -1936,10 +1936,16 @@ def _ann_reset_generations(root: str) -> None:
     same contract the in-place overwrite build always had."""
     import shutil
 
-    try:
-        os.remove(os.path.join(root, _ANN_GEN_POINTER))
-    except OSError:
-        pass
+    # manifest FIRST (see docstring), then its sidecars: the fence's
+    # lock file and any torn .tmp from a crashed commit — both inert
+    # (flock state dies with the holder's fd; the tmp is overwritten
+    # by the next commit), removed here so a fresh build starts from
+    # a bare root
+    for sidecar in ("", ".lock", ".tmp"):
+        try:
+            os.remove(os.path.join(root, _ANN_GEN_POINTER + sidecar))
+        except OSError:
+            pass
     if os.path.isdir(root):
         for name in os.listdir(root):
             if name.startswith(("postings_gen", "postings_seg")):
