@@ -674,3 +674,75 @@ def test_interval_coalesce_single_shuffle(spark, sf_dir):
     plan = plan_of(QUERIES["join_interval_coalesce"](spark, sf_dir))
     n = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n == 1, f"expected exactly one Exchange, plan has {n}"
+
+
+def test_tfidf_final_plan_broadcasts_vocab_join(spark, sf_dir):
+    """Round-15 skew-audit pin: the text_tfidf docstring claims AQE
+    broadcasts the vocabulary-sized df table under Zipf vocabularies —
+    verified at 100x (PERF.md round 15 cont. 2), pinned here at
+    fixture scale so a plan regression (e.g. a schema change inflating
+    the dfq size estimate past the adaptive threshold) is caught by
+    the suite.  The assertion reads the FINAL adaptive plan: on an
+    unexecuted DataFrame `executedPlan` prints only the INITIAL plan
+    (SortMergeJoin — the thing AQE replaces), and the post-execution
+    dump contains BOTH sections, so the check (a) executes the
+    DataFrame's own QueryExecution via collect and (b) scopes the
+    match to the final-plan section above the `Initial Plan` marker."""
+    df = QUERIES["text_tfidf"](spark, sf_dir)
+    assert len(df.collect()) > 0  # finalizes THIS QueryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("Initial Plan")[0]
+    assert "BroadcastHashJoin" in final, final[:2000]
+    assert "SortMergeJoin" not in final, final[:2000]
+    # the broadcast consumed the tf exchange in place: no second
+    # token-keyed exchange materialized on the probe side
+    assert "WindowGroupLimit" in final  # top-5 pruned below the window
+
+
+def test_ann_fence_serializes_threaded_writers(tmp_path):
+    """Round-15 writer-fence stress: N threads race fenced
+    read-modify-commit loops (each retries on AnnConcurrentWriterError
+    with a fresh layout read — the documented recovery).  The fence
+    must serialize them into a lost-update-free history: every
+    thread's segment line lands exactly once, and the observed
+    conflict count is consistent with real contention (no silent
+    interleaved replace ever drops a committed line)."""
+    import threading
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    root = str(tmp_path)
+    so._ann_manifest_commit(root, ("postings", 0, 0), ())
+    n_threads, conflicts = 8, []
+    errs = []
+
+    def writer(i: int) -> None:
+        for attempt in range(200):
+            snap = so._ann_manifest_read(root)
+            gen, segs = snap[:3], snap[3]
+            new_segs = tuple(segs) + ((f"postings_seg{i}", i + 1, 100 + i),)
+            try:
+                so._ann_manifest_commit(root, gen, new_segs, expected=snap)
+                return
+            except so.AnnConcurrentWriterError:
+                conflicts.append(i)  # retry from a fresh read
+            except Exception as ex:  # noqa: BLE001
+                errs.append(ex)
+                return
+        errs.append(RuntimeError(f"writer {i} starved"))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errs, errs
+    _name, _n, _fp, segs = so._ann_manifest_read(root)
+    names = sorted(s[0] for s in segs)
+    assert names == sorted(f"postings_seg{i}" for i in range(n_threads)), (
+        f"lost update: {names} (conflict retries observed: {len(conflicts)})"
+    )
+    # deltas survived intact too — the derived stamp is exact
+    assert sum(s[1] for s in segs) == sum(range(1, n_threads + 1))
