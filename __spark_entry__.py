@@ -90,28 +90,29 @@ _SWEEP_BUDGET = 50
 _SWEEP_FIT_HEADROOM = 5
 
 
-# Keys whose IMPLEMENTATION changed in round 15 (the ANN lifecycle
-# hardening: _ann_append auto-triggers the compaction swap once the
-# live segment count reaches _ANN_MAX_SEGMENTS, bounding the serve
-# union's leg count; every append/compact manifest commit is FENCED on
-# the layout snapshot it extended — flock'd compare-and-swap raising
-# AnnConcurrentWriterError on interleaved writers; the serve path
-# derives its existence gate AND the served layout from ONE manifest
-# parse; compaction fails loud on a vanished base generation instead
-# of folding the stale 'postings' fallback under carried deltas):
-# their surviving driver rows validate round-14 code, so they re-sweep
-# ahead of the green pool until a row from round ≥ 15 exists — a green
-# CORRECTNESS row should always describe the code that is actually in
-# the tree.  Auto-expires: once the fresh row lands, the keys rejoin
-# group 2 at normal staleness order.  (The round-14 entries — the
-# segment-based append — all landed fresh r14 rows and have expired.)
+# Keys whose IMPLEMENTATION changed in round 16 (the ADVICE fence
+# closures + the segment-dir claim: every manifest commit — fenced
+# AND unconditional — now serializes under the flock and writes its
+# own mkstemp-unique tmp (no shared-tmp interleave hole);
+# _ann_reset_generations keeps the .lock inode (unlinking it voided
+# mutual exclusion for a current holder) and sweeps manifest/tmps
+# under the flock; append/compact dirs are claimed atomically via
+# os.mkdir + written mode("append"), so concurrent writers can no
+# longer clobber one segment dir while the fence only protected the
+# manifest): their surviving driver rows validate round-15 code, so
+# they re-sweep ahead of the green pool until a row from round ≥ 16
+# exists — a green CORRECTNESS row should always describe the code
+# that is actually in the tree.  Auto-expires: once the fresh row
+# lands, the keys rejoin group 2 at normal staleness order.  (The
+# round-15 entries — segment cap + writer fence — all landed fresh
+# r15 rows and have expired.)
 _CODE_CHANGED = {
-    "sink_ann_index": 15,
-    "sim_knn_ivf_serve": 15,
-    "sim_knn_ivf_serve_only": 15,
-    "sim_knn_ivf_refresh": 15,
-    "sink_ann_index_compact": 15,
-    "sink_ann_index_compact_only": 15,
+    "sink_ann_index": 16,
+    "sim_knn_ivf_serve": 16,
+    "sim_knn_ivf_serve_only": 16,
+    "sim_knn_ivf_refresh": 16,
+    "sink_ann_index_compact": 16,
+    "sink_ann_index_compact_only": 16,
 }
 
 

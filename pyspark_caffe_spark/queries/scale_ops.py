@@ -9,6 +9,7 @@ the similarity-search candidate set to a few probed clusters.
 
 from __future__ import annotations
 
+import contextlib
 import errno
 import os
 from typing import Iterator
@@ -1665,6 +1666,30 @@ def _ann_manifest_read(root: str) -> tuple[str, int, int, tuple]:
     return gen_name, gen_n, gen_fp, tuple(parsed[1:])
 
 
+@contextlib.contextmanager
+def _ann_commit_lock(root: str):
+    """Exclusive ``flock`` on the manifest's sidecar lock file — THE
+    mutual-exclusion point of every manifest mutation (fenced and
+    unconditional commits, and the reset's manifest/tmp cleanup).
+    One definition so every holder locks the same inode; the lock
+    file itself is never removed (see ``_ann_reset_generations``:
+    unlinking it would strand a current holder on a dead inode and
+    silently void the exclusion for the next writer).  Readers never
+    take it — the atomic manifest replace already serves them."""
+    import fcntl
+
+    lfd = os.open(
+        os.path.join(root, _ANN_GEN_POINTER + ".lock"),
+        os.O_RDWR | os.O_CREAT,
+        0o644,
+    )
+    try:
+        fcntl.flock(lfd, fcntl.LOCK_EX)
+        yield
+    finally:
+        os.close(lfd)  # closing the fd releases the flock
+
+
 def _ann_manifest_commit(
     root: str,
     gen: tuple[str, int, int],
@@ -1694,32 +1719,26 @@ def _ann_manifest_commit(
     fenced writers on the same filesystem; readers never take it (the
     atomic replace already serves them).  ``None`` = unconditional
     (fresh builds and the crash-walk entry point supersede every
-    prior layout by design)."""
-    import contextlib
+    prior layout by design) — but round-16 (ADVICE): unconditional
+    commits take the SAME flock.  The fence's safety story had a
+    hole otherwise: an unconditional writer racing a fenced one
+    skipped the lock, and both shared one tmp path (manifest +
+    '.tmp'), so their truncate/write could interleave on the same
+    inode and the ``os.replace`` install a mixed manifest (defensive
+    parsing degrades that to the base-layout fallback — wrong layout,
+    not corruption, but still wrong).  Closed twice over: every
+    commit serializes under the flock, AND each commit writes its
+    own ``mkstemp``-unique tmp, so even a writer that somehow isn't
+    holding the lock (an older binary, an external tool) cannot
+    share a tmp inode.  The unique tmp is unlinked on any failure
+    past its creation; torn tmps from a crashed process are swept by
+    ``_ann_reset_generations``."""
+    import tempfile
 
-    tmp = os.path.join(root, _ANN_GEN_POINTER + ".tmp")
     lines = [f"{gen[0]} {gen[1]} {gen[2]}"]
     lines += [f"{name} {n} {fp}" for name, n, fp in segs]
 
-    @contextlib.contextmanager
-    def _commit_lock():
-        if expected is None:
-            yield
-            return
-        import fcntl
-
-        lfd = os.open(
-            os.path.join(root, _ANN_GEN_POINTER + ".lock"),
-            os.O_RDWR | os.O_CREAT,
-            0o644,
-        )
-        try:
-            fcntl.flock(lfd, fcntl.LOCK_EX)
-            yield
-        finally:
-            os.close(lfd)  # closing the fd releases the flock
-
-    with _commit_lock():
+    with _ann_commit_lock(root):
         if expected is not None:
             live = _ann_manifest_read(root)
             if live != tuple(expected):
@@ -1731,11 +1750,21 @@ def _ann_manifest_commit(
                     "was NOT applied; re-run the append/compaction from a "
                     "fresh layout read."
                 )
-        with open(tmp, "w") as f:
-            f.write("\n".join(lines) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(root, _ANN_GEN_POINTER))
+        # fence check precedes tmp creation: a rejected commit leaves
+        # zero litter.  mkstemp AFTER the check, unique per commit.
+        tfd, tmp = tempfile.mkstemp(
+            dir=root, prefix=_ANN_GEN_POINTER + ".tmp."
+        )
+        try:
+            with os.fdopen(tfd, "w") as f:
+                f.write("\n".join(lines) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(root, _ANN_GEN_POINTER))
+        except BaseException:
+            with contextlib.suppress(OSError):
+                os.remove(tmp)
+            raise
     try:
         dfd = os.open(root, os.O_RDONLY)
         try:
@@ -1831,6 +1860,30 @@ def _ann_max_dir_num(root: str, prefix: str) -> int:
         if n.startswith(prefix) and n[len(prefix):].isdigit()
     ]
     return max(nums, default=0)
+
+
+def _ann_claim_dir(root: str, prefix: str, start_num: int) -> tuple[str, str]:
+    """Atomically claim a fresh ``<prefix><N>`` dir (N ≥ start_num):
+    ``os.mkdir`` succeeds for exactly one claimant per name, so two
+    concurrent writers that computed the same next number from the
+    same disk scan get DISTINCT dirs instead of clobbering each
+    other's parquet writes (round-16 — the manifest fence rejects the
+    loser's COMMIT, but only the claim keeps the winner's committed
+    dir untorn by the loser's concurrent write).  Callers write into
+    the claimed empty dir with mode("append"), never "overwrite"
+    (overwrite deletes + recreates the dir, voiding the claim for the
+    duration of the scan window).  A crashed claimant leaves an empty
+    orphan dir: invisible (no manifest line names it), numbered past
+    by later writers, GC'd by the next compact/build."""
+    num = start_num
+    while True:
+        name = f"{prefix}{num}"
+        path = os.path.join(root, name)
+        try:
+            os.mkdir(path)
+            return name, path
+        except FileExistsError:
+            num += 1
 
 
 def _ann_read_postings(spark: SparkSession, paths: list[str]) -> DataFrame:
@@ -1933,23 +1986,37 @@ def _ann_reset_generations(root: str) -> None:
     a dangling manifest) and any ``postings_gen*`` / ``postings_seg*``
     dirs.  A crash inside the subsequent build leaves no valid index,
     which the serve path reports loud with the rebuild route — the
-    same contract the in-place overwrite build always had."""
+    same contract the in-place overwrite build always had.
+
+    Round-16 (ADVICE): the ``.lock`` sidecar is LEFT IN PLACE — it is
+    inert and zero-length, and unlinking it voided the fence: a
+    writer already holding the flock keeps the unlinked inode, so the
+    next writer would lock a FRESH inode and the two no longer
+    mutually exclude.  The manifest removal and the torn-tmp sweep
+    run UNDER the flock instead, so a reset can never unlink a live
+    commit's tmp mid-write (the mkstemp-unique tmps a crashed process
+    left behind are dead by definition once the lock is held)."""
+    import glob
     import shutil
 
-    # manifest FIRST (see docstring), then its sidecars: the fence's
-    # lock file and any torn .tmp from a crashed commit — both inert
-    # (flock state dies with the holder's fd; the tmp is overwritten
-    # by the next commit), removed here so a fresh build starts from
-    # a bare root
-    for sidecar in ("", ".lock", ".tmp"):
-        try:
-            os.remove(os.path.join(root, _ANN_GEN_POINTER + sidecar))
-        except OSError:
-            pass
-    if os.path.isdir(root):
-        for name in os.listdir(root):
-            if name.startswith(("postings_gen", "postings_seg")):
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    if not os.path.isdir(root):
+        return
+    with _ann_commit_lock(root):
+        # manifest FIRST (see docstring), then any torn mkstemp tmps
+        # from crashed commits (their writers are gone — we hold the
+        # lock every live commit writes under).  The .lock file
+        # itself is KEPT: removing it breaks flock mutual exclusion
+        # for any current holder.
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(root, _ANN_GEN_POINTER))
+        for tmp in glob.glob(
+            os.path.join(root, glob.escape(_ANN_GEN_POINTER) + ".tmp*")
+        ):
+            with contextlib.suppress(OSError):
+                os.remove(tmp)
+    for name in os.listdir(root):
+        if name.startswith(("postings_gen", "postings_seg")):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
 
 
 def _ann_root(sf_dir: str, suffix: str = "") -> str:
@@ -2484,11 +2551,21 @@ def _ann_append(spark: SparkSession, sf_dir: str, suffix: str, delta: DataFrame)
         and s[0][len("postings_seg"):].isdigit()
     ]
     next_num = max([_ann_max_dir_num(root, "postings_seg"), *named]) + 1
-    seg_name = f"postings_seg{next_num}"
-    seg_dir = os.path.join(root, seg_name)
+    # round-16: CLAIM the segment dir atomically (os.mkdir) before the
+    # Spark write.  Two concurrent appends both compute next_num from
+    # the same disk scan; without the claim they would write the SAME
+    # dir and clobber each other's parquet files — the manifest fence
+    # would still reject one COMMIT, but the winner's committed line
+    # could name a dir torn by the loser's concurrent overwrite.  The
+    # claim gives each writer a distinct dir, so the fence's orphan
+    # story holds exactly: the loser's fully-written segment stays an
+    # invisible orphan.  The write is mode("append") into the freshly
+    # claimed EMPTY dir (identical result; "overwrite" would delete
+    # and recreate the dir, voiding the claim for the scan window).
+    seg_name, seg_dir = _ann_claim_dir(root, "postings_seg", next_num)
     (
         _ann_assign(delta, centroids, int(meta["m"]))
-        .write.mode("overwrite")
+        .write.mode("append")
         .partitionBy("cell")
         .parquet(seg_dir)
     )
@@ -2637,12 +2714,17 @@ def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
     # the committed stamp must describe the rewritten content
     live = _ann_live_paths(root, manifest, require_base=True)
     _gname, gen_n, gen_fp, segs = manifest
-    new_name = f"postings_gen{_ann_max_dir_num(root, 'postings_gen') + 1}"
-    rewrite = os.path.join(root, new_name)
+    # atomic dir claim (round-16): two concurrent compactions — or a
+    # compaction racing the crash-walk — get distinct generation dirs
+    # instead of interleaving parquet writes in one (the fence rejects
+    # the loser's commit; the claim keeps the winner's dir untorn)
+    new_name, rewrite = _ann_claim_dir(
+        root, "postings_gen", _ann_max_dir_num(root, "postings_gen") + 1
+    )
     (
         _ann_read_postings(spark, live)
         .repartition("cell")
-        .write.mode("overwrite")
+        .write.mode("append")
         .partitionBy("cell")
         .parquet(rewrite)
     )

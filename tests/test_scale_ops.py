@@ -1601,3 +1601,214 @@ def test_ann_compact_vanished_base_generation_fails_loud(spark, sf_dir):
     so._ANN_VALIDATED.clear()
     row = QUERIES["sink_ann_index_compact_only"](spark, sf_dir).collect()[0]
     assert row.content_identical and row.stamp_still_valid
+
+
+def test_ann_reset_keeps_lock_inode_and_sweeps_tmps(tmp_path):
+    """Round-16 ADVICE closure: `_ann_reset_generations` must LEAVE the
+    fence's `.lock` sidecar in place — unlinking it strands a writer
+    already holding the flock on a dead inode, so the next writer
+    locks a FRESH inode and the two no longer mutually exclude (the
+    CAS fence silently voided during a reset race).  The reset still
+    sweeps the manifest and any torn mkstemp tmps (under the flock,
+    so it can never unlink a LIVE commit's tmp mid-write)."""
+    import os
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    root = str(tmp_path)
+    so._ann_manifest_commit(root, ("postings", 0, 0), ())  # creates .lock
+    lock_path = os.path.join(root, so._ANN_GEN_POINTER + ".lock")
+    assert os.path.exists(lock_path)
+    ino_before = os.stat(lock_path).st_ino
+    # plant a torn tmp from a "crashed" commit and a live manifest
+    torn = os.path.join(root, so._ANN_GEN_POINTER + ".tmp.deadbeef")
+    with open(torn, "w") as f:
+        f.write("postings_gen9 1 1\n")
+
+    so._ann_reset_generations(root)
+
+    assert not os.path.exists(os.path.join(root, so._ANN_GEN_POINTER))
+    assert not os.path.exists(torn), "torn commit tmp must be swept"
+    assert os.path.exists(lock_path), ".lock must survive reset"
+    assert os.stat(lock_path).st_ino == ino_before, (
+        "reset must not recreate the lock inode — a holder of the old "
+        "inode and a locker of the new one would not mutually exclude"
+    )
+
+
+def test_ann_commit_unique_tmp_no_litter(tmp_path, monkeypatch):
+    """Round-16 ADVICE closure: every manifest commit writes its OWN
+    mkstemp-unique tmp (two commits can never interleave truncate/
+    write on a shared tmp inode), a successful replace consumes it,
+    and a failure past tmp creation unlinks it (no litter)."""
+    import os
+
+    import pytest
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    root = str(tmp_path)
+    seen = []
+    real_replace = os.replace
+
+    def spy(src, dst):
+        seen.append(os.path.basename(src))
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(so.os, "replace", spy)
+    so._ann_manifest_commit(root, ("postings", 0, 0), ())
+    so._ann_manifest_commit(root, ("postings", 0, 0), (("postings_seg1", 1, 1),))
+    assert len(seen) == 2 and seen[0] != seen[1], seen
+    assert all(s.startswith(so._ANN_GEN_POINTER + ".tmp.") for s in seen), seen
+
+    def boom(src, dst):
+        raise OSError("simulated replace failure")
+
+    monkeypatch.setattr(so.os, "replace", boom)
+    with pytest.raises(OSError, match="simulated"):
+        so._ann_manifest_commit(root, ("postings", 2, 2), ())
+    monkeypatch.setattr(so.os, "replace", real_replace)
+    litter = [
+        n for n in os.listdir(root)
+        if n.startswith(so._ANN_GEN_POINTER + ".tmp")
+    ]
+    assert litter == [], f"failed commit left tmp litter: {litter}"
+    # the failed commit never applied: manifest still names seg1
+    assert so._ann_manifest_read(root)[3] == (("postings_seg1", 1, 1),)
+
+
+def test_ann_unconditional_commit_serializes_under_fence_lock(tmp_path):
+    """Round-16 ADVICE closure: UNCONDITIONAL commits (fresh builds,
+    crash-walk) take the same flock as fenced ones — an unconditional
+    writer can no longer interleave with a fenced writer's
+    check-then-replace window.  Pin the observable: while another
+    holder owns the commit lock, an unconditional commit BLOCKS until
+    release."""
+    import threading
+    import time
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    root = str(tmp_path)
+    held = threading.Event()
+    release = threading.Event()
+    done = threading.Event()
+
+    def holder():
+        with so._ann_commit_lock(root):
+            held.set()
+            release.wait(timeout=30)
+
+    def committer():
+        so._ann_manifest_commit(root, ("postings", 0, 0), ())
+        done.set()
+
+    th = threading.Thread(target=holder)
+    th.start()
+    assert held.wait(timeout=10)
+    tc = threading.Thread(target=committer)
+    tc.start()
+    time.sleep(0.5)
+    assert not done.is_set(), (
+        "unconditional commit must block while the fence lock is held"
+    )
+    release.set()
+    th.join(timeout=30)
+    tc.join(timeout=30)
+    assert done.is_set()
+    assert so._ann_manifest_read(root)[0] == "postings"
+
+
+def test_ann_concurrent_refresh_append_race_fences_loser(spark, sf_dir, monkeypatch):
+    """Round-16 (r15 verdict #4): the fence under the real ingest
+    concurrency shape — two concurrent refresh-style ``_ann_append``
+    calls (the user-facing daily-ingest verb) racing on the SAME index
+    root.  Contract: exactly one writer commits; the loser surfaces
+    AnnConcurrentWriterError — not a torn stamp and not a clobbered
+    segment (the round-16 dir claim gives each writer a distinct
+    segment dir, so the winner's committed data is untouched by the
+    loser's concurrent write); the documented recovery — retry from a
+    fresh layout read — then succeeds, and the refreshed index
+    validates as the FULL corpus with the fingerprint guard on."""
+    import os
+    import shutil
+    import threading
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+    from pyspark_caffe_spark.tables import load_table
+
+    suffix = "_race16"
+    d1 = F.pmod(F.col("vec_id"), F.lit(10)) == 3
+    d2 = F.pmod(F.col("vec_id"), F.lit(10)) == 7
+    so._build_ann_index(spark, sf_dir, corpus_filter=~(d1 | d2), suffix=suffix)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    root = os.path.dirname(so._ann_index_paths(sf_dir, suffix)[2])
+
+    # gate: both appends must reach their fenced commit having read the
+    # SAME layout snapshot — the barrier releases them together, the
+    # flock then serializes the commits and the fence rejects the
+    # second (a deterministic lost-update setup, not a lucky
+    # interleaving)
+    real_commit = so._ann_manifest_commit
+    barrier = threading.Barrier(2, timeout=120)
+    armed = threading.Event()
+    armed.set()
+
+    def gated(root_, gen, segs, expected=None):
+        if expected is not None and armed.is_set():
+            try:
+                barrier.wait()
+            except threading.BrokenBarrierError:
+                pass
+            armed.clear()
+        return real_commit(root_, gen, segs, expected=expected)
+
+    monkeypatch.setattr(so, "_ann_manifest_commit", gated)
+    errs: dict[str, Exception] = {}
+
+    def ingest(name: str, delta) -> None:
+        try:
+            so._ann_append(spark, sf_dir, suffix, delta)
+        except Exception as ex:  # noqa: BLE001
+            errs[name] = ex
+
+    t1 = threading.Thread(target=ingest, args=("d1", emb.filter(d1)))
+    t2 = threading.Thread(target=ingest, args=("d2", emb.filter(d2)))
+    t1.start()
+    t2.start()
+    t1.join(timeout=300)
+    t2.join(timeout=300)
+
+    assert len(errs) == 1, f"exactly one loser expected, got: {errs!r}"
+    ((loser, ex),) = errs.items()
+    assert isinstance(ex, so.AnnConcurrentWriterError), ex
+
+    # no torn stamp: the manifest parses to base + exactly the
+    # winner's ONE segment, and that segment dir exists on disk
+    m = so._ann_manifest_read(root)
+    assert m[0] == "postings" and len(m[3]) == 1, m
+    assert os.path.isdir(os.path.join(root, m[3][0][0]))
+
+    # documented recovery: the loser retries from a fresh layout read
+    so._ann_append(
+        spark, sf_dir, suffix, emb.filter(d1 if loser == "d1" else d2)
+    )
+    assert len(so._ann_manifest_read(root)[3]) == 2
+
+    # the refreshed index now validates as the FULL corpus (derived
+    # stamp = meta + both segment deltas) and serves exactly k=10
+    # results per query with the guard on
+    so._ANN_VALIDATED.clear()
+    served = so._serve_from_ann_index(
+        spark, sf_dir, with_recall=False, suffix=suffix, validate_corpus=True
+    )
+    per_q = (
+        served.groupBy("qid")
+        .count()
+        .agg(F.min("count").alias("mn"), F.max("count").alias("mx"))
+        .collect()[0]
+    )
+    assert per_q["mn"] == per_q["mx"] == 10
+    shutil.rmtree(root, ignore_errors=True)
