@@ -1812,3 +1812,55 @@ def test_ann_concurrent_refresh_append_race_fences_loser(spark, sf_dir, monkeypa
     )
     assert per_q["mn"] == per_q["mx"] == 10
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ann_append_racing_rebuild_fails_loud_on_guarded_serve(spark, sf_dir):
+    """Round-16 self-audit: the one writer-race the manifest fence
+    cannot see — append vs full REBUILD.  A rebuild resets to the
+    manifest-absent base layout, so a stale appender whose snapshot
+    was ALSO the base layout passes the compare-and-swap (ABA: base →
+    base) and commits a segment of vectors the rebuilt index already
+    contains.  The fence is blind here by construction, but the
+    DERIVED stamp is not: effective corpus = meta(full) + segment
+    delta(slice) no longer matches the actual dataset fingerprint,
+    so the guarded serve fails LOUD with the rebuild route — a
+    double-writer contract violation degrades to an explicit error,
+    never to silently double-counted postings.  (Same guard catches
+    an operator re-running one day's ingest twice.)"""
+    import os
+    import shutil
+
+    import pytest
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+    from pyspark_caffe_spark.tables import load_table
+
+    suffix = "_aba16"
+    delta_pred = F.pmod(F.col("vec_id"), F.lit(10)) == 7
+    # writer A's world: base built WITHOUT the delta slice
+    so._build_ann_index(spark, sf_dir, corpus_filter=~delta_pred, suffix=suffix)
+    root = os.path.dirname(so._ann_index_paths(sf_dir, suffix)[2])
+    assert so._ann_manifest_read(root) == so._ANN_MANIFEST_BASE
+
+    # writer B lands a full REBUILD: manifest absent before AND after
+    # (base → base), meta now fingerprints the FULL corpus
+    so._build_ann_index(spark, sf_dir, suffix=suffix)
+    assert so._ann_manifest_read(root) == so._ANN_MANIFEST_BASE
+
+    # writer A's append now commits: the fence compares base == base
+    # and PASSES (the ABA blind spot) even though A's delta vectors
+    # are already inside the rebuilt base
+    delta = load_table(spark, sf_dir, "embeddings").filter(delta_pred).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    so._ann_append(spark, sf_dir, suffix, delta)
+    assert len(so._ann_manifest_read(root)[3]) == 1  # the ABA commit applied
+
+    # the guarded serve converts the blind spot to fails-loud: the
+    # derived stamp (full + slice) cannot match the dataset
+    so._ANN_VALIDATED.clear()
+    with pytest.raises(ValueError, match="corpus drift"):
+        so._serve_from_ann_index(
+            spark, sf_dir, with_recall=False, suffix=suffix, validate_corpus=True
+        )
+    shutil.rmtree(root, ignore_errors=True)
