@@ -867,6 +867,13 @@ try:  # pragma: no cover - import surface probed once
                         if ln and ln.split(",", 1)[0] != str(batchId)
                     ]
             lines.append(f"{batchId},{total}")
+            # shared ".tmp" + replace is safe HERE, unlike the ANN
+            # manifest (which needed mkstemp + flock): commit() runs
+            # driver-side and the streaming engine serializes it per
+            # query — one committer per sink path by contract (two
+            # queries sharing an output path is out of contract for
+            # file sinks generally).  No concurrent writer exists to
+            # interleave on the tmp inode.
             with open(manifest + ".tmp", "w") as f:
                 f.write("\n".join(lines) + "\n")
             os.replace(manifest + ".tmp", manifest)
