@@ -1755,6 +1755,13 @@ def _ann_manifest_commit(
         tfd, tmp = tempfile.mkstemp(
             dir=root, prefix=_ANN_GEN_POINTER + ".tmp."
         )
+        # mkstemp creates 0600; the replace would narrow the LIVE
+        # manifest to owner-only and a co-reader process under another
+        # uid would hit PermissionError — which _ann_manifest_read's
+        # defensive except degrades to the BASE layout, silently
+        # dropping every committed segment.  Restore the pre-mkstemp
+        # world-readable mode before the replace.
+        os.fchmod(tfd, 0o644)
         try:
             with os.fdopen(tfd, "w") as f:
                 f.write("\n".join(lines) + "\n")
@@ -2751,6 +2758,18 @@ def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
             name == "postings" or name.startswith(("postings_gen", "postings_seg"))
         ) and name != new_name:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    # steady-state sweep of crash-orphaned commit tmps (round-16
+    # self-review): mkstemp-unique tmps from a SIGKILL'd commit would
+    # otherwise accumulate one file per crash on an index that is only
+    # ever appended/compacted, never rebuilt (reset is the only other
+    # sweeper).  Under the commit lock, so a LIVE commit's tmp is
+    # never unlinked mid-write — any tmp visible while we hold the
+    # lock belongs to a dead writer.
+    with _ann_commit_lock(root):
+        for name in os.listdir(root):
+            if name.startswith(_ANN_GEN_POINTER + ".tmp"):
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(root, name))
     return rewrite
 
 

@@ -1864,3 +1864,49 @@ def test_ann_append_racing_rebuild_fails_loud_on_guarded_serve(spark, sf_dir):
             spark, sf_dir, with_recall=False, suffix=suffix, validate_corpus=True
         )
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ann_manifest_stays_world_readable(tmp_path):
+    """Round-16 self-review closure: the mkstemp-unique commit tmp is
+    created 0600, and os.replace would carry that onto the LIVE
+    manifest — a co-reader under another uid would then hit
+    PermissionError, which `_ann_manifest_read`'s defensive except
+    degrades to the BASE layout (every committed segment silently
+    dropped).  The commit must restore world-readable mode before the
+    replace."""
+    import os
+    import stat
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    root = str(tmp_path)
+    so._ann_manifest_commit(root, ("postings", 0, 0), (("postings_seg1", 1, 1),))
+    mode = os.stat(os.path.join(root, so._ANN_GEN_POINTER)).st_mode
+    assert mode & stat.S_IRGRP and mode & stat.S_IROTH, oct(mode)
+
+
+def test_ann_compact_gc_sweeps_crash_orphan_tmps(spark, sf_dir):
+    """Round-16 self-review closure: a commit SIGKILL'd between
+    mkstemp and replace leaves one unique POSTINGS_GEN.tmp.* file;
+    on an index maintained only by append/compact (never rebuilt)
+    those accumulated unbounded.  Compaction's post-commit GC now
+    sweeps them under the commit lock."""
+    import os
+    import shutil
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    suffix = "_tmpgc16"
+    so._ann_lay_ingest_history(spark, sf_dir, suffix)
+    _, ppath, mpath = so._ann_index_paths(sf_dir, suffix)
+    root = os.path.dirname(mpath)
+    orphan = os.path.join(root, so._ANN_GEN_POINTER + ".tmp.deadcafe")
+    with open(orphan, "w") as f:
+        f.write("postings_gen99 9 9\n")
+
+    so._ann_compact_postings(spark, ppath)
+
+    assert not os.path.exists(orphan), "compact GC must sweep crash tmps"
+    # the live manifest survived the sweep
+    assert so._ann_manifest_read(root)[0].startswith("postings_gen")
+    shutil.rmtree(root, ignore_errors=True)
