@@ -1643,7 +1643,11 @@ def _ann_manifest_read(root: str) -> tuple[str, int, int, tuple]:
     try:
         with open(os.path.join(root, _ANN_GEN_POINTER)) as f:
             lines = [ln.strip() for ln in f.read().splitlines() if ln.strip()]
-    except OSError:
+    except (OSError, UnicodeDecodeError):
+        # UnicodeDecodeError (round-16, found by the parser fuzz
+        # test): a TORN write can leave partial multi-byte sequences —
+        # garbage content must fall back to the base layout like every
+        # other unparseable state, not crash the serve path
         return _ANN_MANIFEST_BASE
     if not lines:
         return _ANN_MANIFEST_BASE

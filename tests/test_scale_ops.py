@@ -1910,3 +1910,45 @@ def test_ann_compact_gc_sweeps_crash_orphan_tmps(spark, sf_dir):
     # the live manifest survived the sweep
     assert so._ann_manifest_read(root)[0].startswith("postings_gen")
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ann_manifest_read_never_raises_on_garbage(tmp_path):
+    """Property-pin the parser's defensive contract: ANY byte content
+    in the manifest file — torn writes, truncations, binary garbage,
+    path-escape attempts — parses to either the BASE layout or a
+    well-formed (name, int, int, segments) tuple whose names can never
+    escape the root (basename'd).  A raise here would turn a torn
+    manifest into a serve-path crash instead of the documented
+    base-layout fallback."""
+    import os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    root = str(tmp_path)
+    manifest = os.path.join(root, so._ANN_GEN_POINTER)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=512))
+    def check(blob: bytes) -> None:
+        with open(manifest, "wb") as f:
+            f.write(blob)
+        got = so._ann_manifest_read(root)
+        assert isinstance(got, tuple) and len(got) == 4
+        name, n, fp, segs = got
+        assert name and "/" not in name and isinstance(n, int) and isinstance(fp, int)
+        for s in segs:
+            assert len(s) == 3 and s[0] and "/" not in s[0]
+            assert isinstance(s[1], int) and isinstance(s[2], int)
+
+    check()
+    # round-trip property on top: whatever a commit writes, the parser
+    # returns verbatim
+    so._ann_manifest_commit(
+        root, ("postings_gen3", 5, 99), (("postings_seg7", 2, 11),)
+    )
+    assert so._ann_manifest_read(root) == (
+        "postings_gen3", 5, 99, (("postings_seg7", 2, 11),)
+    )
