@@ -90,29 +90,32 @@ _SWEEP_BUDGET = 50
 _SWEEP_FIT_HEADROOM = 5
 
 
-# Keys whose IMPLEMENTATION changed in round 16 (the ADVICE fence
-# closures + the segment-dir claim: every manifest commit — fenced
-# AND unconditional — now serializes under the flock and writes its
-# own mkstemp-unique tmp (no shared-tmp interleave hole);
-# _ann_reset_generations keeps the .lock inode (unlinking it voided
-# mutual exclusion for a current holder) and sweeps manifest/tmps
-# under the flock; append/compact dirs are claimed atomically via
-# os.mkdir + written mode("append"), so concurrent writers can no
-# longer clobber one segment dir while the fence only protected the
-# manifest): their surviving driver rows validate round-15 code, so
-# they re-sweep ahead of the green pool until a row from round ≥ 16
+# Keys whose IMPLEMENTATION changed in round 17 (the two ADVICE
+# closures in the ANN manifest machinery: _ann_manifest_read now
+# rejects "."/".." names — basename("..") passed the old empty
+# check and resolved the layout to root's PARENT, the escape the
+# basename() contract claims to prevent; _ann_manifest_commit's
+# fchmod moved inside the try so a failing fchmod releases the fd
+# and unlinks the unique tmp like every other post-creation
+# failure): their surviving driver rows validate round-16 code, so
+# they re-sweep ahead of the green pool until a row from round ≥ 17
 # exists — a green CORRECTNESS row should always describe the code
 # that is actually in the tree.  Auto-expires: once the fresh row
 # lands, the keys rejoin group 2 at normal staleness order.  (The
-# round-15 entries — segment cap + writer fence — all landed fresh
-# r15 rows and have expired.)
+# round-16 entries — flock + unique-tmp + dir claim — all landed
+# fresh r16 rows and have expired.)  stream_python_sink: the
+# _EPOCHS manifest read (commit() rewrite + drain total) moved to
+# the defensive _epochs_manifest_read helper after the round-17
+# parser fuzz found the same UnicodeDecodeError crash class the
+# r16 ANN fuzz did.
 _CODE_CHANGED = {
-    "sink_ann_index": 16,
-    "sim_knn_ivf_serve": 16,
-    "sim_knn_ivf_serve_only": 16,
-    "sim_knn_ivf_refresh": 16,
-    "sink_ann_index_compact": 16,
-    "sink_ann_index_compact_only": 16,
+    "sink_ann_index": 17,
+    "sim_knn_ivf_serve": 17,
+    "sim_knn_ivf_serve_only": 17,
+    "sim_knn_ivf_refresh": 17,
+    "sink_ann_index_compact": 17,
+    "sink_ann_index_compact_only": 17,
+    "stream_python_sink": 17,
 }
 
 

@@ -1638,8 +1638,9 @@ def _ann_manifest_read(root: str) -> tuple[str, int, int, tuple]:
     resolve to the base layout (``postings``, no segments) — the same
     fallback chain the pre-segment pointer had, where the serve path's
     existence check then fails loud with the rebuild route if base is
-    gone too.  Names are basename()-d so a garbage pointer can never
-    escape ``root``."""
+    gone too.  Names are basename()-d AND rejected when "." / ".."
+    (which basename passes through — ".." would resolve to root's
+    parent) so a garbage pointer can never escape ``root``."""
     try:
         with open(os.path.join(root, _ANN_GEN_POINTER)) as f:
             lines = [ln.strip() for ln in f.read().splitlines() if ln.strip()]
@@ -1655,7 +1656,13 @@ def _ann_manifest_read(root: str) -> tuple[str, int, int, tuple]:
     for ln in lines:
         fields = ln.split()
         name = os.path.basename(fields[0])
-        if not name:
+        if not name or name in (".", ".."):
+            # round-17 (ADVICE): basename("..") == ".." — a garbage
+            # line of ".." survived the empty check and resolved the
+            # layout to root's PARENT (an always-existing dir), the
+            # exact escape the basename() contract claims to prevent.
+            # "." (resolving to root itself) is rejected for the same
+            # reason: no legitimate commit ever writes either.
             return _ANN_MANIFEST_BASE
         if len(fields) == 1:
             parsed.append((name, 0, 0))
@@ -1759,15 +1766,21 @@ def _ann_manifest_commit(
         tfd, tmp = tempfile.mkstemp(
             dir=root, prefix=_ANN_GEN_POINTER + ".tmp."
         )
-        # mkstemp creates 0600; the replace would narrow the LIVE
-        # manifest to owner-only and a co-reader process under another
-        # uid would hit PermissionError — which _ann_manifest_read's
-        # defensive except degrades to the BASE layout, silently
-        # dropping every committed segment.  Restore the pre-mkstemp
-        # world-readable mode before the replace.
-        os.fchmod(tfd, 0o644)
         try:
             with os.fdopen(tfd, "w") as f:
+                # mkstemp creates 0600; the replace would narrow the
+                # LIVE manifest to owner-only and a co-reader process
+                # under another uid would hit PermissionError — which
+                # _ann_manifest_read's defensive except degrades to
+                # the BASE layout, silently dropping every committed
+                # segment.  Restore the pre-mkstemp world-readable
+                # mode before the replace.  Inside the try (round-17
+                # ADVICE): a failing fchmod must release the fd (the
+                # enclosing ``with``) and unlink the tmp (the except
+                # below) like every other post-creation failure —
+                # outside it, the fd leaked and the tmp stayed as
+                # litter.
+                os.fchmod(f.fileno(), 0o644)
                 f.write("\n".join(lines) + "\n")
                 f.flush()
                 os.fsync(f.fileno())

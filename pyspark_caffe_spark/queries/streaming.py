@@ -789,6 +789,37 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _epochs_manifest_read(manifest: str) -> list[tuple[str, int]]:
+    """Defensive read of the epoch sink's ``_EPOCHS`` manifest:
+    ``(batch_id, n_rows)`` pairs for every well-formed
+    ``digits,digits`` line.  An absent file, an unreadable file, or
+    non-UTF-8 content (a torn write can leave partial multi-byte
+    sequences — the same crash class the round-16 ANN-manifest fuzz
+    found: text-mode read raised UnicodeDecodeError past an
+    OSError-only guard) degrades to NO lines, and malformed
+    individual lines are dropped (torn-final-line tolerance the
+    drain loop always had), so neither the driver-side ``commit()``
+    rewrite nor a concurrent drain reader can crash on garbage.
+    Round-17: one definition for both read sites — commit() used to
+    read text-mode with no decode guard at all.  The decode is
+    per-file binary + ``errors="replace"`` rather than a whole-file
+    UnicodeDecodeError fallback: torn bytes become U+FFFD and only
+    THEIR line is dropped by the digits check, so the parseable
+    prefix (already-committed batch counts) survives a torn tail
+    instead of degrading the whole manifest."""
+    try:
+        with open(manifest, "rb") as f:
+            raw = f.read().decode("utf-8", errors="replace").splitlines()
+    except OSError:
+        return []
+    out: list[tuple[str, int]] = []
+    for ln in raw:
+        parts = ln.strip().split(",")
+        if len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit():
+            out.append((parts[0], int(parts[1])))
+    return out
+
+
 try:  # pragma: no cover - import surface probed once
     from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
 
@@ -858,14 +889,11 @@ try:  # pragma: no cover - import surface probed once
                 part += 1
                 total += m.n_rows
             manifest = os.path.join(self.path, "_EPOCHS")
-            lines: list[str] = []
-            if os.path.exists(manifest):
-                with open(manifest) as f:
-                    lines = [
-                        ln
-                        for ln in f.read().splitlines()
-                        if ln and ln.split(",", 1)[0] != str(batchId)
-                    ]
+            lines = [
+                f"{b},{n}"
+                for b, n in _epochs_manifest_read(manifest)
+                if b != str(batchId)
+            ]
             lines.append(f"{batchId},{total}")
             # shared ".tmp" + replace is safe HERE, unlike the ANN
             # manifest (which needed mkstemp + flock): commit() runs
@@ -941,16 +969,12 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         deadline = time.time() + 120
         while time.time() < deadline:
             epochs = os.path.join(sink_dir, "_EPOCHS")
-            if os.path.exists(epochs):
-                # the driver thread appends concurrently — tolerate a
-                # torn final line instead of crashing the drain
-                total = 0
-                for line in open(epochs):
-                    parts = line.strip().split(",")
-                    if len(parts) == 2 and parts[1].isdigit():
-                        total += int(parts[1])
-                if total >= 500:
-                    break
+            # the driver thread commits concurrently — the defensive
+            # reader tolerates absence / torn lines instead of
+            # crashing the drain
+            total = sum(n for _, n in _epochs_manifest_read(epochs))
+            if total >= 500:
+                break
             time.sleep(0.3)
         else:
             raise TimeoutError("epoch_jsonl drain did not complete")

@@ -548,3 +548,36 @@ def test_bench_history_loader_degrades_on_garbage(tmp_path, monkeypatch):
     # a healthy file still loads
     path.write_text('{"version": 1, "runs": [{"queries": {"a": 1.0}}]}')
     assert bench._load_history() == [{"queries": {"a": 1.0}}]
+
+
+def test_bench_history_loader_never_raises_fuzz(tmp_path, monkeypatch):
+    """Round-17 (verdict #3): extend the r16 parser-fuzz pattern to
+    the bench-history loader — ANY byte content in BENCH_MEDIANS.json
+    (binary garbage, torn multi-byte sequences, valid-JSON-wrong-shape)
+    must degrade to a list of dicts, never crash the bench before it
+    produces output.  UnicodeDecodeError is a ValueError subclass, so
+    the existing (OSError, ValueError) guard already covers text-mode
+    decode failures — this property PINS that, so a future narrowing
+    of the except clause fails a test instead of shipping the same
+    crash class the ANN-manifest fuzz found in round 16."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import bench
+
+    path = tmp_path / "BENCH_MEDIANS.json"
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(path))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=512))
+    def check(blob: bytes) -> None:
+        path.write_bytes(blob)
+        runs = bench._load_history()
+        assert isinstance(runs, list)
+        assert all(isinstance(r, dict) for r in runs)
+
+    check()
+    # round-trip on top: what _save_history-shaped content stores,
+    # the loader returns verbatim
+    path.write_text('{"version": 1, "runs": [{"queries": {"a": 1.0}}]}')
+    assert bench._load_history() == [{"queries": {"a": 1.0}}]

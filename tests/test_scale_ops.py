@@ -1938,9 +1938,15 @@ def test_ann_manifest_read_never_raises_on_garbage(tmp_path):
         got = so._ann_manifest_read(root)
         assert isinstance(got, tuple) and len(got) == 4
         name, n, fp, segs = got
-        assert name and "/" not in name and isinstance(n, int) and isinstance(fp, int)
+        # round-17 (ADVICE): "/" not in name was too weak — basename
+        # passes "." and ".." through, and ".." resolves to root's
+        # PARENT (an always-existing dir): the exact escape the
+        # contract claims to prevent.  Pin the full no-escape set.
+        assert name and name not in (".", "..") and "/" not in name
+        assert isinstance(n, int) and isinstance(fp, int)
         for s in segs:
             assert len(s) == 3 and s[0] and "/" not in s[0]
+            assert s[0] not in (".", "..")
             assert isinstance(s[1], int) and isinstance(s[2], int)
 
     check()
@@ -1952,3 +1958,62 @@ def test_ann_manifest_read_never_raises_on_garbage(tmp_path):
     assert so._ann_manifest_read(root) == (
         "postings_gen3", 5, 99, (("postings_seg7", 2, 11),)
     )
+
+
+def test_ann_manifest_dotdot_line_resolves_to_base(tmp_path):
+    """Round-17 ADVICE regression: a garbage manifest line of ".."
+    passed the old empty-name check (basename("..") == "..") and
+    _ann_base_path then resolved the layout to root's PARENT — an
+    always-existing directory, so the isdir fallback never fired:
+    the path escape the basename() contract claims to prevent.
+    Both "." and ".." (as gen OR segment name) must now parse to
+    the BASE layout, which _ann_base_path resolves inside root."""
+    import os
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    root = str(tmp_path)
+    manifest = os.path.join(root, so._ANN_GEN_POINTER)
+    for garbage in ("..\n", ".\n", "a/..\n", "ok 1 2\n.. 3 4\n"):
+        with open(manifest, "w") as f:
+            f.write(garbage)
+        parsed = so._ann_manifest_read(root)
+        assert parsed == so._ANN_MANIFEST_BASE, garbage
+        base = so._ann_base_path(root, parsed)
+        assert os.path.abspath(base).startswith(os.path.abspath(root) + os.sep)
+
+
+def test_ann_manifest_commit_fchmod_failure_leaves_no_litter(tmp_path, monkeypatch):
+    """Round-17 ADVICE regression: os.fchmod ran after mkstemp but
+    OUTSIDE the try/except cleanup — a failing fchmod (e.g. EIO)
+    leaked the fd and left the unique tmp as litter, contradicting
+    the docstring's 'tmp is unlinked on any failure past its
+    creation'.  Now it runs inside the fdopen block: the ``with``
+    closes the fd and the except unlinks the tmp."""
+    import glob
+    import os
+
+    import pyspark_caffe_spark.queries.scale_ops as so
+
+    root = str(tmp_path)
+    so._ann_manifest_commit(root, ("postings_gen1", 1, 1), ())
+    live_before = so._ann_manifest_read(root)
+
+    real_fchmod = os.fchmod
+
+    def boom(fd, mode):
+        raise OSError(5, "Input/output error")
+
+    monkeypatch.setattr(os, "fchmod", boom)
+    try:
+        import pytest
+
+        with pytest.raises(OSError):
+            so._ann_manifest_commit(root, ("postings_gen2", 2, 2), ())
+    finally:
+        monkeypatch.setattr(os, "fchmod", real_fchmod)
+
+    # no tmp litter survived the failed commit...
+    assert glob.glob(os.path.join(root, so._ANN_GEN_POINTER + ".tmp.*")) == []
+    # ...and the live manifest still carries the pre-failure layout
+    assert so._ann_manifest_read(root) == live_before
