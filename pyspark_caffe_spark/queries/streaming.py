@@ -815,7 +815,13 @@ def _epochs_manifest_read(manifest: str) -> list[tuple[str, int]]:
     out: list[tuple[str, int]] = []
     for ln in raw:
         parts = ln.strip().split(",")
-        if len(parts) == 2 and parts[0].isdigit() and parts[1].isdigit():
+        # isdecimal(), NOT isdigit(): isdigit() is True for characters
+        # int() rejects (superscript '²', circled digits), so garbage
+        # like b'1,\xc2\xb2' would raise ValueError past the guard —
+        # the round-17 self-review caught exactly that escape.
+        # isdecimal() is True only for Unicode Nd characters, the
+        # precise class int() accepts, so the int() below cannot raise.
+        if len(parts) == 2 and parts[0].isdecimal() and parts[1].isdecimal():
             out.append((parts[0], int(parts[1])))
     return out
 

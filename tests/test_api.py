@@ -1495,6 +1495,14 @@ def test_epochs_manifest_read_never_raises_on_garbage(tmp_path):
             assert b.isdigit() and isinstance(n, int) and n >= 0
 
     check()
+    # round-17 self-review regression, pinned explicitly (hypothesis
+    # may not generate it in a given run): '²'.isdigit() is True but
+    # int('²') raises ValueError, so the first cut's isdigit() guard
+    # did NOT protect the int() — b'1,\xc2\xb2' is VALID UTF-8 and
+    # crashed the parser.  isdecimal() matches int()'s accepted class.
+    with open(manifest, "wb") as f:
+        f.write(b"0,5\n1,\xc2\xb2\n")
+    assert _epochs_manifest_read(manifest) == [("0", 5)]
     # round-trip property on top: what commit() writes, the parser
     # returns verbatim; absence degrades to no lines
     with open(manifest, "w") as f:

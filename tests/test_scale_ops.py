@@ -1995,23 +1995,20 @@ def test_ann_manifest_commit_fchmod_failure_leaves_no_litter(tmp_path, monkeypat
 
     import pyspark_caffe_spark.queries.scale_ops as so
 
+    import pytest
+
     root = str(tmp_path)
     so._ann_manifest_commit(root, ("postings_gen1", 1, 1), ())
     live_before = so._ann_manifest_read(root)
 
-    real_fchmod = os.fchmod
-
     def boom(fd, mode):
         raise OSError(5, "Input/output error")
 
+    # monkeypatch restores os.fchmod at teardown — no manual undo
     monkeypatch.setattr(os, "fchmod", boom)
-    try:
-        import pytest
-
-        with pytest.raises(OSError):
-            so._ann_manifest_commit(root, ("postings_gen2", 2, 2), ())
-    finally:
-        monkeypatch.setattr(os, "fchmod", real_fchmod)
+    with pytest.raises(OSError):
+        so._ann_manifest_commit(root, ("postings_gen2", 2, 2), ())
+    monkeypatch.undo()
 
     # no tmp litter survived the failed commit...
     assert glob.glob(os.path.join(root, so._ANN_GEN_POINTER + ".tmp.*")) == []
