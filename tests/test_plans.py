@@ -102,6 +102,35 @@ CASES = [
     ("agg_theta_sketch_rollup", r"PushedFilters: \[[^\]]*LessThan\(day", r"CartesianProduct", "range query reads the STORED daily sketches with the day filter pushed down"),
     ("agg_kll_sketch_rollup", r"PushedFilters: \[[^\]]*LessThan\(day", r"CartesianProduct|SortMergeJoin", "range quantiles read the STORED daily sketches, day filter pushed down"),
     ("ml_bootstrap_ci", r"HashAggregate(.|\n)*HashAggregate", r"BatchEvalPython|ArrowEvalPython|hashpartitioning(.|\n)*hashpartitioning", "all 20 replicates ride ONE scan + partial agg; a single 20-group shuffle"),
+    # round-17 widening: the dedup / similarity / salted-join / graph /
+    # scan-speed families are the plans whose shape carries the 100 TB
+    # argument — locked so a refactor can't silently reintroduce an
+    # all-pairs join, a Python hot path, or a needless shuffle.
+    ("dedup_exact", r"HashAggregate", r"BatchEvalPython|ArrowEvalPython|CartesianProduct|SortMergeJoin", "exact dedup is a normalized-key aggregate, all-JVM, no join"),
+    ("dedup_minhash", None, r"CartesianProduct", "minhash candidates come from the band-signature equi-join, never all-pairs"),
+    ("dedup_simhash", None, r"CartesianProduct", "simhash chunk-blocking keeps candidate generation an equi-join"),
+    ("dedup_ngram_jaccard", None, r"CartesianProduct|BroadcastNestedLoopJoin", "ngram-blocked jaccard verifies equi-join candidates only"),
+    ("dedup_candidate_verify", None, r"CartesianProduct|BroadcastNestedLoopJoin", "blocked verify joins candidate pairs on keys, never a theta join"),
+    ("dedup_embed_cosine", None, r"CartesianProduct|BroadcastNestedLoopJoin", "embedding near-dup rides bucketed candidates, never all-pairs cosine"),
+    ("dedup_latest", r"Window", r"SinglePartition", "latest-version pick is per-key windows, never one global partition"),
+    ("dedup_source_priority", r"Window", r"SinglePartition", "source-priority pick is per-key windows, never one global partition"),
+    ("dedup_decontaminate_ngram", None, r"CartesianProduct|BroadcastNestedLoopJoin", "8-gram decontamination joins on the gram hash, never doc-x-benchmark pairs"),
+    ("join_skew_salted", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", r"CartesianProduct|BroadcastNestedLoopJoin", "salting preserves the equi-join; the salt never degrades it to a theta join"),
+    ("ml_knn_classifier", r"BroadcastNestedLoopJoin", r"CartesianProduct|SortMergeJoin", "query block broadcast onto one corpus scan, never a cartesian shuffle"),
+    ("sample_stratified", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "stratified sampling is a scan-side filter: no shuffle, no Python"),
+    ("text_lang_id", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "n-gram lang-id heuristic runs at scan speed: no shuffle, no Python"),
+    ("text_quality_score", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "quality scoring runs at scan speed: no shuffle, no Python"),
+    ("text_pii_scrub", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "PII scrub is JVM regexp_replace at scan speed: no shuffle, no Python"),
+    ("sim_threshold_join", None, r"CartesianProduct", "threshold pairs come from banded LSH candidates, never all-pairs"),
+    ("events_funnel", None, r"CartesianProduct", "funnel stages ride user_id equi-joins (scalar 1-row broadcasts only)"),
+    ("events_dau_mau", None, r"CartesianProduct|BatchEvalPython|ArrowEvalPython", "DAU/MAU rolling distinct is all-JVM date-key aggregation"),
+    ("events_cohort_retention", None, r"CartesianProduct|BroadcastNestedLoopJoin", "cohort grid rides the user_id equi-join, never a theta join"),
+    ("graph_triangle_count", None, r"CartesianProduct|BroadcastNestedLoopJoin", "triangles from edge-edge equi-joins, never all-pairs"),
+    ("agg_q15_top_supplier", None, r"CartesianProduct|BroadcastNestedLoopJoin", "Q15 max-revenue filter decorrelates to equi-joins on the revenue view"),
+    ("join_q13_custdist", r"BroadcastHashJoin", r"CartesianProduct", "Q13 custdist outer join broadcasts, comment filter stays in the join"),
+    ("agg_q17_small_qty", None, r"CartesianProduct|BroadcastNestedLoopJoin", "Q17 correlated avg-qty subquery decorrelates to a p_partkey equi-join"),
+    ("agg_q12_priority_late", r"BroadcastHashJoin", r"CartesianProduct|SortMergeJoin", "Q12 shipmode split rides the orders broadcast, no fact shuffle join"),
+    ("agg_q18_topk", None, r"CartesianProduct|BroadcastNestedLoopJoin", "Q18 large-order HAVING filter stays on equi-joins"),
 ]
 
 
@@ -121,6 +150,35 @@ def test_path_topk_single_window(spark, sf_dir):
     plan = plan_of(QUERIES["events_path_topk"](spark, sf_dir))
     n = len(re.findall(r"\(\d+\) Window", plan))
     assert n == 1, f"expected exactly one Window node, plan has {n}"
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    """Exact dedup at 100 TB is ONE normalized-key shuffle — the
+    normalize (lower/trim) is scan-side, the dropDuplicates is one
+    hash aggregate, and nothing downstream re-partitions."""
+    plan = plan_of(QUERIES["dedup_exact"](spark, sf_dir))
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n == 1, f"expected exactly one Exchange, plan has {n}"
+
+
+def test_join_asof_single_shuffle(spark, sf_dir):
+    """The as-of join's backward search rides ONE user-key shuffle:
+    union both sides, one window over (key, ts), filter — a second
+    Exchange would mean the window re-partitions what the union
+    already clustered."""
+    plan = plan_of(QUERIES["join_asof"](spark, sf_dir))
+    n = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n == 1, f"expected exactly one Exchange, plan has {n}"
+
+
+def test_dedup_latest_windows_share_one_shuffle(spark, sf_dir):
+    """dedup_latest / dedup_source_priority stack three window
+    functions over the same key ordering: all of them must ride ONE
+    Exchange (same-spec windows collapse onto one sort/partition)."""
+    for key in ("dedup_latest", "dedup_source_priority"):
+        plan = plan_of(QUERIES[key](spark, sf_dir))
+        n = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n == 1, f"{key}: expected exactly one Exchange, plan has {n}"
 
 
 def test_q21_single_lineitem_scan(spark, sf_dir):
