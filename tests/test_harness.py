@@ -581,3 +581,34 @@ def test_bench_history_loader_never_raises_fuzz(tmp_path, monkeypatch):
     # the loader returns verbatim
     path.write_text('{"version": 1, "runs": [{"queries": {"a": 1.0}}]}')
     assert bench._load_history() == [{"queries": {"a": 1.0}}]
+
+
+def test_driver_rows_never_raises_fuzz(tmp_path, monkeypatch):
+    """Round-17: property-pin the graded surface's own evidence
+    loader — ``_driver_rows`` feeds the sweep ORDER, so a crash on a
+    torn/garbage CORRECTNESS_r*.json would break ``queries()`` for
+    the grading driver itself.  UnicodeDecodeError is a ValueError
+    subclass (covered by the existing guard) and non-dict tops /
+    non-dict rows are isinstance-filtered; this pins both so a
+    future narrowing fails a test, not a round."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    monkeypatch.setattr(entry, "_REPO_DIR", str(tmp_path))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=256))
+    def check(blob: bytes) -> None:
+        (tmp_path / "CORRECTNESS_r3.json").write_bytes(blob)
+        rows = entry._driver_rows()
+        assert isinstance(rows, dict)
+        for k, row in rows.items():
+            assert isinstance(row, dict) and isinstance(row.get("_round"), int)
+
+    check()
+    # wrong-shape-but-valid JSON degrades row-by-row, healthy rows load
+    (tmp_path / "CORRECTNESS_r3.json").write_text(
+        '{"a": {"hash_match": true}, "b": [1], "c": "x"}'
+    )
+    rows = entry._driver_rows()
+    assert rows == {"a": {"hash_match": True, "_round": 3}}

@@ -163,7 +163,10 @@ def build_slice_dirs(super_dir: str) -> tuple[dict[str, str], dict[str, float]]:
         spec_hash = hashlib.sha256(sql.encode()).hexdigest()
         try:
             spec_stale = open(spec_file).read().strip() != spec_hash
-        except OSError:
+        except (OSError, UnicodeDecodeError):
+            # round-17: a torn spec write can leave partial multi-byte
+            # sequences; degrade to stale (rebuild) like any unreadable
+            # spec, never crash the staleness gate
             spec_stale = True
         stale = os.path.exists(pq) and (
             spec_stale
@@ -366,7 +369,12 @@ def main() -> None:
                        "(slice rebuilt since)" if dropped else ""),
                     file=sys.stderr,
                 )
-            except (OSError, ValueError):
+            except (OSError, ValueError, AttributeError, TypeError):
+                # round-17: json.load succeeding on `[]`/`null`/string
+                # tops (or results rows that aren't dicts) raised
+                # AttributeError past the old guard — same class the
+                # r14 bench-history loader fixed.  A torn artifact
+                # degrades to a fresh sweep, never a crashed resume.
                 pass
 
     def fresh_session() -> None:

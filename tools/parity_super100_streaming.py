@@ -115,7 +115,10 @@ def main() -> None:
     spec_hash = hashlib.sha256(slice_sql.encode()).hexdigest()
     try:
         spec_stale = open(spec_file).read().strip() != spec_hash
-    except OSError:
+    except (OSError, UnicodeDecodeError):
+        # round-17: a torn spec write can leave partial multi-byte
+        # sequences; degrade to stale (rebuild) like any unreadable
+        # spec, never crash the staleness gate
         spec_stale = True
     con = duckdb.connect()
     stale = os.path.exists(slice_pq) and (
@@ -223,7 +226,12 @@ def main() -> None:
                     f"resume: {len(results)} green results carried over",
                     file=sys.stderr,
                 )
-            except (OSError, ValueError):
+            except (OSError, ValueError, AttributeError, TypeError):
+                # round-17: json.load succeeding on `[]`/`null`/string
+                # tops (or results rows that aren't dicts) raised
+                # AttributeError past the old guard — same class the
+                # r14 bench-history loader fixed.  A torn artifact
+                # degrades to a fresh sweep, never a crashed resume.
                 pass
 
     def record(key: str, df, oracle_sql: str) -> None:
