@@ -131,6 +131,51 @@ CASES = [
     ("agg_q17_small_qty", None, r"CartesianProduct|BroadcastNestedLoopJoin", "Q17 correlated avg-qty subquery decorrelates to a p_partkey equi-join"),
     ("agg_q12_priority_late", r"BroadcastHashJoin", r"CartesianProduct|SortMergeJoin", "Q12 shipmode split rides the orders broadcast, no fact shuffle join"),
     ("agg_q18_topk", None, r"CartesianProduct|BroadcastNestedLoopJoin", "Q18 large-order HAVING filter stays on equi-joins"),
+    # round-17 widening, second batch: window family (partitioned,
+    # never global), the Arrow-vs-row-Python contract on the pandas-UDF
+    # ML keys, JVM-only vectorized ML, and the remaining join/agg tails.
+    ("win_lag_lead", r"Window", r"SinglePartition|BatchEvalPython|ArrowEvalPython", "lag/lead windows partition per user, never one global partition"),
+    ("win_running", r"Window", r"SinglePartition|BatchEvalPython|ArrowEvalPython", "running totals partition per key, never one global partition"),
+    ("win_range_frame", r"Window", r"SinglePartition|BatchEvalPython|ArrowEvalPython", "range frames partition per key, never one global partition"),
+    ("win_rank_dense", r"Window", r"SinglePartition|BatchEvalPython|ArrowEvalPython", "dense-rank windows partition per group"),
+    ("win_ntile", r"Window", r"SinglePartition|BatchEvalPython|ArrowEvalPython", "ntile buckets partition per group"),
+    ("win_percent", r"Window", r"SinglePartition|BatchEvalPython|ArrowEvalPython", "percent_rank/cume_dist partition per group"),
+    ("win_first_last", r"Window", r"SinglePartition|BatchEvalPython|ArrowEvalPython", "first/last value windows partition per group"),
+    ("win_gaps_islands", r"Window", r"SinglePartition|BatchEvalPython|ArrowEvalPython", "gaps-and-islands windows partition per user"),
+    ("events_anomaly", r"Window", r"SinglePartition|CartesianProduct|BatchEvalPython|ArrowEvalPython", "z-score anomaly windows partition per metric key"),
+    ("events_anomaly_robust", None, r"CartesianProduct|BroadcastNestedLoopJoin", "median/MAD anomaly rides equi-joins of per-key quantile aggregates"),
+    ("events_changepoint", r"Window", r"SinglePartition|CartesianProduct", "changepoint scan windows partition per series"),
+    ("events_gap_stats", r"Window", r"SinglePartition|CartesianProduct|BatchEvalPython|ArrowEvalPython", "inter-event gap windows partition per user"),
+    ("events_cooccurrence", None, r"CartesianProduct|BroadcastNestedLoopJoin", "co-occurrence pairs come from the session equi-self-join, never all-pairs"),
+    ("events_concurrency", r"TakeOrderedAndProject", r"CartesianProduct", "peak concurrency is a sweep-line aggregate; top rows are TakeOrdered"),
+    ("agg_hll_rollup", None, r"CartesianProduct|BatchEvalPython|ArrowEvalPython", "HLL sketches merge JVM-side through the rollup join"),
+    ("agg_hll_sketch_merge", None, r"CartesianProduct|BatchEvalPython|ArrowEvalPython", "stored HLL sketches merge JVM-side, never re-scanning raw data"),
+    ("agg_approx_quantile", None, r"SinglePartition|BatchEvalPython|ArrowEvalPython", "approx quantiles partial-agg map-side, never one global partition"),
+    ("agg_approx_topk", None, r"CartesianProduct|BatchEvalPython|ArrowEvalPython", "approx top-k sketches are all-JVM"),
+    ("agg_mode", r"Window", r"SinglePartition|CartesianProduct", "per-group mode rides partitioned count windows"),
+    ("agg_benford", None, r"CartesianProduct|BatchEvalPython|ArrowEvalPython", "Benford digit histogram is all-JVM (scalar total broadcasts)"),
+    ("agg_q9_profit", r"BroadcastHashJoin", r"CartesianProduct", "Q9 profit chain broadcasts the dims onto one lineitem pass"),
+    ("agg_q11_partvalue", None, r"CartesianProduct", "Q11 threshold scalar broadcasts onto the group aggregate"),
+    ("corpus_ngram_lm", None, r"CartesianProduct|BroadcastNestedLoopJoin", "ngram LM counts join on the gram key, never all-pairs"),
+    ("corpus_balance_report", r"Window", r"CartesianProduct", "balance report rides per-dimension windows and scalar broadcasts"),
+    ("text_ngram_hash", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "ngram hashing is a pure scan-side map: no shuffle, no Python"),
+    ("text_lang_stats", None, r"SinglePartition|BatchEvalPython|ArrowEvalPython", "per-language stats partial-agg map-side, all-JVM"),
+    ("text_lm_score", None, r"CartesianProduct|BroadcastNestedLoopJoin", "LM scoring joins grams on the hash key, never all-pairs"),
+    ("text_fingerprint", None, r"CartesianProduct|BatchEvalPython|ArrowEvalPython", "rolling-hash fingerprints are all-JVM"),
+    ("ml_model_apply", r"ArrowEvalPython", r"BatchEvalPython", "model apply is an Arrow-batched pandas UDF, never row-at-a-time Python"),
+    ("ml_feature_extract", r"ArrowEvalPython", r"BatchEvalPython", "feature extraction is Arrow-batched, never row-at-a-time Python"),
+    ("ml_predict_join", r"ArrowEvalPython", r"BatchEvalPython|CartesianProduct", "scoring UDF is Arrow-batched; the prediction join stays equi"),
+    ("ml_multi_model_apply", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "multi-model scoring is JVM expression arithmetic at scan speed"),
+    ("ml_quantize_int8", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "int8 quantization is JVM array arithmetic at scan speed"),
+    ("ml_pca_project", None, r"Exchange|BatchEvalPython|ArrowEvalPython", "PCA projection is JVM array arithmetic at scan speed"),
+    ("join_exists_flag", r"BroadcastHashJoin", r"CartesianProduct|BroadcastNestedLoopJoin", "EXISTS flag is an equi-join, never a correlated loop"),
+    ("join_corr_scalar", r"BroadcastHashJoin", r"CartesianProduct", "correlated scalar subquery decorrelates to an equi-join"),
+    ("join_snapshot_diff", None, r"CartesianProduct|BroadcastNestedLoopJoin|BatchEvalPython|ArrowEvalPython", "snapshot diff is a full-outer equi-join on the key"),
+    ("join_fuzzy_blocked", None, r"CartesianProduct|BroadcastNestedLoopJoin", "fuzzy match candidates come from the blocking equi-join, never all-pairs"),
+    ("dedup_decontaminate", None, r"CartesianProduct|BroadcastNestedLoopJoin", "decontamination joins on the normalized key, never doc-x-benchmark pairs"),
+    ("join_theta_range", r"BroadcastNestedLoopJoin", r"CartesianProduct", "range theta join broadcasts the small side, never a cartesian shuffle"),
+    ("profile_referential", None, r"CartesianProduct|BatchEvalPython|ArrowEvalPython", "referential-integrity checks ride key equi-joins"),
+    ("profile_drift_psi", None, r"CartesianProduct|BatchEvalPython|ArrowEvalPython", "PSI drift bins join on the bin key, all-JVM"),
 ]
 
 
