@@ -90,32 +90,25 @@ _SWEEP_BUDGET = 50
 _SWEEP_FIT_HEADROOM = 5
 
 
-# Keys whose IMPLEMENTATION changed in round 17 (the two ADVICE
-# closures in the ANN manifest machinery: _ann_manifest_read now
-# rejects "."/".." names — basename("..") passed the old empty
-# check and resolved the layout to root's PARENT, the escape the
-# basename() contract claims to prevent; _ann_manifest_commit's
-# fchmod moved inside the try so a failing fchmod releases the fd
-# and unlinks the unique tmp like every other post-creation
-# failure): their surviving driver rows validate round-16 code, so
-# they re-sweep ahead of the green pool until a row from round ≥ 17
+# Keys whose IMPLEMENTATION changed in round 18 (single ADVICE
+# closure): the epoch sink's commit() no longer degrades a
+# transient OSError (EIO/EACCES, not just absence) on an EXISTING
+# _EPOCHS manifest to zero lines — that degrade made the
+# read-modify-rewrite discard every previously committed batch
+# total and the drain then undercounted into a TimeoutError.
+# commit() now reads with missing_only=True (FileNotFoundError +
+# content garbage still degrade; real IO errors fail the
+# micro-batch loudly so the engine retries); the drain-reader
+# sites keep the full silent-degrade.  The surviving r17 row for
+# stream_python_sink validates the pre-fix commit path, so the key
+# re-sweeps ahead of the green pool until a row from round ≥ 18
 # exists — a green CORRECTNESS row should always describe the code
-# that is actually in the tree.  Auto-expires: once the fresh row
-# lands, the keys rejoin group 2 at normal staleness order.  (The
-# round-16 entries — flock + unique-tmp + dir claim — all landed
-# fresh r16 rows and have expired.)  stream_python_sink: the
-# _EPOCHS manifest read (commit() rewrite + drain total) moved to
-# the defensive _epochs_manifest_read helper after the round-17
-# parser fuzz found the same UnicodeDecodeError crash class the
-# r16 ANN fuzz did.
+# actually in the tree.  Auto-expires once the fresh row lands.
+# (All seven round-17 entries — the ANN manifest "."/".."
+# rejection, the fchmod-inside-try commit fix, and the r17 epoch
+# parser move — landed fresh green r17 rows and have expired.)
 _CODE_CHANGED = {
-    "sink_ann_index": 17,
-    "sim_knn_ivf_serve": 17,
-    "sim_knn_ivf_serve_only": 17,
-    "sim_knn_ivf_refresh": 17,
-    "sink_ann_index_compact": 17,
-    "sink_ann_index_compact_only": 17,
-    "stream_python_sink": 17,
+    "stream_python_sink": 18,
 }
 
 

@@ -789,28 +789,48 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _epochs_manifest_read(manifest: str) -> list[tuple[str, int]]:
+def _epochs_manifest_read(
+    manifest: str, *, missing_only: bool = False
+) -> list[tuple[str, int]]:
     """Defensive read of the epoch sink's ``_EPOCHS`` manifest:
     ``(batch_id, n_rows)`` pairs for every well-formed
-    ``digits,digits`` line.  An absent file, an unreadable file, or
-    non-UTF-8 content (a torn write can leave partial multi-byte
-    sequences — the same crash class the round-16 ANN-manifest fuzz
-    found: text-mode read raised UnicodeDecodeError past an
-    OSError-only guard) degrades to NO lines, and malformed
-    individual lines are dropped (torn-final-line tolerance the
-    drain loop always had), so neither the driver-side ``commit()``
-    rewrite nor a concurrent drain reader can crash on garbage.
+    ``digits,digits`` line.  An absent file or non-UTF-8 content (a
+    torn write can leave partial multi-byte sequences — the same
+    crash class the round-16 ANN-manifest fuzz found: text-mode read
+    raised UnicodeDecodeError past an OSError-only guard) degrades
+    to NO lines, and malformed individual lines are dropped
+    (torn-final-line tolerance the drain loop always had), so
+    neither the driver-side ``commit()`` rewrite nor a concurrent
+    drain reader can crash on garbage.
     Round-17: one definition for both read sites — commit() used to
     read text-mode with no decode guard at all.  The decode is
     per-file binary + ``errors="replace"`` rather than a whole-file
     UnicodeDecodeError fallback: torn bytes become U+FFFD and only
     THEIR line is dropped by the digits check, so the parseable
     prefix (already-committed batch counts) survives a torn tail
-    instead of degrading the whole manifest."""
+    instead of degrading the whole manifest.
+
+    ``missing_only`` (round-18 ADVICE closure): the WRITER side —
+    commit()'s read-modify-rewrite — must NOT treat a transient
+    OSError (EIO, EACCES, ...) on an EXISTING manifest as "no prior
+    batches": doing so rewrites the manifest containing only the
+    current batch, permanently discarding every previously committed
+    batch total, and the drain loop then undercounts and dies with a
+    TimeoutError instead of a loud commit failure.  With
+    ``missing_only=True`` only FileNotFoundError (plus decode/parse
+    garbage, which is content- not IO-level) degrades; any other
+    OSError propagates and fails the micro-batch loudly — the
+    streaming engine will retry the batch.  Reader-side drain sites
+    keep the full silent-degrade (a racing reader glimpsing a
+    transient error just polls again)."""
     try:
         with open(manifest, "rb") as f:
             raw = f.read().decode("utf-8", errors="replace").splitlines()
+    except FileNotFoundError:
+        return []
     except OSError:
+        if missing_only:
+            raise
         return []
     out: list[tuple[str, int]] = []
     for ln in raw:
@@ -895,9 +915,15 @@ try:  # pragma: no cover - import surface probed once
                 part += 1
                 total += m.n_rows
             manifest = os.path.join(self.path, "_EPOCHS")
+            # missing_only=True: commit() is the WRITER — degrading a
+            # transient EIO/EACCES on an existing manifest to "no
+            # prior batches" would rewrite it with only this batch's
+            # line, silently discarding all committed totals (round-18
+            # ADVICE).  Absence and content garbage still degrade;
+            # real IO errors fail the micro-batch loudly instead.
             lines = [
                 f"{b},{n}"
-                for b, n in _epochs_manifest_read(manifest)
+                for b, n in _epochs_manifest_read(manifest, missing_only=True)
                 if b != str(batchId)
             ]
             lines.append(f"{batchId},{total}")

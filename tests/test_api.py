@@ -1538,3 +1538,92 @@ def test_epoch_sink_commit_survives_garbage_manifest(tmp_path):
     lines = open(_os.path.join(path, "_EPOCHS")).read().splitlines()
     # the parseable prior line survives; the torn tail is dropped
     assert lines == ["0,5", "1,1"], lines
+
+
+def test_epochs_manifest_commit_side_propagates_real_io_errors(tmp_path):
+    """Round-18 ADVICE closure: commit()'s read-modify-rewrite must
+    NOT degrade a transient OSError on an EXISTING manifest to zero
+    lines — that rewrite would contain only the current batch,
+    permanently discarding every previously committed total, and the
+    drain loop would then undercount into a TimeoutError instead of
+    a loud commit failure.  missing_only=True keeps the degrade for
+    FileNotFoundError + content garbage only; other OSErrors
+    propagate.  Concrete non-FNF OSError used: IsADirectoryError
+    (portable even under root, where chmod-000 does not block
+    reads)."""
+    import os as _os
+
+    import pytest
+
+    from pyspark_caffe_spark.queries.streaming import (
+        _EpochCommitMessage,
+        _EpochJsonlStreamWriter,
+        _epochs_manifest_read,
+    )
+
+    manifest = _os.path.join(str(tmp_path), "_EPOCHS")
+
+    # absence degrades in BOTH modes (first-ever commit has no manifest)
+    assert _epochs_manifest_read(manifest, missing_only=True) == []
+    assert _epochs_manifest_read(manifest) == []
+
+    # content garbage degrades per-line in BOTH modes (IO succeeded;
+    # garbage is content-level, exactly what the parser exists for)
+    with open(manifest, "wb") as f:
+        f.write(b"0,5\n\x80torn\n1,\xc2\xb2\n")
+    assert _epochs_manifest_read(manifest, missing_only=True) == [("0", 5)]
+    assert _epochs_manifest_read(manifest) == [("0", 5)]
+
+    # a real IO error on an existing path: reader side degrades,
+    # writer side raises
+    _os.remove(manifest)
+    _os.makedirs(manifest)
+    assert _epochs_manifest_read(manifest) == []
+    with pytest.raises(IsADirectoryError):
+        _epochs_manifest_read(manifest, missing_only=True)
+
+    # integration: commit() fails LOUD on the same condition instead
+    # of rewriting the manifest down to one line
+    path = str(tmp_path / "sink")
+    w = _EpochJsonlStreamWriter(path)
+    _os.makedirs(_os.path.join(path, "_EPOCHS"))
+    with open(_os.path.join(path, "_tmp-a"), "w") as f:
+        f.write('{"v": 0}\n')
+    with pytest.raises(IsADirectoryError):
+        w.commit([_EpochCommitMessage("_tmp-a", 1)], 1)
+
+
+def test_epochs_manifest_read_strict_mode_never_raises_on_content(tmp_path):
+    """Fuzz twin of the round-18 ADVICE fix: missing_only=True must
+    still be content-proof — ANY byte blob in an existing, readable
+    _EPOCHS parses without raising (the strict mode re-raises IO
+    errors only, never content errors), and both modes agree on the
+    parse when IO succeeds."""
+    import os as _os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark_caffe_spark.queries.streaming import _epochs_manifest_read
+
+    manifest = _os.path.join(str(tmp_path), "_EPOCHS")
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=512))
+    def check(blob: bytes) -> None:
+        with open(manifest, "wb") as f:
+            f.write(blob)
+        strict = _epochs_manifest_read(manifest, missing_only=True)
+        assert strict == _epochs_manifest_read(manifest)
+
+    check()
+    # known-bad concrete pins (round-17 lesson: hypothesis missed the
+    # isdigit/int class in 300 examples — pin examples explicitly)
+    for blob, want in [
+        (b"\x80", []),
+        (b"1,\xc2\xb2\n", []),
+        (b"0,5\n1,12", [("0", 5), ("1", 12)]),
+    ]:
+        with open(manifest, "wb") as f:
+            f.write(blob)
+        assert _epochs_manifest_read(manifest, missing_only=True) == want
