@@ -259,7 +259,7 @@ def digest_exprs(schema) -> tuple[list[str], list[str]]:
 def main() -> None:
     super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        _REPO, "PARITY100_r17.json"
+        _REPO, "PARITY100_r18.json"
     )
     import duckdb
 
@@ -295,7 +295,7 @@ def main() -> None:
         with open(out_json, "w") as f:
             f.write(json.dumps({
                 "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
-                "round": 17,
+                "round": 18,
                 "sf": "sf0.1 x100",
                 "row_cap": ROW_CAP,
                 "complete": complete,

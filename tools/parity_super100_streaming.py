@@ -89,7 +89,7 @@ SLICE_GATES = {
 def main() -> None:
     super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        _REPO, "PARITY100_STREAMING_r17.json"
+        _REPO, "PARITY100_STREAMING_r18.json"
     )
     import duckdb
 
@@ -171,7 +171,7 @@ def main() -> None:
                           "density (contiguous 6-day slice of the 100x "
                           "events table; per-event outputs also "
                           "value-hashed on an LCG 1/16 slice)",
-                "round": 17,
+                "round": 18,
                 "slice_rows": n_slice,
                 "slice_cutoff": CUTOFF,
                 "row_cap": ROW_CAP,
