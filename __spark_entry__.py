@@ -97,18 +97,24 @@ _SWEEP_FIT_HEADROOM = 5
 # read-modify-rewrite discard every previously committed batch
 # total and the drain then undercounted into a TimeoutError.
 # commit() now reads with missing_only=True (FileNotFoundError +
-# content garbage still degrade; real IO errors fail the
-# micro-batch loudly so the engine retries); the drain-reader
-# sites keep the full silent-degrade.  The surviving r17 row for
-# stream_python_sink validates the pre-fix commit path, so the key
-# re-sweeps ahead of the green pool until a row from round ≥ 18
+# content garbage still degrade; real IO errors fail the query
+# loudly — a restart from checkpoint replays the batch, and
+# commit() is idempotent per batchId); the drain-reader sites keep
+# the full silent-degrade.  Both poll-drain loops additionally
+# surface q.exception() each tick (the round's self-review found
+# the loud failure otherwise died in the micro-batch thread and
+# the drain stalled into the same opaque TimeoutError the fix
+# targets), which also touches stream_python_datasource's drain.
+# Surviving r17 rows for both keys validate pre-fix code, so they
+# re-sweep ahead of the green pool until a row from round ≥ 18
 # exists — a green CORRECTNESS row should always describe the code
-# actually in the tree.  Auto-expires once the fresh row lands.
+# actually in the tree.  Auto-expires once the fresh rows land.
 # (All seven round-17 entries — the ANN manifest "."/".."
 # rejection, the fchmod-inside-try commit fix, and the r17 epoch
 # parser move — landed fresh green r17 rows and have expired.)
 _CODE_CHANGED = {
     "stream_python_sink": 18,
+    "stream_python_datasource": 18,
 }
 
 

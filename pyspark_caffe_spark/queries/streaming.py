@@ -732,6 +732,31 @@ except ImportError:  # pragma: no cover
     pass
 
 
+def _drain_until(q, done, *, timeout: float = 120.0, what: str = "stream drain"):
+    """Poll ``done()`` until it reports the drain is complete,
+    surfacing ``q.exception()`` every tick.
+
+    Custom Python sources don't support availableNow, so their
+    queries drain by polling the sink — but a query that FAILS
+    (e.g. the epoch sink's commit() raising on a real IO error, the
+    round-18 loud-failure path) dies inside the engine's micro-batch
+    thread: the sink total just freezes, and a plain poll loop stalls
+    for the full deadline and reports an opaque TimeoutError instead
+    of the actual cause.  Every other stream key uses
+    ``awaitTermination()``, which surfaces the failure natively; this
+    helper gives the two poll-drain keys the same fail-fast-and-loud
+    behavior (round-18 self-review finding)."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        exc = q.exception()
+        if exc is not None:
+            raise exc
+        if done():
+            return
+        time.sleep(0.3)
+    raise TimeoutError(f"{what} did not complete")
+
+
 @query(
     "stream_python_datasource",
     oracle="""
@@ -772,13 +797,11 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table(name).count() >= 500:
-                break
-            time.sleep(0.3)
-        else:
-            raise TimeoutError("synth_ticker drain did not complete")
+        _drain_until(
+            q,
+            lambda: spark.table(name).count() >= 500,
+            what="synth_ticker drain",
+        )
     finally:
         q.stop()
     out = spark.table(name).localCheckpoint(eager=True)
@@ -819,10 +842,13 @@ def _epochs_manifest_read(
     TimeoutError instead of a loud commit failure.  With
     ``missing_only=True`` only FileNotFoundError (plus decode/parse
     garbage, which is content- not IO-level) degrades; any other
-    OSError propagates and fails the micro-batch loudly — the
-    streaming engine will retry the batch.  Reader-side drain sites
-    keep the full silent-degrade (a racing reader glimpsing a
-    transient error just polls again)."""
+    OSError propagates and fails the micro-batch loudly — the QUERY
+    terminates (Structured Streaming does not retry a failed
+    micro-batch within a run); a restart from the checkpoint replays
+    the batch, and commit() is idempotent per batchId so the replay
+    overwrites cleanly.  Reader-side drain sites keep the full
+    silent-degrade (a racing reader glimpsing a transient error just
+    polls again)."""
     try:
         with open(manifest, "rb") as f:
             raw = f.read().decode("utf-8", errors="replace").splitlines()
@@ -920,7 +946,8 @@ try:  # pragma: no cover - import surface probed once
             # prior batches" would rewrite it with only this batch's
             # line, silently discarding all committed totals (round-18
             # ADVICE).  Absence and content garbage still degrade;
-            # real IO errors fail the micro-batch loudly instead.
+            # real IO errors fail the query loudly instead (a restart
+            # from checkpoint replays this batch idempotently).
             lines = [
                 f"{b},{n}"
                 for b, n in _epochs_manifest_read(manifest, missing_only=True)
@@ -997,19 +1024,16 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(processingTime="0 seconds")
         .start()
     )
+    epochs = os.path.join(sink_dir, "_EPOCHS")
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            epochs = os.path.join(sink_dir, "_EPOCHS")
-            # the driver thread commits concurrently — the defensive
-            # reader tolerates absence / torn lines instead of
-            # crashing the drain
-            total = sum(n for _, n in _epochs_manifest_read(epochs))
-            if total >= 500:
-                break
-            time.sleep(0.3)
-        else:
-            raise TimeoutError("epoch_jsonl drain did not complete")
+        # the driver thread commits concurrently — the defensive
+        # reader tolerates absence / torn lines instead of crashing
+        # the drain
+        _drain_until(
+            q,
+            lambda: sum(n for _, n in _epochs_manifest_read(epochs)) >= 500,
+            what="epoch_jsonl drain",
+        )
     finally:
         q.stop()
     back = spark.read.json(os.path.join(sink_dir, "epoch-*.jsonl"))

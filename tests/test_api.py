@@ -1575,12 +1575,16 @@ def test_epochs_manifest_commit_side_propagates_real_io_errors(tmp_path):
     assert _epochs_manifest_read(manifest) == [("0", 5)]
 
     # a real IO error on an existing path: reader side degrades,
-    # writer side raises
+    # writer side raises.  Opening a directory raises
+    # IsADirectoryError on POSIX but PermissionError on Windows, so
+    # the pin asserts the portable contract: an OSError that is NOT
+    # FileNotFoundError propagates.
     _os.remove(manifest)
     _os.makedirs(manifest)
     assert _epochs_manifest_read(manifest) == []
-    with pytest.raises(IsADirectoryError):
+    with pytest.raises(OSError) as ei:
         _epochs_manifest_read(manifest, missing_only=True)
+    assert not isinstance(ei.value, FileNotFoundError)
 
     # integration: commit() fails LOUD on the same condition instead
     # of rewriting the manifest down to one line
@@ -1589,8 +1593,9 @@ def test_epochs_manifest_commit_side_propagates_real_io_errors(tmp_path):
     _os.makedirs(_os.path.join(path, "_EPOCHS"))
     with open(_os.path.join(path, "_tmp-a"), "w") as f:
         f.write('{"v": 0}\n')
-    with pytest.raises(IsADirectoryError):
+    with pytest.raises(OSError) as ei:
         w.commit([_EpochCommitMessage("_tmp-a", 1)], 1)
+    assert not isinstance(ei.value, FileNotFoundError)
 
 
 def test_epochs_manifest_read_strict_mode_never_raises_on_content(tmp_path):
@@ -1627,3 +1632,40 @@ def test_epochs_manifest_read_strict_mode_never_raises_on_content(tmp_path):
         with open(manifest, "wb") as f:
             f.write(blob)
         assert _epochs_manifest_read(manifest, missing_only=True) == want
+
+
+def test_drain_until_surfaces_engine_exception_fast():
+    """Round-18 self-review finding: the poll-drain loops never
+    checked q.exception(), so a loudly-failed query (the new
+    commit() IO-error path) still stalled the full 120 s deadline
+    and reported an opaque TimeoutError — the exact symptom the
+    ADVICE fix set out to replace.  _drain_until must (a) raise the
+    engine's exception within one tick, (b) return promptly once
+    done() is true, (c) raise TimeoutError naming the drain when
+    neither happens."""
+    import time as _time
+
+    import pytest
+
+    from pyspark_caffe_spark.queries.streaming import _drain_until
+
+    class _Q:
+        def __init__(self, exc=None):
+            self._exc = exc
+
+        def exception(self):
+            return self._exc
+
+    # (a) engine failure surfaces promptly, not after the deadline
+    boom = ValueError("commit exploded")
+    t0 = _time.monotonic()
+    with pytest.raises(ValueError, match="commit exploded"):
+        _drain_until(_Q(boom), lambda: False, timeout=60.0)
+    assert _time.monotonic() - t0 < 5.0
+
+    # (b) completion path
+    _drain_until(_Q(), lambda: True, timeout=60.0)
+
+    # (c) timeout path keeps the old message shape
+    with pytest.raises(TimeoutError, match="epoch_jsonl drain"):
+        _drain_until(_Q(), lambda: False, timeout=0.0, what="epoch_jsonl drain")
