@@ -115,6 +115,14 @@ _SWEEP_FIT_HEADROOM = 5
 _CODE_CHANGED = {
     "stream_python_sink": 18,
     "stream_python_datasource": 18,
+    # round-18 optimization: ANN index verbs — fingerprint/identity
+    # folds via observe(), driver-local meta/centroid reads+writes
+    "sink_ann_index": 18,
+    "sim_knn_ivf_serve": 18,
+    "sim_knn_ivf_serve_only": 18,
+    "sim_knn_ivf_refresh": 18,
+    "sink_ann_index_compact": 18,
+    "sink_ann_index_compact_only": 18,
 }
 
 

@@ -17,7 +17,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_caffe_spark.money import (
@@ -2064,6 +2064,22 @@ def _ann_index_paths(sf_dir: str, suffix: str = "") -> tuple[str, str, str]:
     )
 
 
+def _ann_fp_exprs() -> tuple[Column, Column]:
+    """The corpus-fingerprint aggregate pair — (row count, decimal sum
+    of xxhash64(vec_id)).  ONE definition shared by the direct scan
+    (:func:`_ann_corpus_fingerprint`, the reuse-path guard) and the
+    observe-folded variants (build/append stamp their fingerprint on
+    the SAME pass that writes the postings — round 18), so the stamp
+    recipe can never fork between the writer and the validator."""
+    return (
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("vec_id").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("fp"),
+    )
+
+
 def _ann_corpus_fingerprint(emb: DataFrame) -> tuple[int, str]:
     """(row count, decimal sum of xxhash64(vec_id)) over the indexed
     corpus — ONE scan of the thin vec_id column.  Stamped into meta at
@@ -2072,14 +2088,77 @@ def _ann_corpus_fingerprint(emb: DataFrame) -> tuple[int, str]:
     built (the geometry hash alone validates centroids, not corpus:
     a stale-corpus index would otherwise serve vec_ids that no longer
     exist)."""
-    row = emb.agg(
-        F.count("*").alias("n"),
-        F.coalesce(
-            F.sum(F.xxhash64("vec_id").cast("decimal(38,0)")),
-            F.lit(0).cast("decimal(38,0)"),
-        ).alias("fp"),
-    ).collect()[0]
+    row = emb.agg(*_ann_fp_exprs()).collect()[0]
     return int(row["n"]), str(row["fp"])
+
+
+def _ann_read_small_table(path: str):
+    """Driver-local pyarrow read of a TINY index artifact — the one-row
+    meta stamp or the nlist-row centroid table (nlist is a build-time
+    constant, never corpus-sized, so a driver-local read is the right
+    design at every scale: FAISS likewise holds centroids in memory).
+    Replaces a full Spark job (scan + collect) per artifact per verb —
+    at sf0.1 each such job costs ~0.1-0.2 s of pure scheduling, and at
+    100 TB the serve path's latency floor should not include two
+    cluster round trips for <1 KB of metadata (round 18, guide §1.2).
+
+    Error contract preserved from the Spark-read version: an absent
+    path raises FileNotFoundError; ANY torn/garbage content raises
+    ValueError — both already in every reuse gate's caught tuple, so
+    the rebuild routes are unchanged (the Spark reads raised
+    AnalysisException/Py4JJavaError shapes that the gates matched via
+    _is_artifact_read_failure; pyarrow failures are artifact-shaped by
+    construction here because the inputs are local index files)."""
+    import pyarrow.parquet as pq
+
+    try:
+        return pq.read_table(path)
+    except (FileNotFoundError, MemoryError):
+        raise
+    except Exception as ex:  # ArrowInvalid, OSError subclasses, ...
+        raise ValueError(
+            f"unreadable ANN index artifact at {path} "
+            f"({type(ex).__name__}: {ex}) — torn or non-parquet content; "
+            "rebuild via sink_ann_index/_build_ann_index"
+        ) from ex
+
+
+def _ann_read_meta(mpath: str) -> dict:
+    """The one-row meta stamp as a plain dict (same key access pattern
+    as the Spark Row it replaces).  A meta with any other row count is
+    torn/corrupt and routes to rebuild (the old collect()[0] silently
+    took the first row of a multi-row meta — fails closed now)."""
+    rows = _ann_read_small_table(mpath).to_pylist()
+    if len(rows) != 1:
+        raise ValueError(
+            f"ANN meta at {mpath} holds {len(rows)} rows (exactly 1 "
+            "expected) — torn or mixed-version stamp; rebuild via "
+            "sink_ann_index/_build_ann_index"
+        )
+    return rows[0]
+
+
+def _ann_read_centroids(cpath: str) -> "np.ndarray":
+    """The centroid matrix, rows ordered by cell id — driver-local
+    pyarrow read (see :func:`_ann_read_small_table` for why and for
+    the error contract)."""
+    tbl = _ann_read_small_table(cpath)
+    try:
+        cells = tbl.column("cell").to_numpy()
+        vecs = tbl.column("centroid").to_pylist()
+    except KeyError as ex:
+        raise ValueError(
+            f"ANN centroids at {cpath} missing expected columns "
+            "(cell, centroid) — mixed-version index; rebuild via "
+            "sink_ann_index/_build_ann_index"
+        ) from ex
+    if len(vecs) == 0:
+        raise ValueError(
+            f"ANN centroids at {cpath} is empty — torn write; rebuild "
+            "via sink_ann_index/_build_ann_index"
+        )
+    order = np.argsort(cells)
+    return np.stack([np.asarray(vecs[i], dtype=np.float64) for i in order])
 
 
 def _ann_assign(df: DataFrame, centroids: "np.ndarray", m: int) -> DataFrame:
@@ -2111,6 +2190,40 @@ def _ann_assign(df: DataFrame, centroids: "np.ndarray", m: int) -> DataFrame:
     return df.mapInPandas(assign, schema="cell int, vec_id long, emb array<double>")
 
 
+def _ann_write_small_table(path: str, table) -> None:
+    """Driver-local pyarrow write of a TINY index artifact (the
+    one-row meta stamp, the nlist-row centroids) with Spark
+    ``mode("overwrite")`` directory semantics: remove the old dataset
+    dir, recreate it, write one ``part-00000.parquet`` data file.
+    Replaces a full Spark write job per artifact — createDataFrame +
+    FileFormatWriter costs ~0.3-0.6 s of pure scheduling/commit per
+    one-row table at sf0.1 (round-18 phase profile), and these tables
+    are O(1)/O(nlist) rows at EVERY corpus scale, so a driver-local
+    write is the right design at 100 TB too.  Crash contract is
+    unchanged from the Spark write: a tear mid-overwrite leaves an
+    absent or garbage artifact, which every gate routes to rebuild
+    (FileNotFoundError/ValueError).  Spark reads the produced dir
+    exactly as one it wrote (tests read meta/centroids with
+    spark.read.parquet); the data file is fsynced so the later
+    fsync-free manifest/commit ordering arguments keep holding."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    fpath = os.path.join(path, "part-00000.parquet")
+    pq.write_table(table, fpath)
+    fd = os.open(fpath, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    except OSError as ex:
+        if ex.errno not in _FSYNC_UNSUPPORTED:
+            raise
+    finally:
+        os.close(fd)
+
+
 def _ann_write_meta(
     spark: SparkSession,
     mpath: str,
@@ -2123,22 +2236,24 @@ def _ann_write_meta(
     corpus_fp: str,
 ) -> None:
     """Write the one-row meta stamp (shared by the initial build and
-    the incremental refresh, so the stamp schema can never fork)."""
-    spark.createDataFrame(
-        [
-            (
-                int(writer_version),
-                int(nlist),
-                int(m),
-                int(dim),
-                geometry_hash,
-                int(corpus_n),
-                str(corpus_fp),
-            )
-        ],
-        "writer_version int, nlist int, m int, dim int, "
-        "geometry_hash string, corpus_n long, corpus_fp string",
-    ).write.mode("overwrite").parquet(mpath)
+    the incremental refresh, so the stamp schema can never fork).
+    Column types mirror the original Spark schema exactly
+    (writer_version int, nlist int, m int, dim int, geometry_hash
+    string, corpus_n long, corpus_fp string)."""
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "writer_version": pa.array([int(writer_version)], pa.int32()),
+            "nlist": pa.array([int(nlist)], pa.int32()),
+            "m": pa.array([int(m)], pa.int32()),
+            "dim": pa.array([int(dim)], pa.int32()),
+            "geometry_hash": pa.array([geometry_hash], pa.string()),
+            "corpus_n": pa.array([int(corpus_n)], pa.int64()),
+            "corpus_fp": pa.array([str(corpus_fp)], pa.string()),
+        }
+    )
+    _ann_write_small_table(mpath, table)
 
 
 def _path_sig(path: str) -> tuple | None:
@@ -2253,13 +2368,36 @@ def _build_ann_index(
     root = os.path.dirname(mpath)
     _ann_reset_generations(root)
     ppath = os.path.join(root, "postings")
-    spark.createDataFrame(
-        [(int(i), centroids[i].tolist()) for i in range(nlist)],
-        "cell int, centroid array<double>",
-    ).write.mode("overwrite").parquet(cpath)
+    # driver-local centroid write (nlist tiny rows — see
+    # _ann_write_small_table for why; same "cell int, centroid
+    # array<double>" schema the Spark write produced)
+    import pyarrow as pa
 
+    _ann_write_small_table(
+        cpath,
+        pa.table(
+            {
+                "cell": pa.array(list(range(nlist)), pa.int32()),
+                "centroid": pa.array(
+                    [centroids[i].tolist() for i in range(nlist)],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+    )
+
+    # The corpus fingerprint rides the assignment pass via observe():
+    # the stamp aggregates (_ann_fp_exprs — identical expressions to
+    # the reuse-path guard's scan) are computed over the SAME rows the
+    # postings write consumes, which removes the build's separate
+    # full-corpus fingerprint job outright (guide §1.2: one fewer pass
+    # — 3 corpus passes → 2; round 18).  Safe because nothing between
+    # the CollectMetrics node and the write filters rows (a downstream
+    # filter/limit WOULD corrupt the metric — measured on a prototype,
+    # so the train sample above deliberately keeps its own job).
+    obs = Observation()
     (
-        _ann_assign(emb, centroids, m)
+        _ann_assign(emb.observe(obs, *_ann_fp_exprs()), centroids, m)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(ppath)
@@ -2267,7 +2405,8 @@ def _build_ann_index(
     # version stamp LAST — a crash between postings and meta leaves no
     # meta, which the serve path treats as "not a valid index" (same
     # raise-with-route as an absent index)
-    corpus_n, corpus_fp = _ann_corpus_fingerprint(emb)
+    vals = obs.get
+    corpus_n, corpus_fp = int(vals["n"]), str(vals["fp"])
     _ann_write_meta(
         spark,
         mpath,
@@ -2547,19 +2686,12 @@ def _ann_append(spark: SparkSession, sf_dir: str, suffix: str, delta: DataFrame)
     Segment numbers come from existing dirs on disk (orphans
     included), so a crash orphan can never collide with the next
     append's target."""
+    import shutil
+
     cpath, _ppath, mpath = _ann_index_paths(sf_dir, suffix)
     root = os.path.dirname(mpath)
-    meta = spark.read.parquet(mpath).collect()[0]
-    cent_rows = spark.read.parquet(cpath).orderBy("cell").collect()
-    centroids = np.stack([np.array(r["centroid"]) for r in cent_rows])
-    # an EMPTY delta must be a no-op (the in-place append it replaced
-    # effectively was one): a zero-row partitionBy write emits a dir
-    # with no data files, and a committed manifest line naming it
-    # would poison every later read with UNABLE_TO_INFER_SCHEMA
-    # (round-14 self-review finding)
-    d_n, d_fp = _ann_corpus_fingerprint(delta)
-    if d_n == 0:
-        return
+    meta = _ann_read_meta(mpath)
+    centroids = _ann_read_centroids(cpath)
     manifest = _ann_manifest_read(root)
     gen_name, gen_n, gen_fp, segs = manifest
     # next segment number = past everything on disk (crash orphans)
@@ -2587,12 +2719,30 @@ def _ann_append(spark: SparkSession, sf_dir: str, suffix: str, delta: DataFrame)
     # claimed EMPTY dir (identical result; "overwrite" would delete
     # and recreate the dir, voiding the claim for the scan window).
     seg_name, seg_dir = _ann_claim_dir(root, "postings_seg", next_num)
+    # The delta fingerprint rides the assignment pass via observe()
+    # (same fold as the build — _ann_fp_exprs, identical expressions to
+    # the reuse-path guard's scan), removing the separate thin delta
+    # scan: 2 delta passes → 1 (round 18, guide §1.2).
+    obs = Observation()
     (
-        _ann_assign(delta, centroids, int(meta["m"]))
+        _ann_assign(delta.observe(obs, *_ann_fp_exprs()), centroids, int(meta["m"]))
         .write.mode("append")
         .partitionBy("cell")
         .parquet(seg_dir)
     )
+    vals = obs.get
+    d_n, d_fp = int(vals["n"]), int(vals["fp"])
+    # an EMPTY delta must be a no-op (round-14): a zero-row partitionBy
+    # write emits a dir with no data files, and a committed manifest
+    # line naming it would poison every later read with
+    # UNABLE_TO_INFER_SCHEMA.  The count now comes from the observe on
+    # the write pass itself, so the empty case is detected AFTER the
+    # (empty) claimed dir exists — remove it, leaving the layout
+    # byte-identical to "never appended" (no manifest line either way;
+    # pinned by test_ann_append_empty_delta_is_noop).
+    if d_n == 0:
+        shutil.rmtree(seg_dir, ignore_errors=True)
+        return
     # durability fence BEFORE the commit (files + dirs + the segment's
     # entry in root): the manifest must never name a torn segment
     _fsync_tree(seg_dir)
@@ -2632,15 +2782,15 @@ def _count_part_files(path: str) -> int:
     return n
 
 
-def _ann_check_geometry(spark: SparkSession, cpath: str, meta) -> "np.ndarray":
+def _ann_check_geometry(cpath: str, meta) -> "np.ndarray":
     """Centroids-vs-stamp consistency check, shared by the serve path
     and the maintenance verbs' reuse gates: read the (nlist tiny rows)
-    centroid table and raise ValueError — with the rebuild route — if
-    it does not match the meta stamp (a crash remnant where the build
-    overwrote centroids but not yet postings/meta, or any other
-    mixed-version dir).  Returns the validated centroid matrix."""
-    cent_rows = spark.read.parquet(cpath).orderBy("cell").collect()
-    centroids = np.stack([np.array(r["centroid"]) for r in cent_rows])
+    centroid table — driver-local, see :func:`_ann_read_small_table` —
+    and raise ValueError — with the rebuild route — if it does not
+    match the meta stamp (a crash remnant where the build overwrote
+    centroids but not yet postings/meta, or any other mixed-version
+    dir).  Returns the validated centroid matrix."""
+    centroids = _ann_read_centroids(cpath)
     if (
         len(centroids) != meta["nlist"]
         or centroids.shape[1] != meta["dim"]
@@ -2712,7 +2862,17 @@ def _ann_validate_corpus(
             _ANN_VALIDATED[cache_key] = True
 
 
-def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
+def _ann_posting_row_hash() -> Column:
+    """The per-posting content-hash term of the compaction identity
+    proof — ONE definition shared by the before-snapshot (observe on
+    the rewrite's own read, round 18) and the after-audit aggregate,
+    so the two sides of ``content_identical`` can never diverge."""
+    return F.xxhash64("cell", "vec_id", "emb").cast("decimal(38,0)")
+
+
+def _ann_compact_postings(
+    spark: SparkSession, ppath: str, identity_out: dict | None = None
+) -> str:
     """The crash-safe compaction swap, shared by sink_ann_index_compact
     and the crash-window tests: rewrite the live postings layout —
     base generation PLUS every live append segment — one-file-per-cell
@@ -2745,13 +2905,34 @@ def _ann_compact_postings(spark: SparkSession, ppath: str) -> str:
     new_name, rewrite = _ann_claim_dir(
         root, "postings_gen", _ann_max_dir_num(root, "postings_gen") + 1
     )
+    # identity_out: the caller wants the (count, Σ row-hash) identity
+    # of the folded content — observe it on the rewrite's OWN read so
+    # the proof's before-snapshot no longer costs a separate full
+    # postings scan (2 postings passes → 1 per compaction; round 18,
+    # guide §1.2).  The observe sits below the repartition exchange,
+    # so every row the rewrite consumes is counted exactly once.
+    src = _ann_read_postings(spark, live)
+    obs: Observation | None = None
+    if identity_out is not None:
+        obs = Observation()
+        src = src.observe(
+            obs,
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(_ann_posting_row_hash()), F.lit(0).cast("decimal(38,0)")
+            ).alias("h"),
+        )
     (
-        _ann_read_postings(spark, live)
+        src
         .repartition("cell")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(rewrite)
     )
+    if identity_out is not None and obs is not None:
+        vals = obs.get
+        identity_out["n"] = int(vals["n"])
+        identity_out["h"] = int(vals["h"])
     # durability fence BEFORE the commit point: the manifest's own
     # fsyncs cover the manifest, not the generation it names — under
     # power loss an unfsynced new generation could tear while the
@@ -2824,20 +3005,16 @@ def _ann_compact_and_prove(
     # snapshot must never hash the stale 'postings' fallback
     live_before = _ann_live_paths(root, require_base=True)
     files_before = sum(_count_part_files(p) for p in live_before)
-    row_hash = F.xxhash64("cell", "vec_id", "emb").cast("decimal(38,0)")
-    before = (
-        _ann_read_postings(spark, live_before)
-        .agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.sum(row_hash), F.lit(0).cast("decimal(38,0)")).alias("h"),
-        )
-        .collect()[0]
-    )
-
-    ppath = _ann_compact_postings(spark, ppath)
+    # before-identity rides the swap's own read of the live layout
+    # (observe inside _ann_compact_postings — round 18): the proof now
+    # hashes exactly the bytes the rewrite consumed, and the separate
+    # full-postings snapshot scan is gone (2 passes → 1)
+    before: dict = {}
+    ppath = _ann_compact_postings(spark, ppath, identity_out=before)
     files_after = _count_part_files(ppath)
 
-    meta = spark.read.parquet(mpath).collect()[0]
+    row_hash = _ann_posting_row_hash()
+    meta = _ann_read_meta(mpath)
     eff_n, _eff_fp, _manifest = _ann_effective_stamp(root, meta)
     compacted = spark.read.parquet(ppath)
     cols = [
@@ -2967,10 +3144,10 @@ def sink_ann_index_compact_only(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.isdir(cpath) and os.path.isdir(ppath) and os.path.isdir(mpath)
         ):
             raise FileNotFoundError("ANN _compact index not built")
-        meta = spark.read.parquet(mpath).collect()[0]
+        meta = _ann_read_meta(mpath)
         if meta["writer_version"] != _ANN_WRITER_VERSION:
             raise ValueError("stale writer version")
-        _ann_check_geometry(spark, cpath, meta)
+        _ann_check_geometry(cpath, meta)
         # a manifest naming a vanished append segment — or, under
         # require_base (round-15), a vanished base GENERATION — raises
         # FileNotFoundError here, INSIDE the gate: rebuild route,
@@ -3036,7 +3213,7 @@ def _serve_from_ann_index(
 
     from pyspark_caffe_spark import vecops
 
-    meta = spark.read.parquet(mpath).collect()[0]
+    meta = _ann_read_meta(mpath)
     if meta["writer_version"] != _ANN_WRITER_VERSION:
         raise ValueError(
             f"ANN index was written by writer_version={meta['writer_version']} "
@@ -3044,7 +3221,7 @@ def _serve_from_ann_index(
             "dir survived a code upgrade — rebuild via sink_ann_index/"
             "_build_ann_index before serving"
         )
-    centroids = _ann_check_geometry(spark, cpath, meta)
+    centroids = _ann_check_geometry(cpath, meta)
     nprobe = min(nprobe, len(centroids))  # degenerate tiny-corpus index
 
     emb = load_table(spark, sf_dir, "embeddings").select(

@@ -442,12 +442,14 @@ def test_ann_corpus_validation_cached_per_generation(spark, sf_dir, monkeypatch)
     assert calls["n"] == 1, "first guarded serve must scan the corpus"
     assert so._serve_from_ann_index(spark, sf_dir, **kw).count() > 0
     assert calls["n"] == 1, "unchanged (index, dataset) pair must not re-scan"
-    # rebuild rewrites meta → new generation: the build fingerprints
-    # once (stamp) and the next guarded serve re-validates once
+    # rebuild rewrites meta → new generation: since round 18 the
+    # build's stamp fingerprint rides the postings-write pass via
+    # observe (no separate _ann_corpus_fingerprint scan), so only the
+    # next guarded serve re-validates — exactly once
     so._build_ann_index(spark, sf_dir)
-    assert calls["n"] == 2
+    assert calls["n"] == 1, "build must not run a separate fingerprint scan"
     assert so._serve_from_ann_index(spark, sf_dir, **kw).count() > 0
-    assert calls["n"] == 3, "new index generation must re-validate exactly once"
+    assert calls["n"] == 2, "new index generation must re-validate exactly once"
 
 
 def test_cc_planted_chain_logarithmic_rounds(spark):
