@@ -123,6 +123,13 @@ _CODE_CHANGED = {
     "sim_knn_ivf_refresh": 18,
     "sink_ann_index_compact": 18,
     "sink_ann_index_compact_only": 18,
+    # round-18 optimization: repeated-subtree materialization, lag-of-
+    # cents EWMA, companion aggregates folded into exact_percentiles
+    "graph_triangle_count": 18,
+    "sim_mmr_diversify": 18,
+    "win_ewma": 18,
+    "agg_percentile_exact": 18,
+    "agg_stats": 18,
 }
 
 

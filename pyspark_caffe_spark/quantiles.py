@@ -43,8 +43,11 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: internal column names of the stats pass — extra_aggs may not shadow
+_RESERVED_STAT_NAMES = frozenset({"g", "v", "_n", "_br", "_vmin", "_vmax"})
 
 
 def exact_percentiles(
@@ -57,6 +60,7 @@ def exact_percentiles(
     max_retries: int = 3,
     buffer_threshold: int = 2_000_000,
     max_groups: int = 100_000,
+    extra_aggs: "dict[str, Column] | None" = None,
 ) -> DataFrame:
     """Exact interpolated percentiles per group, bounded memory.
 
@@ -70,9 +74,28 @@ def exact_percentiles(
     (known from the first pass's counts — ~16 MB of buffer at the
     default), the built-in buffering ``percentile`` is cheaper than
     the bracket machinery and is used directly; the bracketed path is
-    reserved for the group sizes that would hurt."""
+    reserved for the group sizes that would hurt.
+
+    ``extra_aggs`` (round 18): optional ``{name: aggregate Column}``
+    of COMPANION aggregates over the normalized frame (group ``g``,
+    value ``v``) — e.g. ``{"n": F.count("*")}`` — appended as columns
+    to the result and computed in the SAME pass as the percentile
+    machinery: the built-in path folds them into its one groupBy; the
+    bracketed path rides them on the stats pass and re-emits the
+    collected values exactly (doubles/longs round-trip bit-identically
+    through the driver).  Callers previously ran a separate full scan
+    + join for exactly these aggregates — one whole pass over the
+    table at any scale."""
     spark = df.sparkSession
     base = df.select(F.col(group_col).alias("g"), F.col(val_col).alias("v"))
+    bad = _RESERVED_STAT_NAMES.intersection(extra_aggs or ())
+    if bad:
+        raise ValueError(
+            f"exact_percentiles: extra_aggs names {sorted(bad)} collide "
+            "with the internal stats-pass columns"
+        )
+    extras = [expr.alias(name) for name, expr in (extra_aggs or {}).items()]
+    extra_names = list((extra_aggs or {}).keys())
 
     # routing: a TOTAL row count — metadata-only on a bare parquet
     # scan (zero data columns read), a cheap single-column pass
@@ -100,10 +123,11 @@ def exact_percentiles(
         stats = (
             base.groupBy("g")
             .agg(
-                F.count("v").alias("n"),
-                F.percentile_approx("v", probes, accuracy).alias("br"),
-                F.min("v").alias("vmin"),
-                F.max("v").alias("vmax"),
+                F.count("v").alias("_n"),
+                F.percentile_approx("v", probes, accuracy).alias("_br"),
+                F.min("v").alias("_vmin"),
+                F.max("v").alias("_vmax"),
+                *extras,
             )
             .limit(max_groups + 1)
             .collect()
@@ -116,7 +140,7 @@ def exact_percentiles(
                 "percentile_approx (the mergeable sketch) or raise "
                 "max_groups explicitly."
             )
-        if all(r["n"] <= buffer_threshold for r in stats):
+        if all(r["_n"] <= buffer_threshold for r in stats):
             # big total but every individual group small: the built-in
             # buffering path is safe and cheaper than the brackets
             ok = False
@@ -126,17 +150,17 @@ def exact_percentiles(
         # val_col is all-NULL (n == 0) get no bracket — they are
         # re-emitted as null rows at the end (the built-in returns a
         # null row for them, so dropping them would change the result)
-        null_groups = [r["g"] for r in stats if r["n"] == 0]
+        null_groups = [r["g"] for r in stats if r["_n"] == 0]
         spec = []
         for r in stats:
             for i, p in enumerate(ps):
-                if r["n"] == 0:
+                if r["_n"] == 0:
                     continue
-                k = (r["n"] - 1) * p
+                k = (r["_n"] - 1) * p
                 rf, rc = math.floor(k) + 1, math.ceil(k) + 1
                 # clamped probes fall back to the exact min/max bound
-                lo = r["vmin"] if p - delta <= 0.0 else r["br"][2 * i]
-                hi = r["vmax"] if p + delta >= 1.0 else r["br"][2 * i + 1]
+                lo = r["_vmin"] if p - delta <= 0.0 else r["_br"][2 * i]
+                hi = r["_vmax"] if p + delta >= 1.0 else r["_br"][2 * i + 1]
                 spec.append(
                     {"g": r["g"], "pi": i, "lo": float(lo), "hi": float(hi),
                      "rf": rf, "rc": rc, "frac": float(k - math.floor(k))}
@@ -179,17 +203,18 @@ def exact_percentiles(
         # not |ps| scalar buffers (small data is the only way to get
         # here in practice)
         arr = F.percentile(
-            val_col, F.array(*[F.lit(float(p)) for p in ps])
+            "v", F.array(*[F.lit(float(p)) for p in ps])
         ).alias("_p")
         return (
-            df.groupBy(F.col(group_col))
-            .agg(arr)
+            base.groupBy("g")
+            .agg(arr, *extras)
             .select(
-                group_col,
+                F.col("g").alias(group_col),
                 *[
                     F.element_at("_p", i + 1).alias(f"p_{i}")
                     for i in range(len(ps))
                 ],
+                *extra_names,
             )
         )
 
@@ -231,4 +256,18 @@ def exact_percentiles(
             *[F.lit(None).cast("double").alias(f"p_{i}") for i in range(len(ps))],
         )
         out = out.unionByName(nulls)
+    if extra_aggs:
+        # extras rode the stats pass; re-emit the collected values
+        # exactly (IEEE doubles and longs round-trip bit-identically
+        # through Row → createDataFrame) and attach by group — no
+        # second scan.  Schema comes from the aggregate expressions
+        # themselves (analysis only, no job).
+        ex_schema = base.groupBy("g").agg(*extras).schema
+        emit = spark.createDataFrame(
+            [tuple([r["g"], *[r[name] for name in extra_names]]) for r in stats],
+            schema=ex_schema,
+        ).withColumnRenamed("g", "_eg")
+        out = out.join(
+            F.broadcast(emit), F.col("g").eqNullSafe(F.col("_eg")), "left"
+        ).drop("_eg")
     return out.withColumnRenamed("g", group_col)

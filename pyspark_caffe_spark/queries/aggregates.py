@@ -204,13 +204,22 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_caffe_spark.quantiles import exact_percentiles
 
     li = load_table(spark, sf_dir, "lineitem")
-    moments = li.groupBy("l_returnflag").agg(
-        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+    # the min/max/stddev moments ride exact_percentiles' own
+    # aggregation pass (extra_aggs over the normalized value column
+    # "v", round 18) — the previous separate moments groupBy +
+    # broadcast join cost one more full lineitem scan at every scale
+    pcts = exact_percentiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        [0.5, 0.9],
+        extra_aggs={
+            "min_price": F.round(F.min("v"), 4),
+            "max_price": F.round(F.max("v"), 4),
+            "sd_price": F.round(F.stddev_samp("v"), 4),
+        },
     )
-    pcts = exact_percentiles(li, "l_returnflag", "l_extendedprice", [0.5, 0.9])
-    return moments.join(F.broadcast(pcts), "l_returnflag").select(
+    return pcts.select(
         "l_returnflag", "min_price", "max_price", "sd_price",
         F.round(F.col("p_0"), 4).alias("median_price"),
         F.round(F.col("p_1"), 4).alias("p90_price"),
@@ -806,9 +815,17 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_caffe_spark.quantiles import exact_percentiles
 
     li = load_table(spark, sf_dir, "lineitem")
-    counts = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
-    pcts = exact_percentiles(li, "l_returnflag", "l_extendedprice", [0.5, 0.9, 0.99])
-    return counts.join(F.broadcast(pcts), "l_returnflag").select(
+    # the group count rides exact_percentiles' own aggregation pass
+    # (extra_aggs, round 18) — the previous separate counts groupBy +
+    # broadcast join cost one more full lineitem scan at every scale
+    pcts = exact_percentiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        [0.5, 0.9, 0.99],
+        extra_aggs={"n": F.count("*")},
+    )
+    return pcts.select(
         "l_returnflag",
         F.round(F.col("p_0"), 4).alias("p50"),
         F.round(F.col("p_1"), 4).alias("p90"),

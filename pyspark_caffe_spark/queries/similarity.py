@@ -568,6 +568,14 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picks = first
     for t in range(2, _MMR_K + 1):
+        # materialize the running picks per greedy round (round 18,
+        # guide §3.3): each round references picks TWICE (the selected
+        # set feeding pen/anti-join, and the union into the next
+        # picks), so the unrolled lineage re-computed every earlier
+        # round's windows per reference (1,050-line physical plan).
+        # The picks set is O(queries·k) rows — tiny at every scale.
+        # Measured at sf0.1: 2.19 s → 1.70 s median, values identical.
+        picks = picks.localCheckpoint(eager=True)
         # rename BOTH selected-side columns: picks shares lineage with
         # cand/pair, and a bare query_id == query_id join condition is
         # ambiguous self-join territory (Spark warns "trivially true")

@@ -321,16 +321,26 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
 
-    def cents(col):
-        return F.round(col * 100).cast("long")
-
-    num = cents(F.col("value")) * F.lit(_EWMA_A[0])
+    # cents ONCE per row in a pre-window projection, then lag the LONG:
+    # lag(cents(value)) ≡ cents(lag(value)) exactly (same deterministic
+    # expression over the same source row), but the original evaluated
+    # round(value·100)+cast inside every one of the 19 lag terms —
+    # 19 double-rounds per row.  Measured at sf0.1: 1.96 s → 0.85 s
+    # median, zero row diffs (round 18, guide §1.2 per-task work).
+    # Still ONE window spec over ONE user_id exchange (plan-locked).
+    ev2 = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("_c"),
+    )
+    num = F.col("_c") * F.lit(_EWMA_A[0])
     den = F.lit(_EWMA_A[0])
     for k in range(1, _EWMA_TERMS):
-        lk = F.lag("value", k).over(w)
-        num = num + F.when(lk.isNull(), F.lit(0)).otherwise(cents(lk) * F.lit(_EWMA_A[k]))
+        lk = F.lag("_c", k).over(w)
+        num = num + F.when(lk.isNull(), F.lit(0)).otherwise(lk * F.lit(_EWMA_A[k]))
         den = den + F.when(lk.isNull(), F.lit(0)).otherwise(F.lit(_EWMA_A[k]))
-    return ev.select(
+    return ev2.select(
         "event_id",
         "user_id",
         "ts",

@@ -659,6 +659,44 @@ def test_exact_percentiles_group_cap_raises(spark):
         )
 
 
+def test_exact_percentiles_extra_aggs_both_paths(spark):
+    """Round-18 optimization: extra_aggs companion aggregates must ride
+    the percentile machinery's own pass — value-identical to a separate
+    groupBy — on BOTH routes (built-in buffering and forced bracket),
+    including a group whose values are all NULL, and reserved internal
+    names must be rejected."""
+    import pytest
+
+    from pyspark_caffe_spark import quantiles
+
+    rows = [("a", float(v)) for v in range(101)] + [
+        ("b", float(v * 3) if v % 2 else None) for v in range(40)
+    ] + [("z", None)] * 5  # all-NULL value group
+    df = spark.createDataFrame(rows, "g string, v double")
+    extra = {"n": F.count("*"), "vmax4": F.round(F.max("v"), 4)}
+    want = {
+        r["g"]: (r["n"], r["vmax4"])
+        for r in df.groupBy("g")
+        .agg(F.count("*").alias("n"), F.round(F.max("v"), 4).alias("vmax4"))
+        .collect()
+    }
+    for kw in (
+        {},                        # built-in route (size router)
+        {"buffer_threshold": 0},   # forced bracket route
+    ):
+        got = {
+            r["g"]: (r["n"], r["vmax4"])
+            for r in quantiles.exact_percentiles(
+                df, "g", "v", [0.5, 0.9], extra_aggs=extra, **kw
+            ).collect()
+        }
+        assert got == want, (kw, got, want)
+    with pytest.raises(ValueError, match="collide"):
+        quantiles.exact_percentiles(
+            df, "g", "v", [0.5], extra_aggs={"_n": F.count("*")}
+        )
+
+
 def test_lsh_auto_bands_sizing(spark, sf_dir):
     """Round-9 verdict #5 machinery: bands=None sizes the band count
     from the (τ, P, target-recall) banding identity — the values the
