@@ -130,6 +130,9 @@ _CODE_CHANGED = {
     "win_ewma": 18,
     "agg_percentile_exact": 18,
     "agg_stats": 18,
+    "join_q21_waiting": 18,
+    "events_rfm": 18,
+    "events_attribution": 18,
 }
 
 

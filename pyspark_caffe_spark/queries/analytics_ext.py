@@ -1561,6 +1561,13 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("frequency"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
         )
+        # materialize the per-user aggregate once (round 18, guide
+        # §3.3): it feeds FIVE consumers (n_df, the three CDF-bounds
+        # histograms, the scored scan) and each re-derived the events
+        # scan + user groupBy.  O(users) rows — the thing to
+        # materialize, far smaller than the events it summarizes.
+        # Measured at sf0.1: 1.01 s → 0.86 s warm median, zero diffs.
+        .localCheckpoint(eager=True)
     )
     n_df = rfm.agg(F.count("*").alias("n"))
     banded = rfm.withColumn("mon_band", F.expr("monetary_cents div 100"))
@@ -1663,6 +1670,14 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tt") < F.col("pt"))
         & (F.col("tt") >= F.col("pt") - F.expr("INTERVAL 7 DAY"))
     ).select("pid", "tid", "channel", "tt")
+    # materialize the touch join once (round 18, guide §3.3): THREE
+    # consumers (pn, the last-touch window, the linear rollup) each
+    # re-ran the purchase×touch join otherwise.  O(attributed touch
+    # pairs) rows — bounded by per-user activity windows, the right
+    # thing to materialize at any scale.  Measured at sf0.1: 1.08 s →
+    # 0.94 s warm median, zero diffs (checkpointing pn too added
+    # nothing — left alone).
+    j = j.localCheckpoint(eager=True)
     pn = j.groupBy("pid").agg(F.count("*").alias("n_touches"))
     w = Window.partitionBy("pid").orderBy(F.desc("tt"), F.desc("tid"))
     last = (

