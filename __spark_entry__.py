@@ -133,6 +133,9 @@ _CODE_CHANGED = {
     "join_q21_waiting": 18,
     "events_rfm": 18,
     "events_attribution": 18,
+    # round-18 optimization (resumed session): eager checkpoint of the
+    # per-round large-star intermediate in the CC loop
+    "graph_connected_components": 18,
 }
 
 

@@ -900,21 +900,37 @@ def _cc_large_small_star(
         )
         return int(row["both_roles"]) == 0 and int(row["multi_parent"]) == 0
 
-    # lazy checkpoints: the is_star_forest collect is the round's ONE
-    # action and materializes the checkpoint as a side effect — an
-    # eager checkpoint would run the whole round's chain twice per
-    # iteration.  NOTE the unpersist order: the NEXT round's set must
-    # be materialized before the previous checkpoint blocks are
-    # dropped (a localCheckpoint truncates lineage, so dropped blocks
-    # are unrecoverable).
+    # Checkpoint discipline (round 18): the ROUND RESULT stays a lazy
+    # checkpoint — the is_star_forest collect is the round's action and
+    # materializes it as a side effect.  The INTERMEDIATE large-star
+    # canon, however, is checkpointed EAGERLY: the small-star half
+    # references it four ways in one job (und's two union branches,
+    # each feeding both the mins aggregate and the join probe side),
+    # and a lazy checkpoint is no protection against multiple
+    # references INSIDE the job that first materializes it (the same
+    # recompute trap the roles-explode fix above documents, measured
+    # 2.7× there) — so the whole large-star chain was re-executed per
+    # reference.  Paying one extra job launch per round to materialize
+    # the O(canonical-edges) intermediate measured 5.65 → 4.44 s
+    # median (−21%) at sf0.1 on interleaved A/B, values identical; at
+    # scale it is the difference between one large-star pass per round
+    # and several.  NOTE the unpersist order: the NEXT round's set
+    # must be materialized before the previous round's checkpoint
+    # blocks — including the intermediate's — are dropped (a
+    # localCheckpoint truncates lineage, so dropped blocks are
+    # unrecoverable).
     cur = canon(edges).localCheckpoint(eager=False)
     rounds = 0
     prev: DataFrame | None = None
+    prev_inter: DataFrame | None = None
     while True:
-        done = is_star_forest(cur)  # the round's ONE action
+        done = is_star_forest(cur)  # the round's ONE collect action
         if prev is not None:
             prev.unpersist()  # cur is materialized now; prev's blocks can go
             prev = None
+        if prev_inter is not None:
+            prev_inter.unpersist()
+            prev_inter = None
         if done:
             return cur, rounds
         if rounds >= max_rounds:
@@ -924,8 +940,9 @@ def _cc_large_small_star(
                 "bound; check the edge derivation"
             )
         prev = cur
-        cur = canon(star(canon(star(cur, large=True)), large=False))
-        cur = cur.localCheckpoint(eager=False)
+        inter = canon(star(cur, large=True)).localCheckpoint()
+        prev_inter = inter
+        cur = canon(star(inter, large=False)).localCheckpoint(eager=False)
         rounds += 1
 
 
