@@ -136,6 +136,10 @@ _CODE_CHANGED = {
     # round-18 optimization (resumed session): eager checkpoint of the
     # per-round large-star intermediate in the CC loop
     "graph_connected_components": 18,
+    # round-18 optimization (resumed session): minhash shingle hash
+    # from word-hash longs instead of joined shingle strings
+    "dedup_minhash": 18,
+    "dedup_candidate_verify": 18,
 }
 
 

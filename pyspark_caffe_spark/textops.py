@@ -61,16 +61,47 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 1234,
 ) -> DataFrame:
-    """MinHash signatures: ONE xxhash64 per shingle, then num_hashes
-    mod-prime mixes (ANSI-safe long arithmetic). Returns
-    (id, mh0..mhN-1)."""
+    """MinHash signatures: ONE xxhash64 per WORD, k word-hashes
+    re-hashed per shingle position, then num_hashes mod-prime mixes
+    (ANSI-safe long arithmetic). Returns (id, mh0..mhN-1).
+
+    The shingle hash is xxhash64 over the k consecutive word-hash
+    LONGS, not over the joined shingle STRING: building W shingle
+    strings per doc (array_join of k words each) and hashing ~35-byte
+    strings dominated the whole dedup_minhash key (measured 1.96 s of
+    a 2.03 s key at sf0.1); hashing each word once and then 5 longs
+    per position runs the same explode in 0.45 s — 4.4x — with the
+    identical shingle COUNT and the same recall (50/50 plants).
+
+    Two load-bearing details:
+
+    * the word-hash array is materialized as a REAL projection column
+      (``_wh``) before the per-position lambda references it k times —
+      an inlined lambda array expression is re-evaluated once PER
+      REFERENCE inside the consuming transform (measured 8 s, 4x
+      slower than even the string recipe; same trap round 9 recorded
+      for word-hash shingles);
+    * positions use ``F.get`` (0-based, NULL past the end), never
+      ``element_at`` — ANSI mode is on, and a doc shorter than k words
+      has one position whose tail indexes run past the array
+      (element_at would raise INVALID_ARRAY_INDEX). xxhash64 skips
+      NULL inputs, so the short-doc shingle hashes the words that
+      exist — same discriminating power as the old whole-text shingle.
+    """
     p = (1 << 31) - 1
     rng = np.random.default_rng(seed)
     coef = list(zip(rng.integers(1, p, num_hashes), rng.integers(0, p, num_hashes)))
-    base = df.select(
-        F.col(id_col),
-        F.explode(F.transform(shingles_of(text_col, shingle_k), lambda s: F.xxhash64(s))).alias("h"),
+    words = words_of(text_col)
+    whdocs = df.select(
+        F.col(id_col), F.transform(words, lambda w: F.xxhash64(w)).alias("_wh")
     )
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_wh") - shingle_k, F.lit(0))),
+        lambda i: F.xxhash64(
+            *[F.get(F.col("_wh"), i + j) for j in range(shingle_k)]
+        ),
+    )
+    base = whdocs.select(F.col(id_col), F.explode(shingle_hashes).alias("h"))
     hp = F.pmod(F.col("h"), F.lit(p))
     return base.groupBy(id_col).agg(
         *[
