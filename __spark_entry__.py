@@ -140,6 +140,10 @@ _CODE_CHANGED = {
     # from word-hash longs instead of joined shingle strings
     "dedup_minhash": 18,
     "dedup_candidate_verify": 18,
+    # round-18 optimization (second resumed session): tfidf dfq branch
+    # rewritten so AQE stage reuse collapses the second corpus
+    # scan+explode into a ReusedExchange over the tf shuffle
+    "text_tfidf": 18,
 }
 
 

@@ -1613,18 +1613,26 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQEShuffleRead-local tf side (no extra shuffle; the initial-plan
     SMJ is what AQE replaces), Spark 4's WindowGroupLimit pushes the
     top-5 limit below the doc_id exchange, and task skew on the three
-    heaviest stages is max/median 1.03-1.05 — no salting needed.  The
-    corpus IS scanned/exploded twice (the tf branch and the
-    distinct-(doc,token) dfq branch canonicalize differently once
-    Catalyst prunes n_t, so the exchange is not reusable); collapsing
-    them would require materializing a corpus-sized tf, so two
-    embarrassingly-parallel spill-free passes are the intended
-    trade."""
+    heaviest stages is max/median 1.03-1.05 — no salting needed.
+
+    The corpus is scanned/exploded ONCE (round 18; it used to be
+    twice): dfq's count is written as ``sum(least(1, n_t))`` — exactly
+    count(*) since n_t ≥ 1 by construction — so Catalyst cannot prune
+    ``n_t`` out of the dfq branch, both branches' (doc_id, token)
+    exchange subtrees canonicalize identically, and AQE's stage reuse
+    turns the dfq branch into a ReusedExchange over the tf shuffle
+    (verified in the final adaptive plan).  With the pruned
+    ``count(*)`` form the branches canonicalized differently and the
+    whole scan→explode→partial-agg chain ran twice — the shuffle files
+    were already the corpus-sized materialization the round-15 note
+    thought this would need; reuse makes them free."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     toks = docs.select("doc_id", F.explode(textops.words_of("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("n_t"))
-    dfq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    dfq = tf.groupBy("token").agg(
+        F.sum(F.least(F.lit(1), F.col("n_t"))).alias("dfreq")
+    )
     scored = (
         tf.join(dfq, "token")
         .crossJoin(F.broadcast(n))
