@@ -383,8 +383,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str, num_hashes: int = 32, bands:
     a_k·h + b_k over the 64-bit ring — long multiply/add per slot, no
     re-hashing of strings) → explode + ONE groupBy(doc_id) with 32 min
     aggregates → 8 bands of 4 → groupBy(band_idx, band_hash)
-    self-join. Only docs sharing a band signature are ever paired:
-    cost is O(candidates), not O(n²).
+    bucket-gather (capped collect_list + in-bucket pair explode — ONE
+    shuffle of 8 narrow rows/doc, no signature self-join). Only docs
+    sharing a band signature are ever paired: cost is O(candidates),
+    not O(n²).
 
     Invariant-literal oracle: the candidate pairs themselves are
     hash-seed-specific, so the emitted row is the augmented corpus
