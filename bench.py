@@ -438,6 +438,50 @@ def main() -> None:
             }
         )
     )
+    # Per-query data in SHORT lines (round 19, per the r18 verdict):
+    # the driver's tail capture is 2000 chars, so the giant detail
+    # line above is cut mid-dict in every round's BENCH_r*.json and
+    # the driver's PERF per_query/geomean/scaling blocks came out
+    # empty.  Emit the same per-key dicts again as SEPARATE compact
+    # JSON lines, ordered least-important-first (extras chunks, then
+    # the headline dict — the shortest — last before the summary), so
+    # the tail always contains complete parseable lines carrying the
+    # headline per-query medians and as much of the extras tier as
+    # fits.  Pure output-format addition: timings, methodology, and
+    # the two existing lines (detail above, summary below) are
+    # unchanged.
+    _compact = {"separators": (",", ":")}
+
+    def _chunk_lines(tag: str, field: str, d: dict, max_len: int = 600):
+        chunks: list[dict] = [{}]
+        for k in d:  # insertion order — stable across runs
+            chunks[-1][k] = d[k]
+            probe = json.dumps({"metric": "x (x 9/9)", field: chunks[-1]}, **_compact)
+            if len(probe) > max_len and len(chunks[-1]) > 1:
+                chunks[-1].pop(k)
+                chunks.append({k: d[k]})
+        n = len(chunks)
+        return [
+            json.dumps(
+                {"metric": f"{tag} ({i + 1}/{n})", field: c}, **_compact
+            )
+            for i, c in enumerate(chunks)
+        ]
+
+    for line in _chunk_lines("bench extras per-query", "queries_extra", extra_timings):
+        print(line)
+    print(
+        json.dumps(
+            {
+                "metric": "bench headline per-query",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "queries": timings,
+            },
+            **_compact,
+        )
+    )
     # Compact summary line LAST: the full line above outgrew the
     # driver's 2000-char tail capture once queries_extra passed ~40
     # entries (BENCH_r09.json recorded "parsed": null because the tail

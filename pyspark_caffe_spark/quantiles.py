@@ -46,8 +46,16 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: internal column names of the stats pass — extra_aggs may not shadow
-_RESERVED_STAT_NAMES = frozenset({"g", "v", "_n", "_br", "_vmin", "_vmax"})
+#: internal column names extra_aggs may not shadow: the stats-pass
+#: columns, the built-in path's percentile-array alias ("_p"), and the
+#: bracket path's re-emit join key ("_eg") — a collision with any of
+#: these surfaced later as an opaque ambiguous-reference
+#: AnalysisException instead of the intended ValueError (round-18
+#: advisory).  The "p_<i>" OUTPUT names are guarded separately below
+#: (they depend on len(ps)).
+_RESERVED_STAT_NAMES = frozenset(
+    {"g", "v", "_n", "_br", "_vmin", "_vmax", "_p", "_eg"}
+)
 
 
 def exact_percentiles(
@@ -89,10 +97,14 @@ def exact_percentiles(
     spark = df.sparkSession
     base = df.select(F.col(group_col).alias("g"), F.col(val_col).alias("v"))
     bad = _RESERVED_STAT_NAMES.intersection(extra_aggs or ())
+    # the p_<i> OUTPUT columns are reserved too, up to the requested
+    # percentile count (round-18 advisory: "p_0" as an extra_aggs name
+    # silently collided with the first percentile's output column)
+    bad |= {f"p_{i}" for i in range(len(ps))}.intersection(extra_aggs or ())
     if bad:
         raise ValueError(
             f"exact_percentiles: extra_aggs names {sorted(bad)} collide "
-            "with the internal stats-pass columns"
+            "with the internal stats-pass or p_<i> output columns"
         )
     extras = [expr.alias(name) for name, expr in (extra_aggs or {}).items()]
     extra_names = list((extra_aggs or {}).keys())

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from pyspark_caffe_spark import textops
 from pyspark_caffe_spark.money import exact_money_sum
+from pyspark_caffe_spark.materialize import pin
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.queries.streaming import _drain, _read_events_stream
 from pyspark_caffe_spark.tables import load_table
@@ -1567,7 +1568,7 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scan + user groupBy.  O(users) rows — the thing to
         # materialize, far smaller than the events it summarizes.
         # Measured at sf0.1: 1.01 s → 0.86 s warm median, zero diffs.
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     n_df = rfm.agg(F.count("*").alias("n"))
     banded = rfm.withColumn("mon_band", F.expr("monetary_cents div 100"))
@@ -1677,7 +1678,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thing to materialize at any scale.  Measured at sf0.1: 1.08 s →
     # 0.94 s warm median, zero diffs (checkpointing pn too added
     # nothing — left alone).
-    j = j.localCheckpoint(eager=True)
+    j = j.transform(pin)
     pn = j.groupBy("pid").agg(F.count("*").alias("n_touches"))
     w = Window.partitionBy("pid").orderBy(F.desc("tt"), F.desc("tid"))
     last = (

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_caffe_spark.money import exact_money_sum
+from pyspark_caffe_spark.materialize import pin
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 
@@ -1096,7 +1097,7 @@ def join_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").alias("descendant"),
         )
         .filter(F.col("ancestor") >= 1)
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     closure = edges.withColumn("depth", F.lit(1).cast("int"))
     frontier = closure
@@ -1111,7 +1112,7 @@ def join_recursive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("f.depth") + 1).cast("int").alias("depth"),
             )
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(pin)
         if nxt.count() == 0:
             break
         closure = closure.unionByName(nxt)

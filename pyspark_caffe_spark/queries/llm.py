@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_caffe_spark import textops, vecops
+from pyspark_caffe_spark.materialize import pin
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 from pyspark_caffe_spark.textops import STOPWORDS
@@ -592,7 +593,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_labels = (
                 labels.join(neigh, "node", "left")
                 .select("node", F.least("lbl", "nlbl").alias("lbl"))
-                .localCheckpoint(eager=True)
+                .transform(pin)
             )
             labels = new_labels
             cur_sum = _label_sum(labels)
@@ -611,7 +612,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cluster_size") > 1)
             .select(F.col("lbl").cast("long").alias("cluster_id"), "cluster_size")
             # detach the result from the loop's checkpoint before unpersist
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
     finally:
         und.unpersist()

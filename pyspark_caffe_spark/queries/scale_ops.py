@@ -25,6 +25,7 @@ from pyspark_caffe_spark.money import (
     exact_money_units_sum,
     money_from_units_sum,
 )
+from pyspark_caffe_spark.materialize import pin, pin_lazy
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 
@@ -782,7 +783,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contrib.select(
             F.col("dst").alias("src"),
             (F.lit(0.15) + F.col("in_mass")).alias("rank"),
-        ).localCheckpoint(eager=False)
+        ).transform(pin_lazy)
     return ranks.select(
         F.col("src").alias("node"), F.round("rank", 4).alias("pagerank")
     )
@@ -919,7 +920,7 @@ def _cc_large_small_star(
     # blocks — including the intermediate's — are dropped (a
     # localCheckpoint truncates lineage, so dropped blocks are
     # unrecoverable).
-    cur = canon(edges).localCheckpoint(eager=False)
+    cur = canon(edges).transform(pin_lazy)
     rounds = 0
     prev: DataFrame | None = None
     prev_inter: DataFrame | None = None
@@ -940,9 +941,9 @@ def _cc_large_small_star(
                 "bound; check the edge derivation"
             )
         prev = cur
-        inter = canon(star(cur, large=True)).localCheckpoint()
+        inter = canon(star(cur, large=True)).transform(pin)
         prev_inter = inter
-        cur = canon(star(inter, large=False)).localCheckpoint(eager=False)
+        cur = canon(star(inter, large=False)).transform(pin_lazy)
         rounds += 1
 
 
@@ -1106,7 +1107,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # any multi-pass graph algorithm, never re-derives per pass.
         # Measured at sf0.1: 2.09 s → 1.06 s median with this plus the
         # oriented checkpoint below, values identical.
-        .localCheckpoint()
+        .transform(pin)
     )
     # one explode pass instead of a two-branch union: the union
     # re-scanned the fact table twice for the same (node) set
@@ -1136,7 +1137,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the wedge self-join references the oriented edge list twice —
     # materialize it once too (O(m) rows; same round-18 rationale as
     # the edges checkpoint above)
-    ).localCheckpoint()
+    ).transform(pin)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(o2, "src").filter(F.col("o1.dst") < F.col("o2.dst")).select(
         F.col("src").alias("w"),
@@ -2666,7 +2667,7 @@ def sim_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
         .groupBy("qid")
         .agg(F.max("cos").alias("best_before"))
-    ).localCheckpoint(eager=True)  # materialize BEFORE the append mutates postings
+    ).transform(pin)  # materialize BEFORE the append mutates postings
 
     delta = load_table(spark, sf_dir, "embeddings").filter(delta_pred).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
@@ -2714,7 +2715,12 @@ def _ann_append(spark: SparkSession, sf_dir: str, suffix: str, delta: DataFrame)
     Meta is never rewritten, so no restamp write exists to tear.
     Segment numbers come from existing dirs on disk (orphans
     included), so a crash orphan can never collide with the next
-    append's target."""
+    append's target.  One extra (harmless) orphan shape since the
+    round-18 observe fold: an EMPTY delta is detected only after the
+    claimed segment dir exists, so a crash between the zero-row write
+    and the cleanup rmtree can leave an empty orphan dir — manifest-
+    invisible like the torn-segment orphan, GC'd by the next
+    compact/build, and skipped by the numbering above."""
     import shutil
 
     cpath, _ppath, mpath = _ann_index_paths(sf_dir, suffix)
@@ -2960,8 +2966,42 @@ def _ann_compact_postings(
     )
     if identity_out is not None and obs is not None:
         vals = obs.get
-        identity_out["n"] = int(vals["n"])
-        identity_out["h"] = int(vals["h"])
+        n_seen, h_seen = int(vals["n"]), int(vals["h"])
+        # Cross-check the observed count against the manifest-derived
+        # expectation (round 19, closing the r18 advisory pair): the
+        # observe sits in the shuffle-map stage, where — on a
+        # multi-node cluster — a fetch-failure stage retry or a
+        # speculative duplicate re-applies accumulator updates and can
+        # overcount; symmetrically, a short read of the live layout
+        # would undercount and the old independent pre-scan could have
+        # caught it by disagreeing.  The committed layout's posting
+        # count is known WITHOUT a scan: every vector carries exactly
+        # meta["m"] postings (the coverage invariant the build/append
+        # writers enforce and sink_ann_index audits), so expected =
+        # (gen_n + Σ segment_n) · m.  On mismatch, fall back to a
+        # dedicated snapshot scan of the old live layout — still
+        # intact, GC runs only after the commit below — instead of
+        # recording a poisoned before-identity.  On this single-node
+        # target the branch never fires; it exists so the proof stays
+        # sound under task re-execution at cluster scale.
+        expected_n = (gen_n + sum(s[1] for s in segs)) * int(
+            _ann_read_meta(os.path.join(root, "meta"))["m"]
+        )
+        if n_seen != expected_n:
+            snap = (
+                _ann_read_postings(spark, live)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(
+                        F.sum(_ann_posting_row_hash()),
+                        F.lit(0).cast("decimal(38,0)"),
+                    ).alias("h"),
+                )
+                .collect()[0]
+            )
+            n_seen, h_seen = int(snap["n"]), int(snap["h"])
+        identity_out["n"] = n_seen
+        identity_out["h"] = h_seen
     # durability fence BEFORE the commit point: the manifest's own
     # fsyncs cover the manifest, not the generation it names — under
     # power loss an unfsynced new generation could tear while the
@@ -3037,7 +3077,14 @@ def _ann_compact_and_prove(
     # before-identity rides the swap's own read of the live layout
     # (observe inside _ann_compact_postings — round 18): the proof now
     # hashes exactly the bytes the rewrite consumed, and the separate
-    # full-postings snapshot scan is gone (2 passes → 1)
+    # full-postings snapshot scan is gone (2 passes → 1).  Scope note
+    # (r18 advisory): content_identical therefore proves WRITE
+    # FIDELITY — a short/stale read of the live layout is what the
+    # manifest cross-check inside _ann_compact_postings guards
+    # (observed count vs (gen_n + Σ seg_n)·m, with a dedicated
+    # snapshot-scan fallback on mismatch); a genuinely lost VECTOR is
+    # still caught by stamp_still_valid below (countDistinct vs the
+    # derived stamp).
     before: dict = {}
     ppath = _ann_compact_postings(spark, ppath, identity_out=before)
     files_after = _count_part_files(ppath)

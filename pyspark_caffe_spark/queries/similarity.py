@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_caffe_spark import vecops
+from pyspark_caffe_spark.materialize import pin
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.tables import load_table
 
@@ -556,8 +557,8 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") != F.col("id_b"))
         .select("query_id", "id_a", "id_b", F.round(dot_p, 6).alias("sim"))
     )
-    cand = cand.drop("emb").localCheckpoint(eager=True)
-    pair = pair.localCheckpoint(eager=True)
+    cand = cand.drop("emb").transform(pin)
+    pair = pair.transform(pin)
 
     wpick = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("vec_id"))
     first = (
@@ -575,7 +576,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round's windows per reference (1,050-line physical plan).
         # The picks set is O(queries·k) rows — tiny at every scale.
         # Measured at sf0.1: 2.19 s → 1.70 s median, values identical.
-        picks = picks.localCheckpoint(eager=True)
+        picks = picks.transform(pin)
         # rename BOTH selected-side columns: picks shares lineage with
         # cand/pair, and a bare query_id == query_id join condition is
         # ambiguous self-join territory (Spark warns "trivially true")

@@ -33,6 +33,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pyspark_caffe_spark.materialize import pin
 from pyspark_caffe_spark.registry import query
 from pyspark_caffe_spark.queries.relational import _scratch
 from pyspark_caffe_spark.tables import load_table
@@ -121,7 +122,7 @@ def _drain(df: DataFrame, name: str, output_mode: str, partitions: int = 8) -> D
     # detach the result from the memory-sink temp view, then drop it —
     # uuid-named sink tables would otherwise accumulate full result
     # sets in driver memory for the session lifetime
-    out = spark.table(name).localCheckpoint(eager=True)
+    out = spark.table(name).transform(pin)
     spark.catalog.dropTempView(name)
     return out
 
@@ -804,7 +805,7 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         q.stop()
-    out = spark.table(name).localCheckpoint(eager=True)
+    out = spark.table(name).transform(pin)
     spark.catalog.dropTempView(name)
     return (
         out.groupBy((F.col("pos") / 100).cast("long").alias("batch_no"))

@@ -695,6 +695,21 @@ def test_exact_percentiles_extra_aggs_both_paths(spark):
         quantiles.exact_percentiles(
             df, "g", "v", [0.5], extra_aggs={"_n": F.count("*")}
         )
+    # round-19 (r18 advisory): the built-in path's "_p" alias, the
+    # bracket path's "_eg" re-emit key, and the p_<i> OUTPUT names are
+    # reserved too — each used to surface later as an opaque
+    # ambiguous-reference AnalysisException instead of this ValueError
+    for name in ("_p", "_eg", "p_0"):
+        with pytest.raises(ValueError, match="collide"):
+            quantiles.exact_percentiles(
+                df, "g", "v", [0.5], extra_aggs={name: F.count("*")}
+            )
+    # p_<i> past the requested percentile count is NOT an output column
+    # — it must stay usable
+    ok = quantiles.exact_percentiles(
+        df, "g", "v", [0.5], extra_aggs={"p_1": F.count("*")}
+    )
+    assert "p_1" in ok.columns and "p_0" in ok.columns
 
 
 def test_lsh_auto_bands_sizing(spark, sf_dir):
