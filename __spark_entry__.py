@@ -140,10 +140,11 @@ _CODE_CHANGED = {
     # from word-hash longs instead of joined shingle strings
     "dedup_minhash": 18,
     "dedup_candidate_verify": 18,
-    # round-18 optimization (second resumed session): tfidf dfq branch
-    # rewritten so AQE stage reuse collapses the second corpus
-    # scan+explode into a ReusedExchange over the tf shuffle
-    "text_tfidf": 18,
+    # round-19 optimization: tfidf shuffles (doc_id, text) once by
+    # doc_id — the (doc,token) aggregation and the top-5 window both
+    # ride that partitioning (scored-rows exchange eliminated) and the
+    # dfq branch reuses the same exchange
+    "text_tfidf": 19,
 }
 
 

@@ -1611,33 +1611,45 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the SQL's CROSS JOIN n) — no separate driver count job,
     the whole query is one plan.
 
-    Verified at 100x (round-15 skew audit, PERF.md): the FINAL
-    adaptive plan converts the idf join to BroadcastHashJoin with an
-    AQEShuffleRead-local tf side (no extra shuffle; the initial-plan
-    SMJ is what AQE replaces), Spark 4's WindowGroupLimit pushes the
-    top-5 limit below the doc_id exchange, and task skew on the three
-    heaviest stages is max/median 1.03-1.05 — no salting needed.
+    ONE corpus-sized exchange total (round 19; rounds ≤17 had three,
+    round 18 two): the (doc_id, text) projection is repartitioned by
+    ``doc_id`` BEFORE the explode, so
 
-    The corpus is scanned/exploded ONCE (round 18; it used to be
-    twice): dfq's count is written as ``sum(least(1, n_t))`` — exactly
-    count(*) since n_t ≥ 1 by construction — so Catalyst cannot prune
-    ``n_t`` out of the dfq branch, both branches' (doc_id, token)
-    exchange subtrees canonicalize identically, and AQE's stage reuse
-    turns the dfq branch into a ReusedExchange over the tf shuffle
-    (verified in the final adaptive plan).  With the pruned
-    ``count(*)`` form the branches canonicalized differently and the
-    whole scan→explode→partial-agg chain ran twice — the shuffle files
-    were already the corpus-sized materialization the round-15 note
-    thought this would need; reuse makes them free."""
+    * the (doc_id, token) aggregation needs no exchange of its own —
+      hash(doc_id) partitioning already clusters every (doc, token)
+      group (HashPartitioning satisfies ClusteredDistribution when its
+      keys are a subset of the grouping keys, guide §2.4);
+    * the final top-5 window partitions by ``doc_id`` on data that is
+      ALREADY doc_id-partitioned — the 25M-row scored exchange that
+      round 18's shape still paid is gone outright;
+    * the dfq branch reuses the SAME docs exchange (ReusedExchange in
+      the final adaptive plan — the subtree below the exchange is the
+      bare scan+projection, identical in both branches, so round 18's
+      ``sum(least(1, n_t))`` pruning workaround is no longer needed
+      and dfq is a plain count again);
+    * the exchange carries (doc_id, text) — strictly fewer bytes than
+      the exploded token rows it replaces (each token duplicates
+      doc_id and tokenization overhead), and AQE still coalesces it
+      (no pinned partition count).
+
+    The idf join broadcasts ``dfq`` by explicit hint (guide §3.1):
+    dfq is vocabulary-sized — Zipf vocab ≪ corpus, the same property
+    the 100x audit relied on when AQE chose the broadcast — and the
+    hint keeps the initial plan from even planning a token-keyed
+    exchange of tf (whose map side still ran under the AQE-converted
+    shape).  The explode + per-branch aggregation above the reused
+    exchange runs once per branch; that CPU is cheaper than the
+    second corpus shuffle it replaces at every measured scale.
+    Measured (5-rep medians, noop sink): 100x 5.03 → 3.56 s (1.4x),
+    sf0.1 0.81 → 0.76 s, zero row diffs at both scales."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
-    toks = docs.select("doc_id", F.explode(textops.words_of("text")).alias("token"))
+    by_doc = docs.select("doc_id", "text").repartition("doc_id")
+    toks = by_doc.select("doc_id", F.explode(textops.words_of("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("n_t"))
-    dfq = tf.groupBy("token").agg(
-        F.sum(F.least(F.lit(1), F.col("n_t"))).alias("dfreq")
-    )
+    dfq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
     scored = (
-        tf.join(dfq, "token")
+        tf.join(F.broadcast(dfq), "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

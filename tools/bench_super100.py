@@ -15,7 +15,7 @@ matmul — the scale path for that shape is the router/optimizer rule
 in the suite via sim_knn_batch and the dedup keys.
 
 Usage: python tools/bench_super100.py [super_dir] [out_json]
-Defaults: /tmp/superscale_100x, BENCH_SUPER100_r18.json
+Defaults: /tmp/superscale_100x, BENCH_SUPER100_r19.json
 """
 
 from __future__ import annotations
@@ -145,7 +145,7 @@ def join_strategy_evidence(spark, sf_dir):
 def main() -> None:
     super_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/superscale_100x"
     out_json = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        _REPO, "BENCH_SUPER100_r18.json"
+        _REPO, "BENCH_SUPER100_r19.json"
     )
     sys.path.insert(0, _REPO)
     from bench import HEADLINE
@@ -182,7 +182,7 @@ def main() -> None:
             "orders / 10M events / 500k docs / 200k vectors), back-to-back "
             "with the sf0.1 suite in one session"
         ),
-        "round": 18,
+        "round": 19,
         "sf": "sf0.1 x100 (tools/make_superscale.py, streaming writer)",
         "excluded": {
             q: "O(N^2) by design; growth characterized at 10x "
