@@ -145,6 +145,11 @@ _CODE_CHANGED = {
     # ride that partitioning (scored-rows exchange eliminated) and the
     # dfq branch reuses the same exchange
     "text_tfidf": 19,
+    # round-19 optimization: the refresh's two serves share ONE
+    # query-matrix collect (the batch is the same deterministic slice
+    # in both — identical probe sets are what the before/after
+    # comparison requires)
+    "sim_knn_ivf_refresh": 19,
 }
 
 

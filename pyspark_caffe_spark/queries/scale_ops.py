@@ -2660,22 +2660,39 @@ def sim_knn_ivf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten.  The after-serve runs with the fingerprint guard ON,
     proving in-plan that the appended index validates as the full
     corpus."""
+    from pyspark_caffe_spark import vecops
+
     delta_pred = F.pmod(F.col("vec_id"), F.lit(10)) == 7
     suffix = "_refresh"
     _build_ann_index(spark, sf_dir, corpus_filter=~delta_pred, suffix=suffix)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # ONE query-matrix collect for both serves (round 19, guide §1.2):
+    # the batch is the same deterministic hash slice in both, and
+    # identical probe sets are exactly what the before/after comparison
+    # requires — so the second collect job was a byte-identical rerun
+    qids, qmat, _ = vecops._collect_matrix(
+        emb.filter(
+            (F.pmod(F.col("vec_id"), F.lit(20)) == 3) & (F.col("vec_id") < 2000)
+        ),
+        "vec_id",
+        "emb",
+    )
+    q = (qids, qmat)
     before = (
-        _serve_from_ann_index(spark, sf_dir, with_recall=False, suffix=suffix)
+        _serve_from_ann_index(
+            spark, sf_dir, with_recall=False, suffix=suffix, queries=q
+        )
         .groupBy("qid")
         .agg(F.max("cos").alias("best_before"))
     ).transform(pin)  # materialize BEFORE the append mutates postings
 
-    delta = load_table(spark, sf_dir, "embeddings").filter(delta_pred).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    _ann_append(spark, sf_dir, suffix, delta)
+    _ann_append(spark, sf_dir, suffix, emb.filter(delta_pred))
 
     after = _serve_from_ann_index(
-        spark, sf_dir, with_recall=False, suffix=suffix, validate_corpus=True
+        spark, sf_dir, with_recall=False, suffix=suffix, validate_corpus=True,
+        queries=q,
     )
     per_q = after.groupBy("qid").agg(
         F.count("*").alias("n_results"),
@@ -3257,6 +3274,7 @@ def _serve_from_ann_index(
     with_recall: bool = True,
     suffix: str = "",
     validate_corpus: bool = False,
+    queries: "tuple | None" = None,
 ) -> DataFrame:
     """Pure read path: answer the query batch from the PERSISTED index
     files only (raises if the index has not been built).
@@ -3311,7 +3329,15 @@ def _serve_from_ann_index(
     # hash-exact slice, capped so the serving pass is O(N), not O(N²))
     qpred = (F.pmod(F.col("vec_id"), F.lit(20)) == 3) & (F.col("vec_id") < 2000)
     queries_df = emb.filter(qpred)
-    qids, qmat, _ = vecops._collect_matrix(queries_df, "vec_id", "emb")
+    if queries is None:
+        # one collect job per serve; a caller serving the SAME batch
+        # twice (sim_knn_ivf_refresh's before/after pair) passes the
+        # collected matrix instead of re-running the job (round 19,
+        # guide §1.2 — the slice is deterministic, so the two collects
+        # were byte-identical)
+        qids, qmat, _ = vecops._collect_matrix(queries_df, "vec_id", "emb")
+    else:
+        qids, qmat = queries
 
     probe_rank = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
     probe_mask = np.zeros((len(qids), len(centroids)), dtype=bool)
