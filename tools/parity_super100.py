@@ -295,7 +295,7 @@ def main() -> None:
         with open(out_json, "w") as f:
             f.write(json.dumps({
                 "metric": "registry-wide DuckDB value-parity sweep at 100x sf0.1",
-                "round": 18,
+                "round": 19,
                 "sf": "sf0.1 x100",
                 "row_cap": ROW_CAP,
                 "complete": complete,

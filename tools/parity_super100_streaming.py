@@ -171,7 +171,7 @@ def main() -> None:
                           "density (contiguous 6-day slice of the 100x "
                           "events table; per-event outputs also "
                           "value-hashed on an LCG 1/16 slice)",
-                "round": 18,
+                "round": 19,
                 "slice_rows": n_slice,
                 "slice_cutoff": CUTOFF,
                 "row_cap": ROW_CAP,
