@@ -801,6 +801,23 @@ def test_tfidf_final_plan_broadcasts_vocab_join(spark, sf_dir):
     # the broadcast consumed the tf exchange in place: no second
     # token-keyed exchange materialized on the probe side
     assert "WindowGroupLimit" in final  # top-5 pruned below the window
+    # Round-19 shape pins: ONE corpus-sized exchange total — the
+    # user repartition("doc_id") (REPARTITION_BY_COL) that the tf
+    # aggregation, the top-5 window, AND (via ReusedExchange) the dfq
+    # branch all ride.  A regression re-introducing the scored-rows
+    # exchange would put an ENSURE_REQUIREMENTS hashpartitioning
+    # exchange between the window and the join; a canonicalization
+    # break in the dfq branch would drop the ReusedExchange and
+    # re-scan the corpus.
+    real_reparts = [
+        ln
+        for ln in final.splitlines()
+        if "REPARTITION_BY_COL" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(real_reparts) == 1, final[:2000]
+    assert "ReusedExchange" in final, final[:2000]
+    window_part = final.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in window_part, window_part[:2000]
 
 
 def test_ann_fence_serializes_threaded_writers(tmp_path):
